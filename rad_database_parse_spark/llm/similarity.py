@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_cosine_topk``: exact top-k — queries broadcast against the
+  corpus, cosine computed with built-in higher-order array functions
+  (zip_with + aggregate, JVM-side, no Python), ranked by a per-query window.
+  This is the correctness baseline; cost is |Q|·|corpus|.
+- ``lsh_bucketed_cosine_topk``: the scale path — sign-bit bucketing on a
+  fixed subset of coordinates (a deterministic random-hyperplane LSH
+  degenerate that both Spark and an SQL oracle can reproduce). Candidates
+  are only corpus vectors in the same bucket, so the join is
+  |Q|·(corpus/2^bits) in expectation. At 100 TB you'd use multiple bucket
+  tables (OR-amplification); the plumbing is identical.
+
+Cosines are rounded before ranking so ranking is stable across engines'
+float summation orders; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SIGN_DIMS = [0, 8, 16, 24, 32, 40, 48, 56]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank). Queries are
+    the small side → broadcast; corpus streams through one codegen stage."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def sign_bucket(vec: Column, dims: list[int] | None = None) -> Column:
+    """Bucket id from the sign bits of fixed coordinates (deterministic
+    hyperplane-LSH stand-in: hyperplane i = coordinate axis dims[i])."""
+    dims = dims or DEFAULT_SIGN_DIMS
+    bucket = F.lit(0)
+    for i, d in enumerate(dims):
+        bit = F.when(F.element_at(vec, d + 1).cast("double") >= 0, 1).otherwise(0)
+        bucket = bucket + bit * F.lit(1 << i)
+    return bucket
+
+
+def lsh_bucketed_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: join restricted to same sign-bucket, then the same
+    rounded-cosine ranking as the exact path."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1,0 +1,48 @@
+"""Query registry — every operator exposed through __spark_entry__.py.
+
+Each entry pairs a Spark query builder ``(spark, sf_dir) -> DataFrame`` with
+an equivalent DuckDB oracle SQL string (or None for non-SQL-expressible
+operators, which the driver checks rows-only).
+
+Float-parity policy (what makes hash-compare possible across engines):
+- money-like 2-decimal columns are cast to DECIMAL before +/* aggregation —
+  decimal arithmetic is exact, so both engines produce bit-identical sums;
+- divisions happen in double AFTER exact aggregation (IEEE ops on identical
+  operands are deterministic);
+- genuinely-float quantities (cosines) are rounded before ranking and ties
+  break on ids.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over the pre-registered views, or None
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = QueryDef(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryDef]:
+    # Import registers everything on first use.
+    from . import core_relational  # noqa: F401
+    from . import etl_ops  # noqa: F401
+    from . import events_ops  # noqa: F401
+    from . import llm_ops  # noqa: F401
+
+    return dict(_REGISTRY)

@@ -1,0 +1,470 @@
+"""Core relational query inventory (SURVEY §2B/§2C relational surface).
+
+Scan → filter → join → aggregate → window → set-op coverage over the
+TPC-H-ish testdata, each with a DuckDB oracle. Plans are deliberately
+Catalyst-friendly: filters sit on base tables (pushdown), dimension joins
+broadcast, top-k goes through windows (partial top-k under AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import dbl, dec, disc_price, t
+
+# DuckDB twin of _util.disc_price()
+DISC_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
+)
+
+
+# --------------------------------------------------------------------- Q1
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({DISC_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({DISC_SQL} * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str):
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    charge = disc_price() * (F.lit(1).cast("decimal(8,2)") + dec("l_tax", 8, 2))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        dbl(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+        dbl(F.sum(disc_price())).alias("sum_disc_price"),
+        dbl(F.sum(charge)).alias("sum_charge"),
+        (dbl(F.sum(dec("l_quantity"))) / F.count("*")).alias("avg_qty"),
+        (dbl(F.sum(dec("l_extendedprice"))) / F.count("*")).alias("avg_price"),
+        (dbl(F.sum(dec("l_discount"))) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------- Q3
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({DISC_SQL}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dbl(F.sum(disc_price())).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- Q5
+@register(
+    "q5_revenue_by_nation",
+    f"""
+    SELECT n_name, CAST(SUM({DISC_SQL}) AS DOUBLE) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dbl(F.sum(disc_price())).alias("revenue"))
+    )
+
+
+# ----------------------------------------------------------- distinct aggs
+@register(
+    "agg_count_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- rollup
+@register(
+    "agg_rollup_region_nation",
+    """
+    SELECT r_name, n_name,
+           GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal_total
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count("*").alias("n_customers"),
+        dbl(F.sum(dec("c_acctbal"))).alias("acctbal_total"),
+    ).select("r_name", "n_name", "g_region", "g_nation", "n_customers", "acctbal_total")
+
+
+# ------------------------------------------------------------------- cube
+@register(
+    "agg_cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+    )
+
+
+# ---------------------------------------------------------- grouping sets
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ------------------------------------------------------- window functions
+@register(
+    "window_running_total",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        dbl(F.sum(dec("o_totalprice")).over(wsum)).alias("running_total"),
+    )
+
+
+@register(
+    "window_topk_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC,
+                                         o_orderkey) AS rk
+      FROM orders) WHERE rk <= 3
+    """,
+)
+def window_topk_per_customer(spark: SparkSession, sf_dir: str):
+    w = Window.partitionBy("o_custkey").orderBy(
+        dec("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            dbl(dec("o_totalprice")).alias("totalprice"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "window_lag_order_gap",
+    """
+    SELECT o_custkey, o_orderkey,
+           DATE_DIFF('day',
+                     LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap_days
+    FROM orders
+    """,
+)
+def window_lag_order_gap(spark: SparkSession, sf_dir: str):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    )
+
+
+@register(
+    "top1_customer_per_nation",
+    """
+    SELECT n_name, c_custkey, c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+    FROM (
+      SELECT n_name, c_custkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC,
+                                         c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    WHERE rn = 1
+    """,
+)
+def top1_customer_per_nation(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(dec("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "c_custkey", "c_name", dbl(dec("c_acctbal")).alias("acctbal"))
+    )
+
+
+# ------------------------------------------------------- semi / anti joins
+@register(
+    "semi_join_urgent_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_unordered_parts",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def anti_join_unordered_parts(spark: SparkSession, sf_dir: str):
+    p = t(spark, sf_dir, "part")
+    l = t(spark, sf_dir, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+# ------------------------------------------------------------------ dedup
+@register(
+    "dedup_exact_projection",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem
+    """,
+)
+def dedup_exact_projection(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_shipdate")
+        .dropDuplicates()
+    )
+
+
+# ----------------------------------------------------------------- set ops
+@register(
+    "union_dedup_slices",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n FROM (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      UNION
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    ) GROUP BY o_orderstatus
+    """,
+)
+def union_dedup_slices(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < "1997-01-01").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_orderdate") >= "1996-01-01").select("o_orderkey", "o_orderstatus")
+    return (
+        a.unionByName(b).dropDuplicates().groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "set_intersect_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_intersect_customers(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_except_customers(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.subtract(b)  # EXCEPT DISTINCT — set difference
+
+
+# ------------------------------------------------------------- sort/limit
+@register(
+    "sort_limit_top_orders",
+    """
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+    FROM orders
+    ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_limit_top_orders(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", dbl(dec("o_totalprice")).alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------------ pivot
+@register(
+    "pivot_qty_by_status",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_final
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str):
+    pivoted = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        dbl(F.col("O")).alias("qty_open"),
+        dbl(F.col("F")).alias("qty_final"),
+    )

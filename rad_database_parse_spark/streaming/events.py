@@ -1,0 +1,93 @@
+"""Structured Streaming surface over the events table.
+
+Stream-shaped operators with batch-equivalent semantics (tested by running
+the same aggregation in batch and via a file-replay stream into a memory
+sink). Watermarks bound state; session windows and watermark dedup use the
+built-in stateful operators — no custom state unless semantics force it
+(SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-replay stream over the events parquet (one file ⇒ one microbatch
+    locally; on a cluster this is the same code over a landing directory)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts+sums per event_type with late-data bound."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows via the built-in session_window operator
+    (works identically in batch, which the batch-equivalence test uses)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-event within the watermark horizon."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicatesWithinWatermark(["event_id"]) if events.isStreaming else src.dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(df: DataFrame, name: str) -> None:
+    """Drive a bounded file-replay stream to completion synchronously."""
+    q = (
+        df.writeStream.outputMode("complete" if _has_agg(df) else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
