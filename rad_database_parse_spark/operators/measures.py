@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 # First condition in the cell: optional qualifier word, optional operator,
 # then a number. ('HDR~65  LDR~30' → qualifier HDR, op ~, value 65.)
-_QUAL_RX = r"^\s*([A-Za-z]+)?\s*([<>~=≈]|<=|>=)?\s*(-?\d+(?:\.\d+)?)"
+_QUAL_RX = r"^\s*([A-Za-z]+)?\s*(<=|>=|[<>~=≈])?\s*(-?\d+(?:\.\d+)?)"
 
 
 def parse_measure_expr(col: Column | str) -> Column:

@@ -1,1 +1,417 @@
-"""(filled in below)"""
+"""Reference-pipeline ETL operators as oracle-checkable queries.
+
+These express SURVEY §2A operators (classification, normalization, fuzzy
+header mapping, density gates, abbreviation extraction/expansion, measure
+parsing, merge/update/delete semantics) over the driver testdata — inputs
+that need reference-shaped strings synthesize them deterministically from
+table columns so both engines see identical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ..operators.core import classify_title, normalize_expr, row_density
+from ..operators.header_map import distributed_header_map
+from ..operators.measures import parse_measure_expr
+from ..operators.mutate import delete_where, merge_upsert, update_where
+from ._util import dbl, dec, t
+
+# --------------------------------------------------------- A13 normalize
+@register(
+    "normalize_strings",
+    """
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+           length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_len
+    FROM documents
+    """,
+)
+def normalize_strings(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    norm = normalize_expr("text")
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
+
+
+# --------------------------------------------------------- A9 classifier
+_TITLE_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'Principal Investigators'
+      WHEN 1 THEN 'Abbreviations and Acronyms'
+      WHEN 2 THEN 'TID Test Results for ' || source
+      WHEN 3 THEN 'SEE and dose data'
+      ELSE 'Unrelated heading'
+    END
+"""
+
+
+@register(
+    "classify_titles",
+    f"""
+    WITH titled AS (SELECT doc_id, {_TITLE_SQL} AS title FROM documents),
+    typed AS (
+      SELECT doc_id, title,
+             CASE
+               WHEN regexp_matches(lower(title), '\\b(principal|investigator|investigators)\\b')
+                 THEN 'principal_investigator'
+               WHEN regexp_matches(lower(title), '\\b(abbreviation|abbreviations|acronym|acronyms)\\b')
+                 THEN 'abbreviation'
+               WHEN regexp_matches(lower(title), '\\b(tid|see|dd|ddd|seu|let|ongoing|dose|result|results)\\b')
+                 THEN 'rad'
+             END AS table_type
+      FROM titled)
+    SELECT table_type, COUNT(*) AS n FROM typed
+    WHERE table_type IS NOT NULL GROUP BY table_type
+    """,
+)
+def classify_titles(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    title = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Principal Investigators"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("Abbreviations and Acronyms"))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("TID Test Results for "), F.col("source")))
+        .when(F.col("doc_id") % 5 == 3, F.lit("SEE and dose data"))
+        .otherwise(F.lit("Unrelated heading"))
+    )
+    return (
+        d.select("doc_id", title.alias("title"))
+        .withColumn("table_type", classify_title("title"))
+        .filter(F.col("table_type").isNotNull())  # type_check drop (tables.py:117-126)
+        .groupBy("table_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ------------------------------------------------- A10 fuzzy header map
+_HEADERS = [
+    (1, "Part Number"),
+    (1, "Mfr."),
+    (1, "Device Function"),
+    (1, "Technology"),
+    (1, "Deg. Level"),
+    (1, "Dose Rate (rad/s)"),
+    (1, "Notes"),
+    (2, "Part  No."),
+    (2, "Manufacturer"),
+    (2, "LET (MeV cm2/mg)"),
+    (2, "Proton Energy (MeV)"),
+    (2, "Proton Fluence"),
+    (2, "Results"),
+    (2, "Spec?"),
+]
+_CANON = [
+    "part_number", "manufacturer", "device_function", "technology", "results",
+    "spec", "dose_rate", "proton_energy", "degradation_level", "proton_fluence",
+]
+_HEADERS_SQL = ", ".join(f"({tid}, '{h}')" for tid, h in _HEADERS)
+_CANON_SQL = ", ".join(f"('{c}', '{c.replace('_', ' ')}')" for c in _CANON)
+
+
+@register(
+    "fuzzy_header_map",
+    f"""
+    WITH headers(table_id, header) AS (VALUES {_HEADERS_SQL}),
+    canon(canonical, canon_text) AS (VALUES {_CANON_SQL}),
+    scored AS (
+      SELECT table_id, header, canonical,
+             round(100.0 * (1.0 - CAST(levenshtein(
+                      lower(trim(regexp_replace(header, '\\s+', ' ', 'g'))), canon_text) AS DOUBLE)
+                    / greatest(length(lower(trim(regexp_replace(header, '\\s+', ' ', 'g')))),
+                               length(canon_text))), 4) AS score
+      FROM headers CROSS JOIN canon),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY table_id, canonical
+                                   ORDER BY score DESC, header ASC) AS rn
+      FROM scored)
+    SELECT table_id, canonical, header AS matched_header, score
+    FROM ranked WHERE rn = 1 AND score >= 60
+    """,
+)
+def fuzzy_header_map(spark: SparkSession, sf_dir: str):
+    headers = spark.createDataFrame(_HEADERS, ["table_id", "header"])
+    return distributed_header_map(headers, spark, _CANON, threshold=60)
+
+
+# -------------------------------------------------------- parse_measure
+_MEASURE_RX = r"^\s*([A-Za-z]+)?\s*(<=|>=|[<>~=])?\s*(-?\d+(?:\.\d+)?)"
+
+
+@register(
+    "parse_measure",
+    f"""
+    WITH raw AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE l_linenumber % 4
+               WHEN 0 THEN '<' || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+               WHEN 1 THEN '>' || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+               WHEN 2 THEN 'HDR~' || CAST(CAST(l_quantity AS INT) AS VARCHAR) ||
+                           '  LDR~' || CAST(CAST(l_quantity AS INT) // 2 AS VARCHAR)
+               ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR)
+             END AS raw_measure
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, raw_measure,
+           coalesce(nullif(regexp_extract(raw_measure, '{_MEASURE_RX}', 2), ''), '=') AS op,
+           CAST(nullif(regexp_extract(raw_measure, '{_MEASURE_RX}', 3), '') AS DOUBLE) AS value,
+           nullif(regexp_extract(raw_measure, '{_MEASURE_RX}', 1), '') AS qualifier
+    FROM raw
+    """,
+)
+def parse_measure(spark: SparkSession, sf_dir: str):
+    l = t(spark, sf_dir, "lineitem")
+    qty_int = F.col("l_quantity").cast("int")
+    raw = (
+        F.when(F.col("l_linenumber") % 4 == 0, F.concat(F.lit("<"), qty_int.cast("string")))
+        .when(F.col("l_linenumber") % 4 == 1, F.concat(F.lit(">"), qty_int.cast("string")))
+        .when(
+            F.col("l_linenumber") % 4 == 2,
+            F.concat(
+                F.lit("HDR~"), qty_int.cast("string"),
+                F.lit("  LDR~"), (qty_int / 2).cast("int").cast("string"),
+            ),
+        )
+        .otherwise(qty_int.cast("string"))
+    )
+    parsed = parse_measure_expr(F.col("raw_measure"))
+    return (
+        l.select("l_orderkey", "l_linenumber", raw.alias("raw_measure"))
+        .withColumn("op", parsed["op"])
+        .withColumn("value", parsed["value"])
+        .withColumn("qualifier", parsed["qualifier"])
+    )
+
+
+# --------------------------------------------------- A5/A12 density gate
+_DENS_VALS_SQL = [
+    "nullif(l_returnflag, 'N')",
+    "nullif(l_linestatus, 'F')",
+    "nullif(CAST(l_linenumber AS VARCHAR), '1')",
+    "nullif(CAST(CAST(l_quantity AS INT) % 10 AS VARCHAR), '0')",
+]
+
+
+@register(
+    "density_row_filter",
+    f"""
+    WITH graded AS (
+      SELECT l_orderkey, l_linenumber,
+             (CAST({_DENS_VALS_SQL[0]} IS NOT NULL AS INT) +
+              CAST({_DENS_VALS_SQL[1]} IS NOT NULL AS INT) +
+              CAST({_DENS_VALS_SQL[2]} IS NOT NULL AS INT) +
+              CAST({_DENS_VALS_SQL[3]} IS NOT NULL AS INT)) / 4.0 AS density
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, density FROM graded WHERE density >= 0.5
+    """,
+)
+def density_row_filter(spark: SparkSession, sf_dir: str):
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("v0"),
+        F.nullif(F.col("l_linestatus"), F.lit("F")).alias("v1"),
+        F.nullif(F.col("l_linenumber").cast("string"), F.lit("1")).alias("v2"),
+        F.nullif((F.col("l_quantity").cast("int") % 10).cast("string"), F.lit("0")).alias("v3"),
+    )
+    return (
+        l.withColumn("density", row_density(["v0", "v1", "v2", "v3"]))
+        .filter(F.col("density") >= 0.5)
+        .select("l_orderkey", "l_linenumber", "density")
+    )
+
+
+# ------------------------------------------- A21 abbreviation extraction
+@register(
+    "abbrev_extract",
+    """
+    WITH cells AS (
+      SELECT 'NAT' || CAST(n_nationkey AS VARCHAR) || ' = ' || n_name || chr(10) ||
+             'REG' || CAST(n_regionkey AS VARCHAR) || ' = Region ' ||
+             CAST(n_regionkey AS VARCHAR) || ' (see' || chr(10) || ' note)' AS cell
+      FROM nation),
+    recs AS (
+      SELECT unnest(string_split(regexp_replace(cell, '\\(([^()]*)\\n([^()]*)\\)', '(\\1 \\2)', 'g'),
+                    chr(10))) AS record
+      FROM cells)
+    SELECT DISTINCT trim(split_part(record, '=', 1)) AS abbreviation,
+           trim(substr(record, instr(record, '=') + 1)) AS expansion
+    FROM recs
+    WHERE contains(record, '=')
+      AND trim(split_part(record, '=', 1)) != ''
+      AND trim(substr(record, instr(record, '=') + 1)) != ''
+    """,
+)
+def abbrev_extract(spark: SparkSession, sf_dir: str):
+    from ..operators.abbrev import extract_abbreviation_pairs
+
+    n = t(spark, sf_dir, "nation")
+    cell = F.concat(
+        F.lit("NAT"), F.col("n_nationkey").cast("string"), F.lit(" = "), F.col("n_name"),
+        F.lit("\n"),
+        F.lit("REG"), F.col("n_regionkey").cast("string"), F.lit(" = Region "),
+        F.col("n_regionkey").cast("string"), F.lit(" (see\n note)"),
+    )
+    cells = n.select(cell.alias("cell"))
+    return extract_abbreviation_pairs(cells, "cell").select(
+        "abbreviation", "expansion"
+    ).distinct()
+
+
+# ------------------------------------------- A22 abbreviation expansion
+_ABBREV_DICT = [
+    ("TID", "Total Ionizing Dose"),
+    ("SEE", "Single Event Effects"),
+    ("LET", "Linear Energy Transfer"),
+    ("ELDRS", "Enhanced Low Dose Rate Sensitivity"),
+]
+
+
+@register(
+    "abbrev_expand",
+    """
+    SELECT p_partkey,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             p_name || ' LET threshold, TID ok, SEE observed, ELDRS n/a',
+             '\\bELDRS\\b', 'Enhanced Low Dose Rate Sensitivity', 'g'),
+             '\\bTID\\b', 'Total Ionizing Dose', 'g'),
+             '\\bSEE\\b', 'Single Event Effects', 'g'),
+             '\\bLET\\b', 'Linear Energy Transfer', 'g') AS expanded
+    FROM part
+    """,
+)
+def abbrev_expand(spark: SparkSession, sf_dir: str):
+    from ..operators.abbrev import expand_abbreviations
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"), F.lit(" LET threshold, TID ok, SEE observed, ELDRS n/a")
+        ).alias("expanded"),
+    )
+    dictionary = spark.createDataFrame(_ABBREV_DICT, ["abbreviation", "expansion"])
+    return expand_abbreviations(p, "expanded", dictionary)
+
+
+# -------------------------------------------- A6 continuation propagation
+@register(
+    "continuation_propagate_titles",
+    """
+    WITH cells AS (
+      SELECT 'doc' || CAST(o_custkey % 3 AS VARCHAR) AS doc_filename,
+             CAST(o_orderkey % 7 AS INT) AS page,
+             CAST(o_orderkey % 2 AS INT) AS table_idx,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  WHEN o_orderkey % 5 = 1 THEN ''
+                  ELSE 'Table ' || CAST(o_orderkey % 11 AS VARCHAR) END AS table_title,
+             o_orderkey
+      FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT doc_filename, page, table_idx, o_orderkey,
+           last_value(nullif(trim(table_title), '') IGNORE NULLS)
+             OVER (PARTITION BY doc_filename
+                   ORDER BY page, table_idx, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS effective_title
+    FROM cells
+    """,
+)
+def continuation_propagate_titles(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    cells = o.select(
+        F.concat(F.lit("doc"), (F.col("o_custkey") % 3).cast("string")).alias("doc_filename"),
+        (F.col("o_orderkey") % 7).cast("int").alias("page"),
+        (F.col("o_orderkey") % 2).cast("int").alias("table_idx"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("Table "), (F.col("o_orderkey") % 11).cast("string")))
+        .alias("table_title"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("doc_filename")
+        .orderBy("page", "table_idx", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    title = F.nullif(F.trim(F.col("table_title")), F.lit(""))
+    return cells.select(
+        "doc_filename", "page", "table_idx", "o_orderkey",
+        F.last(title, ignorenulls=True).over(w).alias("effective_title"),
+    )
+
+
+# ------------------------------------------------ A18 update semantics
+@register(
+    "update_where_segment",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS balance
+    FROM customer GROUP BY 1
+    """,
+)
+def update_where_segment(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    updated = update_where(
+        c, F.col("c_acctbal") < 0, {"c_mktsegment": F.lit("DELINQUENT")}
+    )
+    return (
+        updated.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n"), dbl(F.sum(dec("c_acctbal"))).alias("balance"))
+    )
+
+
+# ------------------------------------------ A19 delete-with-limit semantics
+@register(
+    "delete_limit_lowest",
+    """
+    WITH victims AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey LIMIT 100)
+    SELECT COUNT(*) AS remaining,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS balance
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM victims)
+    """,
+)
+def delete_limit_lowest(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    remaining = delete_where(
+        c,
+        F.col("c_acctbal") < 0,
+        limit=100,
+        order_by=[dec("c_acctbal").asc(), F.col("c_custkey").asc()],
+    )
+    return remaining.agg(
+        F.count("*").alias("remaining"), dbl(F.sum(dec("c_acctbal"))).alias("balance")
+    )
+
+
+# ------------------------------------------------- A14/A17 merge upsert
+@register(
+    "merge_upsert_customers",
+    """
+    WITH source AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 1000.0 AS c_acctbal, 'UPGRADED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS balance
+    FROM (
+      SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+      UNION ALL
+      SELECT * FROM source)
+    GROUP BY c_mktsegment
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    source = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(c, source, ["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dbl(F.sum(dec("c_acctbal"))).alias("balance")
+    )
