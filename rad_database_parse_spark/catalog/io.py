@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = [
     "region",
@@ -28,9 +29,25 @@ TESTDATA_TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Tables whose parquet carries TIMESTAMP(NANOS) columns, which Spark's
+# vectorized reader rejects by default. We read them as long (legacy conf)
+# and convert to micros — matching how micro-resolution engines (and the
+# DuckDB oracle) truncate nanos.
+NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; Catalyst prunes columns/filters at the scan."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = NANO_TS_COLUMNS.get(name, [])
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in nano_cols:
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

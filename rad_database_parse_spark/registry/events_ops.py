@@ -1,1 +1,244 @@
-"""(filled in below)"""
+"""Event-stream operators in batch form (SURVEY §2C: JSON, time buckets,
+sessionization, as-of enrichment, window analytics).
+
+Streaming execution of the same logic lives in ``streaming/events.py``
+(file-replay → memory sink, batch-equivalence asserted in tests); these
+batch twins are the oracle-checkable surface. Gap comparisons use integer
+microseconds (unix_micros / epoch_us) so both engines compare exact ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import dbl, dec, t
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+# ----------------------------------------------------------- JSON access
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id", "event_type", k.alias("k"), (k % 10).alias("k_bucket")
+    )
+
+
+# ----------------------------------------------------------- time buckets
+@register(
+    "time_bucket_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_bucket_hourly(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dbl(F.sum(dec("value"))).alias("total_value"),
+        )
+    )
+
+
+# tumbling-window form via the streaming module's operator (batch mode).
+@register(
+    "stream_tumbling_batch_equiv",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_batch_equiv(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dbl(F.sum(dec("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+# ---------------------------------------------------------- sessionization
+_SESSION_SQL = f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  >= {SESSION_GAP_US} OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM gaps)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events", _SESSION_SQL)
+def sessionize_events(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) >= SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dbl(F.sum(dec("value"))).alias("session_value"),
+        )
+    )
+
+
+# session_window native operator (batch mode) — same session grouping, with
+# the end extended by the gap (session_window semantics).
+@register(
+    "session_window_stats",
+    f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  >= {SESSION_GAP_US} OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM gaps)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str):
+    from ..streaming.events import sessionized_stream
+
+    e = t(spark, sf_dir, "events")
+    return sessionized_stream(e, gap="30 minutes").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+# ------------------------------------------------------------ as-of join
+@register(
+    "asof_last_view_before_purchase",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id
+      FROM events)
+    SELECT event_id, user_id, ts, last_view_id
+    FROM marked WHERE event_type = 'purchase'
+    """,
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_view_id", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_view_id")
+    )
+
+
+# ------------------------------------------------------- window analytics
+@register(
+    "window_rank_events_per_user",
+    """
+    SELECT event_id, user_id,
+           RANK() OVER (PARTITION BY user_id
+                        ORDER BY CAST(value AS DECIMAL(12,2)) DESC, event_id) AS rk
+    FROM events
+    """,
+)
+def window_rank_events_per_user(spark: SparkSession, sf_dir: str):
+    w = Window.partitionBy("user_id").orderBy(dec("value").desc(), F.col("event_id"))
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.rank().over(w).alias("rk")
+    )
+
+
+@register(
+    "events_type_share",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+    FROM events GROUP BY event_type
+    """,
+)
+def events_type_share(spark: SparkSession, sf_dir: str):
+    counts = (
+        t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+    return counts.select(
+        "event_type",
+        "n",
+        (F.col("n") / F.sum("n").over(Window.partitionBy()).cast("double")).alias("share"),
+    )
+
+
+# -------------------------------------------------- watermark-style dedup
+@register(
+    "dedup_events_by_id",
+    """
+    SELECT COUNT(*) AS n_unique FROM (SELECT DISTINCT event_id FROM events)
+    """,
+)
+def dedup_events_by_id(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "events")
+        .dropDuplicates(["event_id"])
+        .agg(F.count("*").alias("n_unique"))
+    )
