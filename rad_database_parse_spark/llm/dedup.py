@@ -71,7 +71,8 @@ def word_shingles(tokens: DataFrame, id_col: str, n: int = 3) -> DataFrame:
     parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
     return (
         tokens.withColumn("shingle", F.concat_ws(" ", *parts))
-        .filter(F.lead("token", n - 1).over(w).isNotNull())
+        .withColumn("_last", F.lead("token", n - 1).over(w))
+        .filter(F.col("_last").isNotNull())
         .select(id_col, "shingle")
         .distinct()
     )
@@ -121,7 +122,8 @@ def minhash_signatures(
         toks.crossJoin(F.broadcast(params))
         .withColumn(
             "hv",
-            (F.col("a") * F.col("token_id") + F.col("b")) % F.lit(MERSENNE_P),
+            (F.col("a").cast("long") * F.col("token_id") + F.col("b"))
+            % F.lit(MERSENNE_P),
         )
         .groupBy(id_col, "hash_idx")
         .agg(F.min("hv").alias("minhash"))
@@ -202,13 +204,13 @@ def simhash_signatures(
         .crossJoin(F.broadcast(bit_idx))
         .withColumn(
             "delta",
-            F.when(F.shiftright(F.col("hv"), F.col("bit")).bitwiseAND(1) == 1, 1).otherwise(-1),
+            F.when(F.expr("(hv div shiftleft(1L, bit)) % 2") == 1, 1).otherwise(-1),
         )
         .groupBy(id_col, "bit")
         .agg(F.sum("delta").alias("s"))
     )
     return contrib.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(0)
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )

@@ -117,9 +117,11 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-# 31^(pos mod 8) weights for the positional fingerprint (fits in int64).
+# 31^(pos mod 8) weights for the positional fingerprint. The modulus is
+# 2^31-1 so term values stay small enough that a 100k-token document's
+# term-sum cannot overflow int64 (max ~2^31 · 10^5 « 2^63).
 _POW31 = [31**i for i in range(8)]
-FINGERPRINT_P = (1 << 61) - 1
+FINGERPRINT_P = (1 << 31) - 1
 
 
 def doc_fingerprint(tokens_with_ids: DataFrame, id_col: str) -> DataFrame:

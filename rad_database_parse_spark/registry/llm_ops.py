@@ -1,1 +1,354 @@
-"""(filled in below)"""
+"""LLM-training-data pipeline operators (driver north star): dedup tiers,
+similarity search, text analysis, multimodal plumbing — all oracle-checked.
+
+The SQL oracles reproduce the exact same deterministic constructions
+(dictionary token ids, arithmetic universal hashes, rounded cosines) so the
+hash-compare is meaningful rather than vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ..llm.dedup import (
+    HASH_AS,
+    HASH_BS,
+    MERSENNE_P,
+    exact_dedup_by_hash,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    token_ids,
+    tokenize,
+)
+from ..llm.multimodal import attach_binary_payload, payload_stats
+from ..llm.similarity import brute_force_cosine_topk, lsh_bucketed_cosine_topk
+from ..llm.text import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from ._util import t
+
+# Shared oracle CTEs: tokenization identical to llm.dedup.tokenize (posexplode
+# of a whitespace split, empty tokens dropped, positions preserved) and the
+# dense-rank token dictionary.
+_TOKS_SQL = """
+    toks_raw AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token,
+             unnest(range(len(regexp_split_to_array(trim(lower(text)), '\\s+')))) AS pos
+      FROM documents),
+    toks AS (SELECT * FROM toks_raw WHERE token != ''),
+    dict AS (
+      SELECT token, dense_rank() OVER (ORDER BY token) AS token_id
+      FROM (SELECT DISTINCT token FROM toks))
+"""
+
+
+# ----------------------------------------------------------- exact dedup
+@register(
+    "docs_exact_dedup",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+      FROM documents)
+    SELECT min(doc_id) AS doc_id, text_hash FROM h GROUP BY text_hash
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup_by_hash(d, "text", "doc_id").select("doc_id", "text_hash")
+
+
+# ------------------------------------------------------- n-gram Jaccard
+@register(
+    "docs_ngram_jaccard",
+    f"""
+    WITH {_TOKS_SQL},
+    sh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(token, 2) OVER w IS NOT NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    """,
+)
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+# -------------------------------------------------------- MinHash + LSH
+_HASHES_SQL = ", ".join(
+    f"({i}, {HASH_AS[i]}, {HASH_BS[i]})" for i in range(16)
+)
+
+
+@register(
+    "docs_minhash_lsh",
+    f"""
+    WITH {_TOKS_SQL},
+    hashes(hash_idx, a, b) AS (VALUES {_HASHES_SQL}),
+    doc_tokens AS (
+      SELECT DISTINCT doc_id, token_id FROM toks JOIN dict USING (token)),
+    mh AS (
+      SELECT doc_id, hash_idx,
+             MIN((CAST(a AS BIGINT) * token_id + b) % {MERSENNE_P}) AS minhash
+      FROM doc_tokens CROSS JOIN hashes GROUP BY doc_id, hash_idx),
+    bands AS (
+      SELECT doc_id, hash_idx // 4 AS band,
+             string_agg(CAST(hash_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR),
+                        ',' ORDER BY CAST(hash_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))
+               AS band_sig
+      FROM mh GROUP BY doc_id, hash_idx // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    tok_sets AS (SELECT DISTINCT doc_id, token FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok_sets GROUP BY doc_id),
+    inter AS (
+      SELECT id_a, id_b, COUNT(*) AS inter
+      FROM cand JOIN tok_sets ta ON ta.doc_id = id_a
+                JOIN tok_sets tb ON tb.doc_id = id_b AND tb.token = ta.token
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    """,
+)
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=16, band_size=4, threshold=0.5
+    )
+
+
+# --------------------------------------------------------------- SimHash
+@register(
+    "docs_simhash",
+    f"""
+    WITH {_TOKS_SQL},
+    doc_tokens AS (SELECT doc_id, token_id FROM toks JOIN dict USING (token)),
+    contrib AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN ((CAST({HASH_AS[0]} AS BIGINT) * token_id + {HASH_BS[0]})
+                            % {MERSENNE_P} >> bit) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM doc_tokens CROSS JOIN range(32) t(bit)
+      GROUP BY doc_id, bit)
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def docs_simhash(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return simhash_signatures(d, "text", "doc_id", bits=32)
+
+
+# ------------------------------------------------- cosine top-k (exact)
+_COSINE_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS sim
+      FROM c CROSS JOIN q WHERE query_id != neighbor_id{bucket_cond}),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims)
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("emb_cosine_topk_exact", _COSINE_SQL.format(bucket_cond=""))
+def emb_cosine_topk_exact(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    return brute_force_cosine_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5
+    )
+
+
+_BUCKET_DIMS = [0, 8, 16, 24, 32, 40, 48, 56]
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(_BUCKET_DIMS)
+)
+
+
+@register(
+    "emb_cosine_topk_lsh",
+    _COSINE_SQL.replace(
+        "SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv",
+        f"SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, {_BUCKET_SQL} AS qb",
+    )
+    .replace(
+        "SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv",
+        f"SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, {_BUCKET_SQL} AS cb",
+    )
+    .format(bucket_cond=" AND qb = cb"),
+)
+def emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_cosine_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, dims=_BUCKET_DIMS
+    )
+
+
+# ------------------------------------------------------- language id
+_STOPWORDS_SQL = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in LANG_STOPWORDS.items() for w in ws
+)
+
+
+@register(
+    "docs_language_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents),
+    stop(lang_cand, stopword) AS (VALUES {_STOPWORDS_SQL}),
+    hits AS (
+      SELECT doc_id, lang_cand, COUNT(*) AS hits
+      FROM toks JOIN stop ON token = stopword AND token != ''
+      GROUP BY doc_id, lang_cand),
+    best AS (
+      SELECT doc_id, lang_cand AS predicted_lang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang_cand) AS rn
+      FROM hits)
+    SELECT d.doc_id,
+           coalesce(b.predicted_lang, 'und') AS predicted_lang,
+           coalesce(b.hits, 0) AS hits
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """,
+)
+def docs_language_id(spark: SparkSession, sf_dir: str):
+    return language_id(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ------------------------------------------------------ quality scoring
+_NT_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+@register(
+    "docs_quality_score",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             {_NT_SQL} AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tokens,
+             n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+             n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+             n_alpha / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_word_len,
+             least(n_tokens / 64.0, 1.0) AS length_score
+      FROM m)
+    SELECT doc_id, n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(0.4 * length_score + 0.3 * alpha_ratio + 0.2 * (1 - punct_ratio)
+                 + 0.1 * (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 10
+                               THEN 1.0 ELSE 0.5 END), 6) AS quality
+    FROM r
+    """,
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str):
+    return quality_score(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# -------------------------------------------------------- token stats
+@register(
+    "docs_token_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           {_NT_SQL} AS n_tokens_ws,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+           length(text) / CAST(greatest({_NT_SQL}, 1) AS DOUBLE) AS chars_per_token
+    FROM documents
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str):
+    return token_stats(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ------------------------------------------------------- fingerprinting
+_POW31_SQL = "[" + ", ".join(str(31**i) for i in range(8)) + "]"
+
+
+@register(
+    "docs_fingerprint",
+    f"""
+    WITH {_TOKS_SQL},
+    terms AS (
+      SELECT doc_id,
+             (token_id * ({_POW31_SQL})[CAST(pos % 8 AS INT) + 1]) % 2147483647 AS term
+      FROM toks JOIN dict USING (token))
+    SELECT doc_id, SUM(term) % 2147483647 AS fingerprint
+    FROM terms GROUP BY doc_id
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    toks = token_ids(tokenize(d, "text", "doc_id"))
+    return doc_fingerprint(toks, "doc_id")
+
+
+# ------------------------------------------------- multimodal plumbing
+@register(
+    "multimodal_payload_stats",
+    """
+    SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str):
+    d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
+    return payload_stats(d).select(
+        "doc_id", "n_bytes", F.col("sha256").alias("sha256")
+    )
+
+
+# mapInPandas decode stage — not SQL-expressible (Arrow batch boundary);
+# driver records the weaker rows-only check.
+@register("multimodal_decode_features", None)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str):
+    from ..llm.multimodal import decode_media
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
+    return decode_media(d, payload_col="payload", id_col="doc_id")
