@@ -1,0 +1,107 @@
+from pyspark.sql import functions as F
+
+from rad_database_parse_spark.llm.dedup import (
+    exact_dedup_by_hash,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    token_ids,
+    tokenize,
+)
+from rad_database_parse_spark.llm.similarity import (
+    brute_force_cosine_topk,
+    lsh_bucketed_cosine_topk,
+)
+from rad_database_parse_spark.llm.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),       # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "el rapido zorro marron salta sobre el perro y la casa es de la familia"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup_by_hash(_docs(spark), "text", "doc_id")
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 3, 4, 5}  # doc 2 collapses onto min-id twin 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), "text", "doc_id", n=3, threshold=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.3 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_deterministic_and_lsh_candidates(spark):
+    docs = _docs(spark)
+    s1 = {(r.doc_id, r.hash_idx): r.minhash
+          for r in minhash_signatures(docs, "text", "doc_id").collect()}
+    s2 = {(r.doc_id, r.hash_idx): r.minhash
+          for r in minhash_signatures(docs, "text", "doc_id").collect()}
+    assert s1 == s2  # arithmetic hashes: run-to-run deterministic
+    # identical docs share every signature → must be an LSH candidate pair
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", threshold=0.9)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} >= {(1, 2)}
+
+
+def test_simhash_collision_on_exact_dup(spark):
+    sigs = {r.doc_id: r.simhash
+            for r in simhash_signatures(_docs(spark), "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_cosine_topk_exact_and_lsh(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    exact = brute_force_cosine_topk(q, e, k=3)
+    rows = exact.collect()
+    assert len(rows) == 9  # 3 queries × k
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, nbrs in by_q.items():
+        sims = [r.sim for r in sorted(nbrs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+    # LSH path returns a subset ranking consistent with same-bucket search
+    approx = lsh_bucketed_cosine_topk(q, e, k=3)
+    assert approx.count() <= 9
+
+
+def test_language_id(spark):
+    out = {r.doc_id: r.predicted_lang
+           for r in language_id(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == "en"
+    assert out[5] == "es"
+
+
+def test_quality_and_token_stats(spark):
+    docs = _docs(spark)
+    q = {r.doc_id: r for r in quality_score(docs, "text", "doc_id").collect()}
+    assert all(0.0 <= r.quality <= 1.0 for r in q.values())
+    s = {r.doc_id: r for r in token_stats(docs, "text", "doc_id").collect()}
+    assert s[1].n_tokens_ws == 9
+    assert s[1].n_tokens_bpe >= s[1].n_tokens_ws  # sub-word splits ≥ words
+
+
+def test_fingerprint_order_sensitive(spark):
+    a = spark.createDataFrame([(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+                              ["doc_id", "text"])
+    toks = token_ids(tokenize(a, "text", "doc_id"))
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(toks, "doc_id").collect()}
+    assert fp[1] != fp[2]  # same bag of words, different order → different print

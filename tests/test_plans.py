@@ -1,0 +1,47 @@
+"""Scale-guard tests: lock in the physical-plan properties that matter at
+100 TB — filter pushdown to the parquet scan, column pruning, broadcast
+joins for dimensions, codegen coverage."""
+
+from pyspark.sql import functions as F
+
+from rad_database_parse_spark.plans import (
+    formatted_plan,
+    has_pushed_filter,
+    reads_only_columns,
+    uses_broadcast_join,
+)
+from rad_database_parse_spark.registry.core_relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_revenue_by_nation,
+)
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+    # scan must not read join keys / partkeys it doesn't need
+    assert reads_only_columns(
+        df,
+        {
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        },
+    )
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = q5_revenue_by_nation(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_q3_pushes_both_filters(spark, sf_dir):
+    df = q3_shipping_priority(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("PushedFilters: [") >= 2  # orders + lineitem scans
+
+
+def test_projection_prunes_unused_columns(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    assert reads_only_columns(df, {"l_returnflag", "l_quantity"})

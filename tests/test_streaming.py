@@ -1,0 +1,95 @@
+"""Batch-equivalence tests: the same aggregation computed over the events
+table in batch and via a file-replay stream (2 microbatches) must agree."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rad_database_parse_spark.catalog.io import load_table
+from rad_database_parse_spark.streaming.events import (
+    read_events_stream,
+    sessionized_stream,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Re-land the events table as two parquet files so maxFilesPerTrigger=1
+    produces a genuinely incremental 2-microbatch replay."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    e = load_table(spark, sf_dir, "events")
+    e.repartition(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _collect_map(df, keys, val):
+    return {tuple(getattr(r, k) for k in keys): getattr(r, val) for r in df.collect()}
+
+
+def test_tumbling_counts_stream_equals_batch(spark, sf_dir, events_dir):
+    batch = tumbling_counts(load_table(spark, sf_dir, "events"))
+    stream = tumbling_counts(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _collect_map(
+        spark.sql("SELECT * FROM tumbling_out"), ["win_start", "event_type"], "n"
+    )
+    want = _collect_map(batch, ["win_start", "event_type"], "n")
+    assert got == want
+    # value sums agree within float tolerance (stream accumulates partials)
+    got_v = _collect_map(
+        spark.sql("SELECT * FROM tumbling_out"), ["win_start", "event_type"], "total_value"
+    )
+    want_v = _collect_map(batch, ["win_start", "event_type"], "total_value")
+    assert all(math.isclose(got_v[k], want_v[k], rel_tol=1e-9) for k in want_v)
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, events_dir):
+    batch = sessionized_stream(load_table(spark, sf_dir, "events"))
+    stream = sessionized_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _collect_map(
+        spark.sql("SELECT * FROM session_out"),
+        ["user_id", "session_start"],
+        "n_events",
+    )
+    want = _collect_map(batch, ["user_id", "session_start"], "n_events")
+    assert got == want
+
+
+def test_streaming_dedup_drops_replayed_duplicates(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_dup"))
+    e = load_table(spark, sf_dir, "events").limit(200).cache()
+    n_unique = e.select("event_id").distinct().count()
+    # land the same rows twice as two files → replay delivers duplicates
+    e.coalesce(1).write.mode("overwrite").parquet(out)
+    e.coalesce(1).write.mode("append").parquet(out)
+    stream = read_events_stream(spark, out)
+    deduped = stream.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n == n_unique
