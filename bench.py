@@ -1,0 +1,84 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Runs a representative spread of the registry (relational, window, events,
+ETL, LLM-pipeline ops) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the `noop` sink — full distributed execution,
+zero driver-side collection — so the timing reflects what a cluster would do,
+not a toPandas() transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rad_database_parse_spark.registry import all_queries  # noqa: E402
+from rad_database_parse_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    # relational core: scan -> pushdown -> broadcast joins -> agg -> top-k
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    # windows / rollup
+    "window_topk_per_customer",
+    "agg_rollup_region_nation",
+    # events surface: sessionization, as-of join, JSON extraction
+    "sessionize_events",
+    "asof_last_view_before_purchase",
+    "json_extract_props",
+    # ETL operators
+    "fuzzy_header_map",
+    "dedup_exact_projection",
+    # LLM-pipeline ops
+    "docs_minhash_lsh",
+    "docs_token_stats",
+    "emb_cosine_topk_exact",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_session(app_name="bench")
+    registry = all_queries()
+
+    # Warm the JVM/session on the smallest query so JIT + codegen caches and
+    # parquet footer reads don't land in the first timed query.
+    registry["q5_revenue_by_nation"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
