@@ -84,8 +84,14 @@ def ngram_jaccard_pairs(
     """Candidate duplicate pairs with exact n-gram Jaccard ≥ threshold.
 
     Self-join on shingle generates only co-occurring pairs; |A∪B| comes from
-    per-doc shingle counts (|A|+|B|−|A∩B|), so no second pass over pairs."""
-    sh = word_shingles(tokenize(df, text_col, id_col), id_col, n)
+    per-doc shingle counts (|A|+|B|−|A∩B|), so no second pass over pairs.
+    The shingle set is persisted (3 plan references: sizes + both join
+    sides) — MEMORY_AND_DISK so large corpora spill rather than re-shingle."""
+    from pyspark import StorageLevel
+
+    sh = word_shingles(tokenize(df, text_col, id_col), id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -110,24 +116,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_aggs(num_hashes: int) -> list:
+    """One MIN aggregate per hash function — k columns instead of a k×
+    row blowup; partial (map-side) aggregation collapses each partition to
+    one row per doc before the shuffle."""
+    return [
+        F.min(
+            (F.lit(HASH_AS[i]).cast("long") * F.col("token_id") + F.lit(HASH_BS[i]))
+            % F.lit(MERSENNE_P)
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures_wide(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """(id, tok_set, sz, mh_0..mh_{k-1}) — full signature + distinct token-id
+    set + set size in ONE shuffle. MIN is duplicate-insensitive, so tokens
+    need no pre-distinct; set and size ride along in the same aggregation."""
+    toks = token_ids(tokenize(df, text_col, id_col)).select(id_col, "token_id")
+    return (
+        toks.groupBy(id_col)
+        .agg(F.collect_set("token_id").alias("tok_set"), *_minhash_aggs(num_hashes))
+        .withColumn("sz", F.size("tok_set"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """(id, hash_idx, minhash) — k arithmetic min-hashes over dictionary
-    token ids. One explode over k (small constant) + one groupBy(id, i)."""
-    toks = token_ids(tokenize(df, text_col, id_col)).select(id_col, "token_id").distinct()
-    hash_params = [(i, HASH_AS[i], HASH_BS[i]) for i in range(num_hashes)]
-    params = toks.sparkSession.createDataFrame(hash_params, ["hash_idx", "a", "b"])
-    return (
-        toks.crossJoin(F.broadcast(params))
-        .withColumn(
-            "hv",
-            (F.col("a").cast("long") * F.col("token_id") + F.col("b"))
-            % F.lit(MERSENNE_P),
-        )
-        .groupBy(id_col, "hash_idx")
-        .agg(F.min("hv").alias("minhash"))
+    """(id, hash_idx, minhash) row form — a zero-shuffle unpivot of the wide
+    signature (k small, one row per doc)."""
+    wide = minhash_signatures_wide(df, text_col, id_col, num_hashes)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hash_idx"), F.col(f"mh_{i}").alias("minhash")
+            )
+            for i in range(num_hashes)
+        ]
     )
+    return wide.select(
+        id_col, F.explode(pairs).alias("p")
+    ).select(id_col, "p.hash_idx", "p.minhash")
 
 
 def minhash_lsh_candidates(
@@ -140,17 +172,37 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band signatures → bucket self-join →
     verified exact Jaccard ≥ threshold. The shuffle-heavy all-pairs compare
-    collapses to joins on (band, band_signature)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    bands = (
-        sigs.withColumn("band", (F.col("hash_idx") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.concat_ws(":", "hash_idx", "minhash")))
-            ).alias("band_sig")
-        )
+    collapses to joins on (band, band_signature).
+
+    Plan shape (scale-critical): the corpus is tokenized ONCE; signatures,
+    set sizes, band keys, AND the verify-side token arrays all come out of a
+    single groupBy(doc). Verification then computes exact Jaccard per
+    candidate pair with `array_intersect` inside codegen — a row-local
+    operation on two joined arrays — instead of re-exploding candidates
+    against the token table (which is quadratic in bucket size: a skewed
+    LSH bucket of B docs would shuffle B²·|tokens| rows). The per-doc
+    signature table is one row per document and joins to candidates on
+    doc_id (broadcast under AQE when it fits)."""
+    from pyspark import StorageLevel
+
+    wide = minhash_signatures_wide(df, text_col, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    num_bands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_sig"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    bands = wide.select(
+        id_col, F.explode(band_structs).alias("bs")
+    ).select(id_col, "bs.band", "bs.band_sig")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -165,21 +217,24 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
-    # Verify candidates with exact token-set Jaccard.
-    toks = (
-        tokenize(df, text_col, id_col).select(id_col, "token").distinct()
+    # Verify with exact token-set Jaccard computed row-locally:
+    # |A∩B| = size(array_intersect) over integer token ids (bijective with
+    # tokens, so the ratio is bit-identical to a token-string count).
+    sets = wide.select(id_col, "tok_set", "sz")
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("tok_set").alias("set_a"),
+        F.col("sz").alias("sz_a"),
     )
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
-    ta = toks.select(F.col(id_col).alias("id_a"), "token")
-    tb = toks.select(F.col(id_col).alias("id_b"), "token")
-    inter = (
-        cand.join(ta, "id_a").join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("tok_set").alias("set_b"),
+        F.col("sz").alias("sz_b"),
     )
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
@@ -193,24 +248,22 @@ def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:
     """32-bit SimHash per document: for each bit j, sign of Σ_tokens
-    (±1 by bit j of the token's arithmetic hash). Explode over bits is a
-    ×32 row blowup on the token table — acceptable because the token table
-    is already the small projection of the corpus."""
+    (±1 by bit j of the token's arithmetic hash). One aggregate expression
+    per bit in a single groupBy — no ×bits row blowup, and map-side partial
+    aggregation collapses each partition to one row per doc."""
     toks = token_ids(tokenize(df, text_col, id_col)).select(id_col, "token_id")
-    bit_idx = toks.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit"))
     hv = (F.lit(HASH_AS[0]) * F.col("token_id") + F.lit(HASH_BS[0])) % F.lit(MERSENNE_P)
-    contrib = (
-        toks.withColumn("hv", hv)
-        .crossJoin(F.broadcast(bit_idx))
-        .withColumn(
-            "delta",
-            F.when(F.expr("(hv div shiftleft(1L, bit)) % 2") == 1, 1).otherwise(-1),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("delta").alias("s"))
-    )
-    return contrib.groupBy(id_col).agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(hv, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    contrib = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return contrib.select(id_col, sig.alias("simhash"))
