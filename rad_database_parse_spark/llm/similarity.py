@@ -87,6 +87,39 @@ def sign_bucket(vec: Column, dims: list[int] | None = None) -> Column:
     return bucket
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for every
+    same-bucket pair with rounded cosine ≥ threshold.
+
+    The sign-bucket self-join is the scale lever: instead of the |N|² cosine
+    matrix, each vector only meets vectors sharing its bucket — the shuffle
+    partitions by bucket id, and the cosine runs row-locally in codegen on
+    the two joined arrays (no explode)."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), dims).alias("bucket")
+    )
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), round_digits))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def lsh_bucketed_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

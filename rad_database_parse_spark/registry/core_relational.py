@@ -468,3 +468,117 @@ def pivot_qty_by_status(spark: SparkSession, sf_dir: str):
         dbl(F.col("O")).alias("qty_open"),
         dbl(F.col("F")).alias("qty_final"),
     )
+
+
+# ----------------------------------------------------- Q4-style (EXISTS)
+@register(
+    "q4_priority_with_late_item",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_with_late_item(spark: SparkSession, sf_dir: str):
+    """EXISTS-with-correlated-predicate → left-semi join (what Catalyst's
+    RewritePredicateSubquery produces) — the decorrelated form of the
+    reference's per-row existence probes (database.py:43-61) at TPC-H shape."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add("o_orderdate", 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# -------------------------------------------- Q7-style (two-dim volume)
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(SUM({DISC_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str):
+    """Fact-fact join chain with two broadcast dims; the nation pair filter
+    lands on both dim sides BEFORE the join (pushdown), so the big join
+    carries only the two nations' rows."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dbl(F.sum(disc_price())).alias("revenue"))
+    )
+
+
+# ------------------------------------- Q17-style (correlated scalar agg)
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / COUNT(*)) AS qty_cut
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem JOIN pavg USING (l_partkey)
+    WHERE CAST(l_quantity AS DECIMAL(12,2)) < qty_cut
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str):
+    """Correlated scalar subquery decorrelated into an aggregate + self-join
+    (Catalyst's own rewrite); the per-part average is exact-decimal so the
+    0.2× cut is bit-identical across engines."""
+    l = t(spark, sf_dir, "lineitem")
+    pavg = l.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (dbl(F.sum(dec("l_quantity"))) / F.count("*"))).alias("qty_cut")
+    )
+    return (
+        l.join(pavg, "l_partkey")
+        .filter(dec("l_quantity") < F.col("qty_cut"))
+        .agg((dbl(F.sum(dec("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly"))
+    )

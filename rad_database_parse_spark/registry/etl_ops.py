@@ -415,3 +415,82 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str):
     return merged.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"), dbl(F.sum(dec("c_acctbal"))).alias("balance")
     )
+
+
+# ------------------------------------------ A4 nearest-text title join
+# Synthetic page geometry derived deterministically from documents: every
+# quantity is integer arithmetic, so the Euclidean distance is the same
+# double in both engines (IEEE sqrt is correctly rounded).
+_GEOM_SQL = """
+    tables AS (
+      SELECT doc_id AS table_id, doc_id % 10 AS page,
+             (doc_id * 37) % 500 AS x, (doc_id * 59) % 700 AS y
+      FROM documents WHERE doc_id % 3 = 0),
+    texts AS (
+      SELECT doc_id AS text_id, (doc_id * 3) % 10 AS page,
+             (doc_id * 17) % 500 AS tx, (doc_id * 23) % 700 AS ty,
+             substr(text, 1, 10 + CAST(doc_id % 60 AS INT)) AS text
+      FROM documents)
+"""
+
+
+@register(
+    "nearest_title_join",
+    f"""
+    WITH {_GEOM_SQL},
+    cand AS (
+      SELECT table_id, text_id, text,
+             round(sqrt((tx - x) * (tx - x) + (ty - y) * (ty - y)), 6) AS dist
+      FROM tables JOIN texts USING (page)
+      WHERE length(text) < 50),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY table_id
+                                   ORDER BY dist, text, text_id) AS rn
+      FROM cand WHERE dist <= 100)
+    SELECT table_id, text AS title, text_id, dist FROM ranked WHERE rn = 1
+    """,
+)
+def nearest_title_join(spark: SparkSession, sf_dir: str):
+    """A4 (tables.py:19-49): per-table nearest qualifying text = top-1-by-
+    distance theta join — page equi-join + window argmin, no Python."""
+    from ..operators.spatial import nearest_text_title_join
+
+    d = t(spark, sf_dir, "documents")
+    tables = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("table_id"),
+        (F.col("doc_id") % 10).alias("page"),
+        ((F.col("doc_id") * 37) % 500).alias("x"),
+        ((F.col("doc_id") * 59) % 700).alias("y"),
+    )
+    texts = d.select(
+        F.col("doc_id").alias("text_id"),
+        ((F.col("doc_id") * 3) % 10).alias("page"),
+        ((F.col("doc_id") * 17) % 500).alias("tx"),
+        ((F.col("doc_id") * 23) % 700).alias("ty"),
+        F.col("text")
+        .substr(F.lit(1), (F.lit(10) + F.col("doc_id") % 60).cast("int"))
+        .alias("text"),
+    )
+    return nearest_text_title_join(tables, texts)
+
+
+# -------------------------------------------- A7/A8 CSV sink + source
+@register(
+    "csv_roundtrip_region",
+    """
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def csv_roundtrip_region(spark: SparkSession, sf_dir: str):
+    """A7/A8 (tables.py:99-115): CSV checkpoint write + reload with explicit
+    schema — proves the csv sink/source round-trips values and types."""
+    import tempfile
+
+    d = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/region"
+    d.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema("r_regionkey INT, r_name STRING")
+        .option("header", True)
+        .csv(path)
+    )

@@ -242,3 +242,38 @@ def dedup_events_by_id(spark: SparkSession, sf_dir: str):
         .dropDuplicates(["event_id"])
         .agg(F.count("*").alias("n_unique"))
     )
+
+
+# --------------------------------- custom stateful op (streaming replay)
+_STATEFUL_SEQ = [0]
+
+
+@register(
+    "stateful_user_totals_stream",
+    """
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def stateful_user_totals_stream(spark: SparkSession, sf_dir: str):
+    """applyInPandasWithState driven by a real 2-microbatch file replay:
+    per-user running totals carried in GroupState across triggers; the last
+    emission per user must equal the batch groupBy (the oracle). Counts
+    only in the checked output — float sums accumulate in replay order and
+    are asserted with tolerance in tests instead."""
+    import tempfile
+
+    from ..streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_user_totals,
+    )
+
+    replay = tempfile.mkdtemp(prefix="events_replay_") + "/events"
+    t(spark, sf_dir, "events").repartition(2).write.mode("overwrite").parquet(replay)
+    _STATEFUL_SEQ[0] += 1
+    name = f"stateful_user_totals_{_STATEFUL_SEQ[0]}"
+    run_stream_to_memory(
+        stateful_user_totals(read_events_stream(spark, replay)), name
+    )
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -352,3 +352,30 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str):
 
     d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
     return decode_media(d, payload_col="payload", id_col="doc_id")
+
+
+# -------------------------------------- embedding-cosine near-dup pairs
+@register(
+    "emb_cosine_neardup",
+    f"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_BUCKET_SQL} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS sim
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.2
+    """,
+)
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str):
+    """Embedding-cosine near-duplicate detection: sign-bucket LSH candidate
+    self-join + row-local cosine verify (the vector analogue of MinHash-LSH
+    dedup — candidates shuffle by bucket, never all-pairs)."""
+    from ..llm.similarity import cosine_neardup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, threshold=0.2, dims=_BUCKET_DIMS)

@@ -77,17 +77,69 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return src.dropDuplicatesWithinWatermark(["event_id"]) if events.isStreaming else src.dropDuplicates(["event_id"])
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value sum) carried across microbatches.
+
+    This is the escape hatch for semantics the built-in stateful operators
+    can't express (SURVEY §7.3); the state is one tiny row per user, Arrow-
+    batched per group. Each trigger emits the user's cumulative totals, so
+    after a full bounded replay the LAST emission per user equals the batch
+    groupBy — which is how the oracle checks it."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str) -> None:
-    """Drive a bounded file-replay stream to completion synchronously."""
+    """Drive a bounded file-replay stream to completion synchronously.
+
+    Sink mode follows the plan: aggregations → complete, mapGroupsWithState-
+    family (update-mode custom state) → update, else append."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "FlatMapGroupsInPandasWithState" in plan:
+        mode = "update"
+    elif "Aggregate" in plan:
+        mode = "complete"
+    else:
+        mode = "append"
     q = (
-        df.writeStream.outputMode("complete" if _has_agg(df) else "append")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
     )
     q.processAllAvailable()
     q.stop()
-
-
-def _has_agg(df: DataFrame) -> bool:
-    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
