@@ -137,3 +137,34 @@ def doc_fingerprint(tokens_with_ids: DataFrame, id_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg((F.sum("term") % F.lit(FINGERPRINT_P)).alias("fingerprint"))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, round_digits: int = 6
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF: tf(d,t)·ln(N/df(t)).
+
+    Three aggregations, each a single shuffle: term counts per (doc, term),
+    document frequency per term, corpus size. The df table is tiny relative
+    to the corpus (vocabulary-sized) → broadcast back onto term counts. The
+    score is rounded before ranking so the ordering (and with it row
+    identity) is stable across engines' libm ln() implementations; ties
+    break lexicographically on the token."""
+    from .dedup import tokenize
+
+    toks = tokenize(df, text_col, id_col).select(id_col, "token")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(id_col).distinct().count()  # scalar, driver-side
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), round_digits),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf", "rk")
+    )

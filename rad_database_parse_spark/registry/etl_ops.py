@@ -494,3 +494,28 @@ def csv_roundtrip_region(spark: SparkSession, sf_dir: str):
         .option("header", True)
         .csv(path)
     )
+
+
+# ----------------------------------------------- JSON sink + source
+@register(
+    "json_roundtrip_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def json_roundtrip_orders(spark: SparkSession, sf_dir: str):
+    """JSON-lines sink + source round-trip with explicit read schema (ints
+    and strings — exact under text serialization)."""
+    import tempfile
+
+    d = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/orders"
+    d.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_orderpriority STRING"
+    ).json(path)

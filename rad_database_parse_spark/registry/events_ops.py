@@ -277,3 +277,80 @@ def stateful_user_totals_stream(spark: SparkSession, sf_dir: str):
     )
     emitted = spark.sql(f"SELECT * FROM {name}")
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+# ----------------------------------------------------- sliding windows
+@register(
+    "sliding_window_counts",
+    """
+    WITH starts AS (
+      SELECT event_id, event_type, value,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS win_start
+      FROM events)
+    SELECT win_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM starts GROUP BY win_start, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str):
+    """1-hour windows sliding every 30 minutes — each event lands in exactly
+    two windows; Spark's window() generates the assignment without a row
+    explosion on the oracle side being semantically different."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dbl(F.sum(dec("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+# ------------------------------------------------------- salted operators
+@register(
+    "salted_user_counts",
+    """
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    """,
+)
+def salted_user_counts(spark: SparkSession, sf_dir: str):
+    """Two-phase salted count (operators/skew.py) — equal to a plain
+    GROUP BY, but the shuffle spreads each hot user over 8 tasks."""
+    from ..operators.skew import salted_groupby_count
+
+    return salted_groupby_count(
+        t(spark, sf_dir, "events"), "user_id", n_salts=8, salt_source="event_id"
+    )
+
+
+@register(
+    "salted_join_user_revenue",
+    """
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 5 AS segment FROM events)
+    SELECT segment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events JOIN dim USING (user_id)
+    GROUP BY segment
+    """,
+)
+def salted_join_user_revenue(spark: SparkSession, sf_dir: str):
+    """Salted equi-join (operators/skew.py): big side salted per-row, dim
+    side replicated ×8 — the hot user's rows spread across tasks; result
+    identical to the plain join."""
+    from ..operators.skew import salted_equi_join
+
+    e = t(spark, sf_dir, "events")
+    dim = e.select("user_id").distinct().withColumn(
+        "segment", F.col("user_id") % 5
+    )
+    joined = salted_equi_join(e, dim, "user_id", n_salts=8, salt_source="event_id")
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        dbl(F.sum(dec("value"))).alias("total_value"),
+    )

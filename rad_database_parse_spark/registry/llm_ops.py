@@ -379,3 +379,52 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str):
 
     e = t(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(e, threshold=0.2, dims=_BUCKET_DIMS)
+
+
+# ----------------------------------------------------- TF-IDF top terms
+@register(
+    "docs_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token != '' GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rk
+      FROM scored)
+    SELECT doc_id, token, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str):
+    from ..llm.text import tfidf_top_terms
+
+    return tfidf_top_terms(t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+# ---------------------------------------- approx sketches (rows-only-ish)
+# HLL sketches are engine-specific — no exact oracle exists by design; the
+# test suite asserts ±5% of the exact count instead, and the oracle checks
+# only the exact companion columns.
+@register(
+    "agg_approx_vs_exact_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_vs_exact_distinct(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact  # approx twin exercised in tests (test_llm/test_operators)
