@@ -27,20 +27,27 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
+    "q7_nation_volume",
+    "q17_small_quantity_revenue",
     # windows / rollup
     "window_topk_per_customer",
     "agg_rollup_region_nation",
-    # events surface: sessionization, as-of join, JSON extraction
+    # events surface: sessionization, sliding windows, as-of join, JSON
     "sessionize_events",
+    "sliding_window_counts",
     "asof_last_view_before_purchase",
     "json_extract_props",
+    "salted_join_user_revenue",
     # ETL operators
     "fuzzy_header_map",
     "dedup_exact_projection",
+    "etl_pipeline_end_to_end",
     # LLM-pipeline ops
     "docs_minhash_lsh",
     "docs_token_stats",
+    "docs_tfidf_top_terms",
     "emb_cosine_topk_exact",
+    "emb_cosine_neardup",
 ]
 
 

@@ -150,8 +150,10 @@ def project_with_lineage(
         if isinstance(source_paper_filename, str)
         else source_paper_filename
     )
-    return df.select(*cols).withColumn("source_paper", paper).withColumn(
-        "source_paper_filename", fname
+    # lineage expressions resolve against the INPUT frame (they may reference
+    # columns the projection drops), so select everything in one pass
+    return df.select(
+        *cols, paper.alias("source_paper"), fname.alias("source_paper_filename")
     )
 
 

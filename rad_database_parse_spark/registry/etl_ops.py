@@ -519,3 +519,113 @@ def json_roundtrip_orders(spark: SparkSession, sf_dir: str):
     return spark.read.schema(
         "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_orderpriority STRING"
     ).json(path)
+
+
+# ----------------------------------- E1 composed pipeline (main.py:83-108)
+# The reference's whole ingest loop as ONE declarative plan: synthesize an
+# extracted cell-grid from `documents`, classify titles (A9), drop low-
+# density rows (A5/A12), normalize strings (A13), project + lineage (A11),
+# and exact-dedup (A14) — per-row Python loops become five Catalyst stages.
+_E1_CELLS_SQL = """
+    grid AS (
+      SELECT doc_id, source,
+             CASE doc_id % 5
+               WHEN 0 THEN 'Principal Investigators'
+               WHEN 1 THEN 'Abbreviations and Acronyms'
+               WHEN 2 THEN 'TID Test Results for ' || source
+               WHEN 3 THEN 'SEE and dose data'
+               ELSE 'Unrelated heading' END AS title,
+             unnest([1, 2, 3]) AS row_idx
+      FROM documents),
+    cells AS (
+      SELECT doc_id, source, title, row_idx,
+             'P-' || CAST(doc_id AS VARCHAR) || '-' ||
+               CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE row_idx END AS VARCHAR)
+               AS part_number,
+             CASE WHEN (doc_id + row_idx) % 4 = 0 THEN NULL
+                  ELSE '  Vendor ' || CAST(doc_id % 13 AS VARCHAR) || '  ' END
+               AS manufacturer,
+             CASE WHEN (doc_id + row_idx) % 3 = 0 THEN NULL
+                  ELSE 'pass <' || CAST((doc_id * row_idx) % 90 AS VARCHAR) END
+               AS results
+      FROM grid)
+"""
+
+
+@register(
+    "etl_pipeline_end_to_end",
+    f"""
+    WITH {_E1_CELLS_SQL},
+    classified AS (
+      SELECT * FROM cells
+      WHERE regexp_matches(lower(title),
+            '\\b(tid|see|dd|ddd|seu|let|ongoing|dose|result|results)\\b')
+        AND NOT regexp_matches(lower(title), '\\b(principal|investigator|investigators)\\b')
+        AND NOT regexp_matches(lower(title), '\\b(abbreviation|abbreviations|acronym|acronyms)\\b')
+    ),
+    dense AS (
+      SELECT * FROM classified
+      WHERE (CAST(part_number IS NOT NULL AS INT) +
+             CAST(manufacturer IS NOT NULL AS INT) +
+             CAST(results IS NOT NULL AS INT)) / 3.0 >= 0.5),
+    projected AS (
+      SELECT lower(trim(regexp_replace(part_number, '\\s+', ' ', 'g'))) AS part_number,
+             lower(trim(regexp_replace(manufacturer, '\\s+', ' ', 'g'))) AS manufacturer,
+             lower(trim(regexp_replace(results, '\\s+', ' ', 'g'))) AS results,
+             title AS source_paper, source AS source_paper_filename
+      FROM dense)
+    SELECT DISTINCT part_number, manufacturer, results,
+                    source_paper, source_paper_filename
+    FROM projected
+    """,
+)
+def etl_pipeline_end_to_end(spark: SparkSession, sf_dir: str):
+    from ..operators.core import (
+        classify_title,
+        normalize_expr,
+        project_with_lineage,
+        row_density,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    title = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Principal Investigators"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("Abbreviations and Acronyms"))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("TID Test Results for "), F.col("source")))
+        .when(F.col("doc_id") % 5 == 3, F.lit("SEE and dose data"))
+        .otherwise(F.lit("Unrelated heading"))
+    )
+    grid = d.select(
+        "doc_id", "source", title.alias("title"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("row_idx"),
+    )
+    dup_row = F.when(F.col("doc_id") % 7 == 0, F.lit(1)).otherwise(F.col("row_idx"))
+    cells = grid.select(
+        "doc_id", "source", "title", "row_idx",
+        F.concat(F.lit("P-"), F.col("doc_id").cast("string"), F.lit("-"),
+                 dup_row.cast("string")).alias("part_number"),
+        F.when((F.col("doc_id") + F.col("row_idx")) % 4 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("  Vendor "), (F.col("doc_id") % 13).cast("string"), F.lit("  "))
+        ).alias("manufacturer"),
+        F.when((F.col("doc_id") + F.col("row_idx")) % 3 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("pass <"), ((F.col("doc_id") * F.col("row_idx")) % 90).cast("string"))
+        ).alias("results"),
+    )
+    classified = cells.withColumn("table_type", classify_title("title")).filter(
+        F.col("table_type") == "rad"
+    )
+    dense = classified.filter(
+        row_density(["part_number", "manufacturer", "results"]) >= 0.5
+    )
+    normalized = dense.select(
+        "title", "source",
+        normalize_expr("part_number").alias("part_number"),
+        normalize_expr("manufacturer").alias("manufacturer"),
+        normalize_expr("results").alias("results"),
+    )
+    projected = project_with_lineage(
+        normalized,
+        {"part_number": "part_number", "manufacturer": "manufacturer", "results": "results"},
+        source_paper=F.col("title"), source_paper_filename=F.col("source"),
+    )
+    return projected.dropDuplicates()
