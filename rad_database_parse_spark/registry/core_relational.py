@@ -582,3 +582,159 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str):
         .filter(dec("l_quantity") < F.col("qty_cut"))
         .agg((dbl(F.sum(dec("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly"))
     )
+
+
+# ------------------------------------- partition pruning (§1.4 mapping)
+@register(
+    "partitioned_scan_prune",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def partitioned_scan_prune(spark: SparkSession, sf_dir: str):
+    """The reference's six per-category tables (database.py:244-278) become
+    ONE table partitioned by the category column; the IN-filter then prunes
+    partitions at planning time (PartitionFilters in the scan) instead of
+    dispatching to separate tables."""
+    import tempfile
+
+    from ..catalog.io import write_partitioned
+
+    path = tempfile.mkdtemp(prefix="part_prune_") + "/orders_by_priority"
+    write_partitioned(
+        t(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"]
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dbl(F.sum(dec("o_totalprice", 14, 2))).alias("total"),
+        )
+    )
+
+
+# ------------------------------------------ bucketed co-located join
+
+
+@register(
+    "bucketed_join_no_shuffle",
+    f"""
+    SELECT o_orderpriority,
+           CAST(SUM({DISC_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str):
+    """Fact-fact join with BOTH sides bucketed on the join key: the join
+    runs with zero Exchange (verified by tests/test_plans) — at 100 TB this
+    is the difference between re-shuffling the fact table per query and
+    reading co-located buckets. Bucket count 8 stands in for the ~2k you'd
+    use on a cluster."""
+    import glob
+    import shutil
+    import uuid
+
+    # sweep bucket tables left by previous processes (uuid names mean the
+    # in-memory catalog of a fresh session doesn't know about their dirs)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    for old in glob.glob(f"{warehouse}/li_bkt_*") + glob.glob(f"{warehouse}/od_bkt_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    tag = uuid.uuid4().hex[:8]
+    li, od = f"li_bkt_{tag}", f"od_bkt_{tag}"
+    for name in (li, od):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(li)
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(od)
+    )
+    return (
+        spark.table(li)
+        # hint("merge"): at test SF the orders side fits the broadcast
+        # threshold and Catalyst would broadcast, hiding the property this
+        # query demonstrates; at production SF sort-merge-on-buckets is the
+        # strategy Catalyst picks anyway.
+        .join(
+            spark.table(od).hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            dbl(F.sum(disc_price())).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ------------------------------------------------------------- unpivot
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(12,2)) AS quantity,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+             CAST(l_tax AS DECIMAL(12,2)) AS tax
+      FROM lineitem WHERE l_orderkey % 50 = 0)
+    UNPIVOT (val FOR measure IN (quantity, price, tax))
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str):
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            dec("l_quantity").alias("quantity"),
+            dec("l_extendedprice").alias("price"),
+            dec("l_tax").alias("tax"),
+        )
+    )
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "price", "tax"],
+        "measure",
+        "val",
+    ).withColumn("val", dbl(F.col("val")))
+
+
+# ----------------------------------------------------------- percentiles
+@register(
+    "agg_percentiles_by_flag",
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DECIMAL(12,2)), 0.5) AS p50_qty,
+           quantile_cont(CAST(l_quantity AS DECIMAL(12,2)), 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str):
+    """Exact percentiles (linear interpolation) — both engines sort exact
+    decimals and interpolate in double, so the result hashes equal."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile(dec("l_quantity"), 0.5).alias("p50_qty"),
+        F.percentile(dec("l_quantity"), 0.9).alias("p90_qty"),
+    )

@@ -45,3 +45,33 @@ def test_projection_prunes_unused_columns(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
     assert reads_only_columns(df, {"l_returnflag", "l_quantity"})
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    from rad_database_parse_spark.registry.core_relational import (
+        bucketed_join_no_shuffle,
+    )
+
+    df = bucketed_join_no_shuffle(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # co-located bucketed join: nothing below the SortMergeJoin may shuffle
+    # (both scans read co-bucketed files; SelectedBucketsCount proves it)
+    assert "SortMergeJoin" in plan
+    join_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_subtree
+    assert "SelectedBucketsCount" in plan
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    import tempfile
+
+    from rad_database_parse_spark.catalog.io import write_partitioned
+
+    path = tempfile.mkdtemp(prefix="prune_test_") + "/orders"
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_partitioned(o, path, partition_by=["o_orderpriority"])
+    df = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).groupBy().count()
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
