@@ -189,58 +189,105 @@ def minhash_lsh_candidates(
         StorageLevel.MEMORY_AND_DISK
     )
     num_bands = num_hashes // band_size
+    band_sig_cols = [
+        F.concat_ws(
+            ",", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        )
+        for b in range(num_bands)
+    ]
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-                ).alias("band_sig"),
-            )
+            F.struct(F.lit(b).alias("band"), band_sig_cols[b].alias("band_sig"))
             for b in range(num_bands)
         ]
     )
-    bands = wide.select(
-        id_col, F.explode(band_structs).alias("bs")
-    ).select(id_col, "bs.band", "bs.band_sig")
+    # each band row also carries the doc's FULL signature vector, so a pair
+    # is emitted only from the first band where it collides — near-identical
+    # docs collide in every band, and without this the bucket join emits
+    # each pair num_bands× and needs a distinct() shuffle over the whole
+    # candidate volume (the dominant shuffle on near-dup-heavy corpora)
+    # ---- collapse identical signatures BEFORE pairing (the scale lever).
+    # Near-dup-heavy corpora put thousands of docs behind ONE 16-hash
+    # signature; pairing at the doc level makes the bucket join enumerate
+    # every ordered doc pair per band (B²·bands ordered matches for a hot
+    # bucket of B docs — compute skew AQE cannot split, because the skew is
+    # in join OUTPUT, not input bytes). Instead: band-join the ~|distinct
+    # signatures| representatives, then expand verified group pairs back to
+    # doc pairs with one hash-probe per OUTPUT row.
+    sig = wide.withColumn(
+        "sig_key", F.xxhash64(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    )
+    members = sig.select(id_col, "sig_key", "tok_set", "sz")
+    reps = sig.groupBy("sig_key").agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)],
+        F.count("*").alias("grp_n"),
+    )
+    bands = reps.select(
+        "sig_key",
+        "grp_n",
+        F.array(*band_sig_cols).alias("sigs"),
+        F.explode(band_structs).alias("bs"),
+    ).select("sig_key", "grp_n", "sigs", "bs.band", "bs.band_sig")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    earlier_collision = F.exists(
+        F.slice(
+            F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
+            F.lit(1),
+            F.col("a.band"),
+        ),
+        lambda x: x,
+    )
+    grp_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.sig_key") < F.col("b.sig_key")),
         )
+        .filter(~earlier_collision)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col("a.sig_key").alias("sig_a"), F.col("b.sig_key").alias("sig_b")
         )
-        .distinct()
+    )
+    # expansion stays NARROW (two ids per row); the fat token arrays are
+    # attached afterwards via per-doc broadcast joins, so the pair stream
+    # never shuffles wide rows
+    ma = members.select(F.col("sig_key").alias("sig_a"), F.col(id_col).alias("da"))
+    mb = members.select(F.col("sig_key").alias("sig_b"), F.col(id_col).alias("db"))
+    cross = grp_pairs.join(ma, "sig_a").join(mb, "sig_b")
+    # same-signature groups collide in every band by construction
+    within = ma.join(
+        mb.withColumnRenamed("sig_b", "sig_a"), "sig_a"
+    ).filter(F.col("da") < F.col("db"))
+    pairs = cross.select("da", "db").unionByName(within.select("da", "db"))
+    sets_a = members.select(
+        F.col(id_col).alias("da"),
+        F.col("tok_set").alias("set_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sets_b = members.select(
+        F.col(id_col).alias("db"),
+        F.col("tok_set").alias("set_b"),
+        F.col("sz").alias("sz_b"),
     )
     # Verify with exact token-set Jaccard computed row-locally:
     # |A∩B| = size(array_intersect) over integer token ids (bijective with
     # tokens, so the ratio is bit-identical to a token-string count).
-    sets = wide.select(id_col, "tok_set", "sz")
-    sa = sets.select(
-        F.col(id_col).alias("id_a"),
-        F.col("tok_set").alias("set_a"),
-        F.col("sz").alias("sz_a"),
-    )
-    sb = sets.select(
-        F.col(id_col).alias("id_b"),
-        F.col("tok_set").alias("set_b"),
-        F.col("sz").alias("sz_b"),
-    )
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(sets_a, "da")
+        .join(sets_b, "db")
         .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "jaccard",
+        )
     )
 
 

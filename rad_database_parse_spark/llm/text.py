@@ -155,10 +155,15 @@ def tfidf_top_terms(
     toks = tokenize(df, text_col, id_col).select(id_col, "token")
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = df.select(id_col).distinct().count()  # scalar, driver-side
-    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
-        "tfidf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), round_digits),
+    # corpus size as a broadcast 1-row frame — stays one job, no driver action
+    n_docs = df.agg(F.count_distinct(id_col).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_digits),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("token").asc()
