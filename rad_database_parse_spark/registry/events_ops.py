@@ -354,3 +354,69 @@ def salted_join_user_revenue(spark: SparkSession, sf_dir: str):
         F.count("*").alias("n_events"),
         dbl(F.sum(dec("value"))).alias("total_value"),
     )
+
+
+# --------------------------------- applyInPandas grouped map (with oracle)
+@register(
+    "pandas_grouped_deviation",
+    """
+    SELECT event_id, event_type,
+           value - (CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY event_type)
+                         AS DOUBLE)
+                    / COUNT(*) OVER (PARTITION BY event_type)) AS dev
+    FROM events
+    """,
+)
+def pandas_grouped_deviation(spark: SparkSession, sf_dir: str):
+    """Arrow-batched grouped-map (applyInPandas) with an EXACT oracle: each
+    event's deviation from its type's mean. The group mean is computed in
+    integer cents inside the UDF (value is 2-decimal-clean), matching the
+    oracle's decimal sum bit-for-bit — demonstrating that even the Python
+    escape hatch can stay hash-comparable when arithmetic is chosen
+    deliberately."""
+    import pandas as pd
+
+    def dev(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        total = float(cents.sum()) / 100.0  # == double(decimal sum)
+        mean = total / len(pdf)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "dev": pdf["value"] - mean,
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(dev, "event_id bigint, event_type string, dev double")
+    )
+
+
+# -------------------------------------------- range-frame window (RANGE)
+@register(
+    "window_range_frame_5min",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+             AS n_last_5min
+    FROM events
+    """,
+)
+def window_range_frame_5min(spark: SparkSession, sf_dir: str):
+    """RANGE frame over event time: events per user in the trailing 5
+    minutes — the frame bound is a VALUE offset (microseconds), not a row
+    count, so ties and gaps behave correctly."""
+    e = t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-300_000_000, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_last_5min")
+    )
