@@ -62,3 +62,34 @@ def expand_abbreviations(
         escaped = "".join("\\" + ch if not ch.isalnum() else ch for ch in abbrev)
         col = F.regexp_replace(col, rf"\b{escaped}\b", expansion)
     return df.withColumn(out_col or text_col, col)
+
+
+def abbreviation_pairs_udtf():
+    """A21 as a real Python UDTF (Spark 3.5+/4.x ``@udtf``): one abbreviation
+    cell row in → N (abbreviation, expansion) rows out, with the same
+    parenthesis-masked record splitting as the reference's state machine
+    (main.py:18-43) but running Arrow-batched on executors.
+
+    The JVM-side ``extract_abbreviation_pairs`` is the hot-path form; this
+    UDTF exists for parity of API surface (per-row Python logic that must
+    fan out) and is registered for SQL use as ``abbrev_pairs(cell)``.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="abbreviation string, expansion string")
+    class AbbrevPairs:
+        def eval(self, cell: str):
+            if not cell:
+                return
+            masked = re.sub(r"\n(?=[^()]*\))", " ", cell)
+            for record in masked.split("\n"):
+                if "=" not in record:
+                    continue
+                abbrev, _, expansion = record.partition("=")
+                abbrev, expansion = abbrev.strip(), expansion.strip()
+                if abbrev and expansion:
+                    yield abbrev, expansion
+
+    return AbbrevPairs

@@ -629,3 +629,45 @@ def etl_pipeline_end_to_end(spark: SparkSession, sf_dir: str):
         source_paper=F.col("title"), source_paper_filename=F.col("source"),
     )
     return projected.dropDuplicates()
+
+
+# ------------------------------- A21 via Python UDTF (same oracle as above)
+@register(
+    "abbrev_extract_udtf",
+    """
+    WITH cells AS (
+      SELECT 'NAT' || CAST(n_nationkey AS VARCHAR) || ' = ' || n_name || chr(10) ||
+             'REG' || CAST(n_regionkey AS VARCHAR) || ' = Region ' ||
+             CAST(n_regionkey AS VARCHAR) || ' (see' || chr(10) || ' note)' AS cell
+      FROM nation),
+    recs AS (
+      SELECT unnest(string_split(regexp_replace(cell, '\\(([^()]*)\\n([^()]*)\\)', '(\\1 \\2)', 'g'),
+                    chr(10))) AS record
+      FROM cells)
+    SELECT DISTINCT trim(split_part(record, '=', 1)) AS abbreviation,
+           trim(substr(record, instr(record, '=') + 1)) AS expansion
+    FROM recs
+    WHERE contains(record, '=')
+      AND trim(split_part(record, '=', 1)) != ''
+      AND trim(substr(record, instr(record, '=') + 1)) != ''
+    """,
+)
+def abbrev_extract_udtf(spark: SparkSession, sf_dir: str):
+    """Same extraction as ``abbrev_extract`` but through a registered Python
+    UDTF (lateral join in SQL) — covers the 1-row→N-rows Python fan-out
+    surface (SURVEY A21: "exactly the UDTF pattern")."""
+    from ..operators.abbrev import abbreviation_pairs_udtf
+
+    spark.udtf.register("abbrev_pairs", abbreviation_pairs_udtf())
+    n = t(spark, sf_dir, "nation")
+    cell = F.concat(
+        F.lit("NAT"), F.col("n_nationkey").cast("string"), F.lit(" = "), F.col("n_name"),
+        F.lit("\n"),
+        F.lit("REG"), F.col("n_regionkey").cast("string"), F.lit(" = Region "),
+        F.col("n_regionkey").cast("string"), F.lit(" (see\n note)"),
+    )
+    n.select(cell.alias("cell")).createOrReplaceTempView("abbrev_cells_udtf")
+    return spark.sql(
+        "SELECT DISTINCT p.abbreviation, p.expansion "
+        "FROM abbrev_cells_udtf, LATERAL abbrev_pairs(cell) p"
+    )

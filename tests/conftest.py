@@ -20,3 +20,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_session_holder():
+    """Alias fixture for hypothesis-driven tests (hypothesis forbids function-
+    scoped fixtures under @given; session scope is fine)."""
+    return get_session(app_name="rad_database_parse_spark_tests")

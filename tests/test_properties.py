@@ -1,0 +1,96 @@
+"""Property tests (SURVEY §5.2): operator invariants under generated input.
+
+Pure-Python operators (header resolution, partial ratio) get full hypothesis
+fuzzing; Spark-backed invariants run a bounded number of examples since each
+example is a distributed job.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from rad_database_parse_spark.operators.header_map import (
+    _levenshtein,
+    _partial_ratio,
+    resolve_header_mapping,
+)
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(words, words)
+def test_partial_ratio_bounds(a, b):
+    r = _partial_ratio(a, b)
+    assert 0 <= r <= 100
+
+
+@given(words.filter(lambda s: len(s) > 0), words)
+def test_partial_ratio_substring_is_100(a, pad):
+    assert _partial_ratio(a, pad + a + pad) == 100
+
+
+@given(words, words)
+def test_levenshtein_symmetry_and_triangle_zero(a, b):
+    assert _levenshtein(a, b) == _levenshtein(b, a)
+    assert _levenshtein(a, a) == 0
+    assert _levenshtein(a, b) <= max(len(a), len(b))
+
+
+@given(st.lists(words, min_size=1, max_size=12), st.integers(0, 100))
+def test_header_mapping_threshold_monotone(headers, thr):
+    """Raising the threshold can only SHRINK the accepted mapping, and every
+    accepted column keeps its argmax source index (A10 invariant)."""
+    lo = resolve_header_mapping(headers, threshold=thr)
+    hi = resolve_header_mapping(headers, threshold=min(thr + 20, 101))
+    assert set(hi) <= set(lo)
+    for canon, idx in hi.items():
+        assert lo[canon] == idx
+
+
+# ---------------------------------------------------------- Spark-backed
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab \n\t", min_size=0, max_size=30), min_size=1, max_size=20
+    )
+)
+def test_exact_dedup_idempotent(spark_session_holder, texts):
+    """f(f(x)) == f(x) for exact hash dedup (A14 invariant)."""
+    from rad_database_parse_spark.llm.dedup import exact_dedup_by_hash
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    once = exact_dedup_by_hash(df, "text", "doc_id").select("doc_id", "text")
+    twice = exact_dedup_by_hash(once, "text", "doc_id").select("doc_id", "text")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    # dedup keys: normalized text is unique after dedup
+    norms = [" ".join(t.split()).strip().lower() for _, t in a]
+    assert len(norms) == len(set(norms))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=30))
+def test_normalize_expr_idempotent(spark_session_holder, vals):
+    """normalize(normalize(s)) == normalize(s) (A13 invariant) over noisy
+    numeric strings with injected whitespace."""
+    from pyspark.sql import functions as F
+
+    from rad_database_parse_spark.operators.core import normalize_expr
+
+    spark = spark_session_holder
+    noisy = [f"  {v}   X\n\t{v} " for v in vals]
+    df = spark.createDataFrame([(s,) for s in noisy], ["s"])
+    out = df.select(
+        normalize_expr("s").alias("n1"),
+        normalize_expr(normalize_expr("s")).alias("n2"),
+    )
+    for r in out.collect():
+        assert r.n1 == r.n2

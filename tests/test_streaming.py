@@ -93,3 +93,46 @@ def test_streaming_dedup_drops_replayed_duplicates(spark, sf_dir, tmp_path_facto
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n == n_unique
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path_factory):
+    """Late-data semantics: with a 2h watermark in append mode, an event
+    arriving after its window's watermark horizon is dropped; a late-but-
+    within-horizon event still lands."""
+    import datetime as dt
+
+    out = str(tmp_path_factory.mktemp("events_late"))
+    day = dt.datetime(2024, 1, 1)
+
+    def ev(eid, h, m=0):
+        return (eid, day + dt.timedelta(hours=h, minutes=m), 1, "view", 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # batch 1 advances the watermark to 13:00 - 2h = 11:00
+    spark.createDataFrame([ev(1, 10), ev(2, 10, 30), ev(3, 13)], cols).coalesce(
+        1
+    ).write.mode("overwrite").parquet(out)
+
+    stream = tumbling_counts(read_events_stream(spark, out), watermark="2 hours")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()  # batch 1 processed; watermark now 11:00
+    # batch 2 lands AFTER the watermark advanced: 08:30 is below 11:00
+    # (window 08-09 finalized) → dropped; 12:30 is within horizon → kept
+    spark.createDataFrame([ev(4, 8, 30), ev(5, 12, 30)], cols).coalesce(
+        1
+    ).write.mode("append").parquet(out)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.win_start.hour: r.n
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # 08:00 window: either never emitted or emitted WITHOUT the late event
+    assert got.get(8, 0) == 0
+    # 10:00 window finalized with both on-time events
+    assert got[10] == 2
