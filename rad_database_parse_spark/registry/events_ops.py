@@ -420,3 +420,27 @@ def window_range_frame_5min(spark: SparkSession, sf_dir: str):
     return e.select(
         "event_id", "user_id", F.count("*").over(w).alias("n_last_5min")
     )
+
+
+# ---------------------------------------------- interval (range) join
+@register(
+    "interval_join_view_purchase",
+    """
+    SELECT p.user_id AS p_user, p.event_id AS purchase_id,
+           v.event_id AS view_id, v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def interval_join_view_purchase(spark: SparkSession, sf_dir: str):
+    """Batch form of the stream-stream interval join (streaming twin +
+    batch-equivalence in streaming/events.py / tests/test_streaming.py)."""
+    from ..streaming.events import view_purchase_interval_join
+
+    e = t(spark, sf_dir, "events")
+    return view_purchase_interval_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

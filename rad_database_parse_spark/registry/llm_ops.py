@@ -428,3 +428,76 @@ def agg_approx_vs_exact_distinct(spark: SparkSession, sf_dir: str):
         F.count_distinct("user_id").alias("exact_users")
     )
     return exact  # approx twin exercised in tests (test_llm/test_operators)
+
+
+# ------------------------------------------- array / higher-order funcs
+@register(
+    "docs_array_token_ops",
+    """
+    WITH arr AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t != ''))) AS toks
+      FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_distinct,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           array_to_string(toks[1:3], ',') AS first3
+    FROM arr
+    """,
+)
+def docs_array_token_ops(spark: SparkSession, sf_dir: str):
+    """Array-function family over tokenized text: filter → distinct → sort →
+    element access → slice → join, all JVM-side higher-order functions."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+    )
+    arr = d.select("doc_id", toks.alias("toks"))
+    return arr.select(
+        "doc_id",
+        F.size("toks").alias("n_distinct"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", F.size("toks")).alias("last_tok"),
+        F.array_join(F.slice("toks", 1, 3), ",").alias("first3"),
+    )
+
+
+# ------------------------------------------ vector normalize (transform)
+@register(
+    "emb_normalize_vectors",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm, v FROM n)
+    SELECT vec_id,
+           round(nrm, 6) AS norm,
+           round(v[1] / nrm, 6) AS u0,
+           round(v[2] / nrm, 6) AS u1,
+           round(v[64] / nrm, 6) AS u63
+    FROM m
+    """,
+)
+def emb_normalize_vectors(spark: SparkSession, sf_dir: str):
+    """L2-normalize embeddings with transform/aggregate (no UDF); projected
+    to spot dimensions + rounded so the hash-compare is float-stable."""
+    from ..llm.similarity import _norm
+
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    m = e.select("vec_id", v.alias("v")).withColumn("nrm", _norm(F.col("v")))
+    return m.select(
+        "vec_id",
+        F.round("nrm", 6).alias("norm"),
+        F.round(F.element_at("v", 1) / F.col("nrm"), 6).alias("u0"),
+        F.round(F.element_at("v", 2) / F.col("nrm"), 6).alias("u1"),
+        F.round(F.element_at("v", 64) / F.col("nrm"), 6).alias("u63"),
+    )

@@ -77,6 +77,35 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return src.dropDuplicatesWithinWatermark(["event_id"]) if events.isStreaming else src.dropDuplicates(["event_id"])
 
 
+def view_purchase_interval_join(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    views in the preceding `horizon`. Both sides carry watermarks so the
+    join state is bounded — Spark evicts view rows older than the horizon
+    plus watermark delay. Works identically in batch (no watermark needed),
+    which the batch-equivalence test exploits."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", "2 hours")
+        p = p.withWatermark("purchase_ts", "2 hours")
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts")
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value sum) carried across microbatches.

@@ -136,3 +136,48 @@ def test_watermark_drops_too_late_events(spark, tmp_path_factory):
     assert got.get(8, 0) == 0
     # 10:00 window finalized with both on-time events
     assert got[10] == 2
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Stream-stream interval join (views ⋈ purchases within 1h per user)
+    produces the same pairs as the batch interval join."""
+    from pyspark.sql import functions as F
+
+    from rad_database_parse_spark.streaming.events import (
+        view_purchase_interval_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    views_b = e.filter(F.col("event_type") == "view")
+    purch_b = e.filter(F.col("event_type") == "purchase")
+    want = sorted(
+        map(
+            tuple,
+            view_purchase_interval_join(views_b, purch_b)
+            .select("purchase_id", "view_id")
+            .collect(),
+        )
+    )
+
+    out = str(tmp_path_factory.mktemp("events_ss"))
+    e.repartition(2).write.mode("overwrite").parquet(out)
+    s = read_events_stream(spark, out)
+    stream = view_purchase_interval_join(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        map(
+            tuple,
+            spark.sql("SELECT purchase_id, view_id FROM ss_join_out").collect(),
+        )
+    )
+    assert got == want and len(want) > 0
