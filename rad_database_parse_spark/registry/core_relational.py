@@ -738,3 +738,61 @@ def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str):
         F.percentile(dec("l_quantity"), 0.5).alias("p50_qty"),
         F.percentile(dec("l_quantity"), 0.9).alias("p90_qty"),
     )
+
+
+# -------------------------------------------------- multiset set ops
+@register(
+    "set_exceptall_lineitems",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_exceptall_lineitems(spark: SparkSession, sf_dir: str):
+    """EXCEPT ALL — bag difference with multiplicity (each occurrence in the
+    right side cancels one on the left), vs set_except's DISTINCT form."""
+    l = t(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    b = l.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersectall_lineitems",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_intersectall_lineitems(spark: SparkSession, sf_dir: str):
+    l = t(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    b = l.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.intersectAll(b)
+
+
+# ---------------------------------------------------- map-type functions
+@register(
+    "map_type_entries",
+    """
+    SELECT o_orderkey, 'priority' AS key, o_orderpriority AS value
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, 'status' AS key, o_orderstatus AS value
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def map_type_entries(spark: SparkSession, sf_dir: str):
+    """MapType construction + element access + entry explosion — the map
+    function family (create_map / element_at / explode over entries)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    m = o.select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("priority"), F.col("o_orderpriority"),
+            F.lit("status"), F.col("o_orderstatus"),
+        ).alias("props"),
+    )
+    return m.select("o_orderkey", F.explode("props").alias("key", "value"))

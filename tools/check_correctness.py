@@ -41,7 +41,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else v)
+            def _cell(v):
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    return None
+                if isinstance(v, (list, np.ndarray)):  # make sortable/hashable
+                    return tuple(v)
+                return v
+
+            df[c] = df[c].map(_cell)
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
 
 
