@@ -796,3 +796,36 @@ def map_type_entries(spark: SparkSession, sf_dir: str):
         ).alias("props"),
     )
     return m.select("o_orderkey", F.explode("props").alias("key", "value"))
+
+
+# --------------------------------------------------- string function suite
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+           reverse(p_name) AS name_rev,
+           substr(p_name, 3, 8) AS name_mid,
+           replace(p_type, ' ', '_') AS type_us,
+           split_part(p_type, ' ', 1) AS type_head,
+           length(p_name) AS name_len,
+           strpos(p_type, 'D') AS d_pos,
+           upper(p_brand) || '-' || lower(p_type) AS combo
+    FROM part WHERE p_partkey % 25 = 0
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str):
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 25 == 0)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_tr"),
+        F.reverse("p_name").alias("name_rev"),
+        F.substring("p_name", 3, 8).alias("name_mid"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.length("p_name").alias("name_len"),
+        F.instr(F.col("p_type"), "D").alias("d_pos"),
+        F.concat(F.upper("p_brand"), F.lit("-"), F.lower("p_type")).alias("combo"),
+    )

@@ -444,3 +444,39 @@ def interval_join_view_purchase(spark: SparkSession, sf_dir: str):
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+# ------------------------------------------------- datetime function suite
+@register(
+    "datetime_functions",
+    """
+    SELECT event_id,
+           year(ts) AS y, quarter(ts) AS q, month(ts) AS mo, day(ts) AS d,
+           dayofweek(ts) + 1 AS dow, hour(ts) AS h, minute(ts) AS mi,
+           weekofyear(ts) AS woy,
+           CAST(last_day(ts) AS TIMESTAMP) AS month_end,
+           CAST(CAST(ts + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS plus30,
+           datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS days_since
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str):
+    """Date/time function family. Cross-engine quirk handled: Spark's
+    dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6 (+1 in the oracle)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.weekofyear("ts").alias("woy"),
+        F.last_day("ts").cast("timestamp").alias("month_end"),
+        F.date_add(F.to_date("ts"), 30).cast("timestamp").alias("plus30"),
+        F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
