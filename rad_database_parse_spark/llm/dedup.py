@@ -44,16 +44,24 @@ def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def token_ids(tokens: DataFrame) -> DataFrame:
-    """Attach a deterministic dense token id (dictionary by token order).
+    """Attach a deterministic, engine-portable token id: the first 48 bits
+    of md5(token) reduced mod 2³¹−1.
 
-    dense_rank over an unpartitioned window is a deliberate driver of a
-    single-partition sort at test scale; production path: build the
-    dictionary once with a distinct + zipWithIndex-free join and persist."""
-    dict_df = (
-        tokens.select("token").distinct()
-        .withColumn("token_id", F.dense_rank().over(Window.orderBy("token")))
+    No dictionary: the previous dense_rank dictionary needed a GLOBAL sort
+    of the vocabulary plus a broadcast join back — the one step that could
+    not scale past a driver-sized vocabulary. A content hash is a pure
+    per-row expression (one scan, zero shuffles) and both engines compute
+    it identically (DuckDB: ``CAST('0x' || substr(md5(token),1,12) AS
+    BIGINT) % 2147483647``). The mod keeps ids < 2³¹ so downstream
+    universal-hash products (a·id + b, a ≤ ~2·10⁶) stay far below 2⁶³ in
+    both engines' BIGINT arithmetic. Id collisions are ~V²/2³² over a
+    V-token vocabulary — they only (marginally) loosen minhash estimates,
+    identically in both engines."""
+    return tokens.withColumn(
+        "token_id",
+        F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long")
+        % F.lit(MERSENNE_P),
     )
-    return tokens.join(F.broadcast(dict_df), "token")
 
 
 def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -116,15 +124,18 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_aggs(num_hashes: int) -> list:
-    """One MIN aggregate per hash function — k columns instead of a k×
-    row blowup; partial (map-side) aggregation collapses each partition to
-    one row per doc before the shuffle."""
+def _hash_value_cols(num_hashes: int) -> list:
+    """h_i(token_id) as PROJECTION columns. Hoisting matters: aggregate
+    expressions don't get common-subexpression elimination, so min((a_i·
+    md5id+b_i)%p) inlines the md5 derivation into every one of the k
+    aggregates (k× the hashing cost, measured 3× slower end-to-end);
+    ProjectExec DOES eliminate the shared md5, so computing h_i as columns
+    evaluates it once per row and the aggregate sees plain longs."""
     return [
-        F.min(
+        (
             (F.lit(HASH_AS[i]).cast("long") * F.col("token_id") + F.lit(HASH_BS[i]))
             % F.lit(MERSENNE_P)
-        ).alias(f"mh_{i}")
+        ).alias(f"hv_{i}")
         for i in range(num_hashes)
     ]
 
@@ -134,11 +145,18 @@ def minhash_signatures_wide(
 ) -> DataFrame:
     """(id, tok_set, sz, mh_0..mh_{k-1}) — full signature + distinct token-id
     set + set size in ONE shuffle. MIN is duplicate-insensitive, so tokens
-    need no pre-distinct; set and size ride along in the same aggregation."""
-    toks = token_ids(tokenize(df, text_col, id_col)).select(id_col, "token_id")
+    need no pre-distinct; set and size ride along in the same aggregation.
+    Map-side partial aggregation collapses each partition to one row per doc
+    before the shuffle."""
+    toks = token_ids(tokenize(df, text_col, id_col)).select(
+        id_col, "token_id", *_hash_value_cols(num_hashes)
+    )
     return (
         toks.groupBy(id_col)
-        .agg(F.collect_set("token_id").alias("tok_set"), *_minhash_aggs(num_hashes))
+        .agg(
+            F.collect_set("token_id").alias("tok_set"),
+            *[F.min(f"hv_{i}").alias(f"mh_{i}") for i in range(num_hashes)],
+        )
         .withColumn("sz", F.size("tok_set"))
     )
 
@@ -188,6 +206,11 @@ def minhash_lsh_candidates(
     wide = minhash_signatures_wide(df, text_col, id_col, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Materialize the cache NOW: the plan below references wide from ~6
+    # broadcast subtrees, and broadcast exchanges build EAGERLY in parallel
+    # at query start — before a lazily-populated cache exists, each one
+    # would recompute the whole tokenize→hash→aggregate pipeline.
+    wide.count()
     num_bands = num_hashes // band_size
     band_sig_cols = [
         F.concat_ws(
@@ -222,12 +245,21 @@ def minhash_lsh_candidates(
         *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)],
         F.count("*").alias("grp_n"),
     )
-    bands = reps.select(
-        "sig_key",
-        "grp_n",
-        F.array(*band_sig_cols).alias("sigs"),
-        F.explode(band_structs).alias("bs"),
-    ).select("sig_key", "grp_n", "sigs", "bs.band", "bs.band_sig")
+    # persisted + eagerly materialized: the self-join references bands twice
+    # (each reference would re-run the reps aggregation and pay another AQE
+    # stage barrier), and it is signature-count-sized — tiny relative to the
+    # corpus at any scale
+    bands = (
+        reps.select(
+            "sig_key",
+            "grp_n",
+            F.array(*band_sig_cols).alias("sigs"),
+            F.explode(band_structs).alias("bs"),
+        )
+        .select("sig_key", "grp_n", "sigs", "bs.band", "bs.band_sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands.count()
     a = bands.alias("a")
     b = bands.alias("b")
     earlier_collision = F.exists(
@@ -298,11 +330,20 @@ def simhash_signatures(
     (±1 by bit j of the token's arithmetic hash). One aggregate expression
     per bit in a single groupBy — no ×bits row blowup, and map-side partial
     aggregation collapses each partition to one row per doc."""
-    toks = token_ids(tokenize(df, text_col, id_col)).select(id_col, "token_id")
-    hv = (F.lit(HASH_AS[0]) * F.col("token_id") + F.lit(HASH_BS[0])) % F.lit(MERSENNE_P)
+    # hv hoisted into a projection so the md5-derived token_id is computed
+    # once per row, not once per bit aggregate (see _hash_value_cols note)
+    toks = token_ids(tokenize(df, text_col, id_col)).select(
+        id_col,
+        (
+            (F.lit(HASH_AS[0]) * F.col("token_id") + F.lit(HASH_BS[0]))
+            % F.lit(MERSENNE_P)
+        ).alias("hv"),
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(hv, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"s_{j}")
         for j in range(bits)
     ]

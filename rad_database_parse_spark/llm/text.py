@@ -117,22 +117,27 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-# 31^(pos mod 8) weights for the positional fingerprint. The modulus is
-# 2^31-1 so term values stay small enough that a 100k-token document's
-# term-sum cannot overflow int64 (max ~2^31 · 10^5 « 2^63).
+# 31^(pos mod 8) weights for the positional fingerprint. token ids are first
+# reduced mod a 2^20 prime so id·31^7 (≤ 2^20·2.8e10 ≈ 2.9e16) and the
+# per-document term sum stay far below 2^63 in BOTH engines' BIGINT
+# arithmetic (DuckDB errors on overflow rather than wrapping).
 _POW31 = [31**i for i in range(8)]
 FINGERPRINT_P = (1 << 31) - 1
+FINGERPRINT_ID_P = 1048573  # prime < 2^20
 
 
 def doc_fingerprint(tokens_with_ids: DataFrame, id_col: str) -> DataFrame:
-    """Order-sensitive document fingerprint: Σ token_id·31^(pos mod 8) mod p.
+    """Order-sensitive document fingerprint:
+    Σ (token_id mod p₂₀)·31^(pos mod 8) mod p₃₁.
     Input needs (id, pos, token_id) — see llm.dedup.token_ids."""
     weight = F.element_at(
         F.array(*[F.lit(w) for w in _POW31]), (F.col("pos") % 8 + 1).cast("int")
     )
     return (
         tokens_with_ids.withColumn(
-            "term", (F.col("token_id") * weight) % F.lit(FINGERPRINT_P)
+            "term",
+            ((F.col("token_id") % F.lit(FINGERPRINT_ID_P)) * weight)
+            % F.lit(FINGERPRINT_P),
         )
         .groupBy(id_col)
         .agg((F.sum("term") % F.lit(FINGERPRINT_P)).alias("fingerprint"))

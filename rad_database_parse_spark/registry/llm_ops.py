@@ -2,7 +2,7 @@
 similarity search, text analysis, multimodal plumbing — all oracle-checked.
 
 The SQL oracles reproduce the exact same deterministic constructions
-(dictionary token ids, arithmetic universal hashes, rounded cosines) so the
+(md5-derived token ids, arithmetic universal hashes, rounded cosines) so the
 hash-compare is meaningful rather than vacuous.
 """
 
@@ -36,17 +36,19 @@ from ._util import t
 
 # Shared oracle CTEs: tokenization identical to llm.dedup.tokenize (posexplode
 # of a whitespace split, empty tokens dropped, positions preserved) and the
-# dense-rank token dictionary.
+# md5-derived portable token id (llm.dedup.token_ids — 48 bits mod 2³¹−1).
 _TOKS_SQL = """
     toks_raw AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token,
              unnest(range(len(regexp_split_to_array(trim(lower(text)), '\\s+')))) AS pos
       FROM documents),
-    toks AS (SELECT * FROM toks_raw WHERE token != ''),
-    dict AS (
-      SELECT token, dense_rank() OVER (ORDER BY token) AS token_id
-      FROM (SELECT DISTINCT token FROM toks))
+    toks0 AS (SELECT * FROM toks_raw WHERE token != ''),
+    toks AS (
+      SELECT doc_id, token, pos,
+             CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) % 2147483647
+               AS token_id
+      FROM toks0)
 """
 
 
@@ -106,7 +108,7 @@ _HASHES_SQL = ", ".join(
     WITH {_TOKS_SQL},
     hashes(hash_idx, a, b) AS (VALUES {_HASHES_SQL}),
     doc_tokens AS (
-      SELECT DISTINCT doc_id, token_id FROM toks JOIN dict USING (token)),
+      SELECT DISTINCT doc_id, token_id FROM toks),
     mh AS (
       SELECT doc_id, hash_idx,
              MIN((CAST(a AS BIGINT) * token_id + b) % {MERSENNE_P}) AS minhash
@@ -146,7 +148,7 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str):
     "docs_simhash",
     f"""
     WITH {_TOKS_SQL},
-    doc_tokens AS (SELECT doc_id, token_id FROM toks JOIN dict USING (token)),
+    doc_tokens AS (SELECT doc_id, token_id FROM toks),
     contrib AS (
       SELECT doc_id, bit,
              SUM(CASE WHEN ((CAST({HASH_AS[0]} AS BIGINT) * token_id + {HASH_BS[0]})
@@ -317,8 +319,8 @@ _POW31_SQL = "[" + ", ".join(str(31**i) for i in range(8)) + "]"
     WITH {_TOKS_SQL},
     terms AS (
       SELECT doc_id,
-             (token_id * ({_POW31_SQL})[CAST(pos % 8 AS INT) + 1]) % 2147483647 AS term
-      FROM toks JOIN dict USING (token))
+             ((token_id % 1048573) * ({_POW31_SQL})[CAST(pos % 8 AS INT) + 1]) % 2147483647 AS term
+      FROM toks)
     SELECT doc_id, SUM(term) % 2147483647 AS fingerprint
     FROM terms GROUP BY doc_id
     """,
