@@ -829,3 +829,83 @@ def string_functions(spark: SparkSession, sf_dir: str):
         F.instr(F.col("p_type"), "D").alias("d_pos"),
         F.concat(F.upper("p_brand"), F.lit("-"), F.lower("p_type")).alias("combo"),
     )
+
+
+# ---------------------------------------- Q10-style returned-item report
+@register(
+    "q10_returned_item_revenue",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({DISC_SQL}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dbl(F.sum(disc_price())).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# -------------------------------- Q19-style disjunctive predicate pushdown
+@register(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT CAST(SUM({DISC_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND CAST(l_quantity AS DECIMAL(12,2)) >= 1
+           AND CAST(l_quantity AS DECIMAL(12,2)) <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND CAST(l_quantity AS DECIMAL(12,2)) >= 5
+           AND CAST(l_quantity AS DECIMAL(12,2)) <= 40)
+       OR (p_type LIKE '%ECO%' AND p_size > 20)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str):
+    """Disjunction of conjunctive branches across both join sides — Catalyst
+    pushes the per-table residuals of the OR below the join where legal."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    qty = dec("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (qty >= 1)
+            & (qty <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (qty >= 5)
+            & (qty <= 40)
+        )
+        | (F.col("p_type").like("%ECO%") & (F.col("p_size") > 20))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dbl(F.sum(disc_price())).alias("revenue"), F.count("*").alias("n"))
+    )
