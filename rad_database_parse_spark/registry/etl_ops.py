@@ -671,3 +671,46 @@ def abbrev_extract_udtf(spark: SparkSession, sf_dir: str):
         "SELECT DISTINCT p.abbreviation, p.expansion "
         "FROM abbrev_cells_udtf, LATERAL abbrev_pairs(cell) p"
     )
+
+
+# ----------------------------- A1/A2 via Spark 4 Python DataSource
+@register(
+    "pdf_datasource_stub_grid",
+    """
+    WITH ids AS (SELECT unnest(range(20)) AS i),
+    r AS (SELECT unnest(range(2)) AS row_idx),
+    c AS (SELECT unnest(range(2)) AS col_idx),
+    named AS (SELECT 'doc_' || CAST(i AS VARCHAR) || '.pdf' AS doc_filename FROM ids)
+    SELECT doc_filename,
+           doc_filename || ':title' AS doc_title,
+           1 AS page, 0 AS table_idx, 'Stub Table' AS table_title,
+           CAST(row_idx AS INT) AS row_idx, CAST(col_idx AS INT) AS col_idx,
+           doc_filename || ':' || CAST(row_idx AS VARCHAR) || ':'
+             || CAST(col_idx AS VARCHAR) AS value
+    FROM named CROSS JOIN r CROSS JOIN c
+    """,
+)
+def pdf_datasource_stub_grid(spark: SparkSession, sf_dir: str):
+    """The PDF corpus surface (A1 directory scan + A2 per-file extraction)
+    through the Spark 4 Python DataSource: one InputPartition per file, the
+    deterministic stub grid standing in for the absent camelot toolchain.
+    The oracle reproduces the stub construction, so the partition planning
+    + per-file reader path is what the hash-compare exercises."""
+    import os
+    import tempfile
+
+    from ..sources.pdf_datasource import register_pdf_datasource
+
+    d = tempfile.mkdtemp(prefix="pdf_ds_") + "/docs"
+    os.makedirs(d, exist_ok=True)
+    for i in range(20):
+        with open(f"{d}/doc_{i}.pdf", "wb") as fh:
+            fh.write(b"%PDF-1.4 synthetic")
+    register_pdf_datasource(spark)
+    return (
+        spark.read.format("pdf")
+        .option("stub", "true")
+        .load(d)
+        .withColumn("page", F.col("page").cast("long"))
+        .withColumn("table_idx", F.col("table_idx").cast("long"))
+    )

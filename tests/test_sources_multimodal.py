@@ -58,3 +58,32 @@ def test_multimodal_payload_and_fake_decode(spark, sf_dir):
     # determinism: same payload → same pseudo-metadata
     again = {row.doc_id: row.width for row in feats.collect()}
     assert {row.doc_id: row.width for row in rows} == again
+
+
+def test_pdf_python_datasource_stub_grid(spark, tmp_path):
+    """spark.read.format('pdf') through the Spark 4 Python DataSource: one
+    partition per file, deterministic stub grid when the extraction
+    toolchain is absent."""
+    from rad_database_parse_spark.sources.pdf_datasource import (
+        register_pdf_datasource,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for name in ("a.pdf", "b.pdf"):
+        (d / name).write_bytes(b"%PDF-1.4 fake")
+    (d / "ignore.txt").write_text("not a pdf")
+
+    register_pdf_datasource(spark)
+    cells = (
+        spark.read.format("pdf").option("stub", "true").load(str(d))
+    )
+    rows = cells.collect()
+    assert len(rows) == 8  # 2 files x 2x2 grid
+    assert {r.doc_filename for r in rows} == {"a.pdf", "b.pdf"}
+    assert {r.value for r in rows if r.doc_filename == "a.pdf"} == {
+        "a.pdf:0:0", "a.pdf:0:1", "a.pdf:1:0", "a.pdf:1:1"
+    }
+    # graceful degrade: no stub, no toolchain -> zero rows, same schema
+    empty = spark.read.format("pdf").load(str(d))
+    assert empty.count() == 0 and empty.columns == cells.columns
