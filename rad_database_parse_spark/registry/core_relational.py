@@ -909,3 +909,39 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str):
         .filter(cond)
         .agg(dbl(F.sum(disc_price())).alias("revenue"), F.count("*").alias("n"))
     )
+
+
+# ------------------------------------- Q22-style NOT EXISTS (anti join)
+@register(
+    "q22_idle_customers",
+    """
+    SELECT substr(c_name, 18, 1) AS name_digit,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > 0
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY name_digit
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str):
+    """NOT EXISTS → left-anti join: positive-balance customers with no
+    urgent order (the reference's idempotent source-skip A16 at TPC-H
+    shape)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    idle = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.withColumn("name_digit", F.substring("c_name", 18, 1))
+        .groupBy("name_digit")
+        .agg(
+            F.count("*").alias("n_custs"),
+            dbl(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+    )

@@ -503,3 +503,35 @@ def emb_normalize_vectors(spark: SparkSession, sf_dir: str):
         F.round(F.element_at("v", 2) / F.col("nrm"), 6).alias("u1"),
         F.round(F.element_at("v", 64) / F.col("nrm"), 6).alias("u63"),
     )
+
+
+# -------------------------------------- regexp_extract_all + explode
+@register(
+    "docs_extract_numbers",
+    """
+    WITH nums AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(source || ' len=' || CAST(n_chars AS VARCHAR)
+                                       || ' id:' || CAST(doc_id AS VARCHAR),
+                                       '[0-9]+')) AS num_str
+      FROM documents)
+    SELECT doc_id, num_str, CAST(num_str AS BIGINT) AS num_val
+    FROM nums WHERE length(num_str) <= 18
+    """,
+)
+def docs_extract_numbers(spark: SparkSession, sf_dir: str):
+    """regexp_extract_all → explode → cast: pull every integer literal out
+    of the text (the parametric-search precursor for stringly measures)."""
+    d = t(spark, sf_dir, "documents")
+    meta = F.concat(
+        F.col("source"), F.lit(" len="), F.col("n_chars").cast("string"),
+        F.lit(" id:"), F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all(meta, F.lit("[0-9]+"), 0)).alias("num_str"),
+        )
+        .filter(F.length("num_str") <= 18)
+        .withColumn("num_val", F.col("num_str").cast("bigint"))
+    )
