@@ -714,3 +714,49 @@ def pdf_datasource_stub_grid(spark: SparkSession, sf_dir: str):
         .withColumn("page", F.col("page").cast("long"))
         .withColumn("table_idx", F.col("table_idx").cast("long"))
     )
+
+
+# ----------------------------------------------- text + ORC sinks/sources
+@register(
+    "text_roundtrip_doclines",
+    """
+    SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS value
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def text_roundtrip_doclines(spark: SparkSession, sf_dir: str):
+    """Line-oriented text sink + source: one normalized document per line
+    (normalization strips the newlines that would split records)."""
+    import tempfile
+
+    from ..operators.core import normalize_expr
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(normalize_expr("text").alias("value"))
+    )
+    path = tempfile.mkdtemp(prefix="text_roundtrip_") + "/docs"
+    d.write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
+@register(
+    "orc_roundtrip_supplier",
+    """
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+    FROM supplier
+    """,
+)
+def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str):
+    """Columnar ORC sink + source round-trip (type-preserving, unlike the
+    text formats)."""
+    import tempfile
+
+    d = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", dbl(dec("s_acctbal")).alias("acctbal")
+    )
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/supplier"
+    d.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
