@@ -1,0 +1,108 @@
+"""Near-duplicate cluster resolution: pairs → connected components → canonical.
+
+The missing last step of a dedup pipeline: MinHash-LSH emits verified
+near-dup PAIRS (llm/dedup.py), but deduplication needs per-document
+CLUSTER assignments — transitively connected docs collapse to one
+canonical representative (min doc id), everything else is dropped.
+
+Algorithm: distributed label propagation with pointer jumping.
+Each node starts labeled with itself; every iteration does
+(1) min-over-neighbors — label(v) = min(label(v), min label among v's
+neighbors) — one shuffle join on the symmetrized edge list, and
+(2) pointer jumping — label(v) = label(label(v)) — one self-join on the
+label table, which halves chain depth and gives O(log n) convergence on
+path-shaped graphs (near-dup clusters are usually dense, converging in
+1-2 rounds). The driver loop stops at fixpoint (zero label changes), so
+results are exact connected components, reproducible for the oracle's
+recursive-CTE closure.
+
+Scale notes: per-iteration state is one (node, label) row per node —
+shuffles are keyed on node/label ids, never on document payloads.
+`localCheckpoint` truncates the growing lineage each round (on a real
+cluster, set a checkpoint dir and use `checkpoint` for fault tolerance).
+The reference has no transitive dedup — its exists-probe dedup
+(grover-dev/rad-database-parse database.py:43-61) is exact-match only;
+this is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for every node in `pairs`, component = min reachable
+    node id. Exact fixpoint (driver-checked), ≤ max_iter rounds."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        # (1) min label among direct neighbors
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr, labels.node == nbr.u, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # (2) pointer jumping: label(v) = label(label(v))
+        parents = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parents, stepped.label == parents.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped.persist(StorageLevel.MEMORY_AND_DISK)
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def neardup_cluster_assign(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every document with its near-dup cluster id (min doc id of its
+    component; singletons are their own cluster) and the canonical-keep
+    flag a dedup pass would retain."""
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )

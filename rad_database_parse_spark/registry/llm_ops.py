@@ -102,10 +102,10 @@ _HASHES_SQL = ", ".join(
 )
 
 
-@register(
-    "docs_minhash_lsh",
-    f"""
-    WITH {_TOKS_SQL},
+# The full MinHash-LSH pair pipeline as a reusable CTE chain ending in
+# `mh_pairs` — shared by the pair query and the cluster-resolution query.
+_MINHASH_PAIR_CTES = f"""
+    {_TOKS_SQL},
     hashes(hash_idx, a, b) AS (VALUES {_HASHES_SQL}),
     doc_tokens AS (
       SELECT DISTINCT doc_id, token_id FROM toks),
@@ -129,11 +129,20 @@ _HASHES_SQL = ", ".join(
       SELECT id_a, id_b, COUNT(*) AS inter
       FROM cand JOIN tok_sets ta ON ta.doc_id = id_a
                 JOIN tok_sets tb ON tb.doc_id = id_b AND tb.token = ta.token
-      GROUP BY id_a, id_b)
-    SELECT id_a, id_b, inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = id_a
-               JOIN sizes sb ON sb.doc_id = id_b
-    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+      GROUP BY id_a, id_b),
+    mh_pairs AS (
+      SELECT id_a, id_b, inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5)
+"""
+
+
+@register(
+    "docs_minhash_lsh",
+    f"""
+    WITH {_MINHASH_PAIR_CTES}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
     """,
 )
 def docs_minhash_lsh(spark: SparkSession, sf_dir: str):
@@ -141,6 +150,42 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str):
     return minhash_lsh_candidates(
         d, "text", "doc_id", num_hashes=16, band_size=4, threshold=0.5
     )
+
+
+# ------------------------------------- near-dup cluster resolution (CC)
+@register(
+    "docs_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    cc_edges AS (
+      SELECT id_a AS u, id_b AS v FROM mh_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM mh_pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM cc_edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN cc_edges e ON r.v = e.u),
+    comp AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str):
+    """The dedup pipeline's last mile: MinHash-LSH verified pairs →
+    connected components (label propagation + pointer jumping, exact
+    fixpoint) → per-doc cluster id and canonical-keep flag. The oracle
+    resolves the same components with a recursive-CTE transitive
+    closure."""
+    from ..llm.cluster import neardup_cluster_assign
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=16, band_size=4, threshold=0.5
+    )
+    return neardup_cluster_assign(d, pairs, "doc_id")
 
 
 # --------------------------------------------------------------- SimHash
