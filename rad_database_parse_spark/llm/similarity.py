@@ -120,6 +120,79 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_assign: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, cent_id, cent rank) — each vector's n_assign nearest centroids
+    by rounded cosine (ties on cent_id). One broadcast join + one window;
+    at scale this is a map-side pass over the corpus, shuffling only
+    (id, cent_id) pairs."""
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        df.crossJoin(F.broadcast(c))
+        .withColumn(
+            "cent_sim",
+            F.round(cosine(F.col(vec_col), F.col("cent_v")), round_digits),
+        )
+        .withColumn("cent_rank", F.row_number().over(w))
+        .filter(F.col("cent_rank") <= n_assign)
+        .select(id_col, vec_col, "cent_id")
+    )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are inverted-listed under
+    their single nearest centroid; each query probes its nprobe nearest
+    centroids and ranks cosine only within those lists.
+
+    The scale shape: the corpus assignment is a broadcast-join pass
+    (centroid count is small by construction), the probe join partitions by
+    cent_id — work is |Q|·(corpus/nlist)·nprobe instead of |Q|·|corpus|.
+    Centroids here are deterministic seed vectors (picked by id) so an SQL
+    oracle reproduces the exact same lists; production would k-means them,
+    which changes only the centroid table's provenance, not the plan."""
+    inv = ivf_assign(corpus, centroids, 1, id_col, vec_col, round_digits).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "cent_id",
+    )
+    probes = ivf_assign(queries, centroids, nprobe, id_col, vec_col, round_digits).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cent_id"
+    )
+    sims = (
+        inv.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def lsh_bucketed_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QueryDef]:
     # Import registers everything on first use.
     from . import core_relational  # noqa: F401
     from . import tpch_deep  # noqa: F401
+    from . import scalar_functions  # noqa: F401
     from . import etl_ops  # noqa: F401
     from . import events_ops  # noqa: F401
     from . import llm_ops  # noqa: F401

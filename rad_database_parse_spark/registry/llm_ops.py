@@ -268,6 +268,66 @@ def emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str):
     )
 
 
+# ------------------------------------------------- IVF approximate top-k
+_IVF_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "emb_cosine_topk_ivf",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_v
+      FROM embeddings WHERE vec_id < 16),
+    corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    corp_assign AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cent_id FROM (
+        SELECT corp.vec_id, corp.v, cent.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY corp.vec_id
+                 ORDER BY {_IVF_COS.format(a="v", b="cent_v")} DESC, cent_id
+               ) AS rn
+        FROM corp CROSS JOIN cent) WHERE rn = 1),
+    q_assign AS (
+      SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+        SELECT corp.vec_id, corp.v, cent.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY corp.vec_id
+                 ORDER BY {_IVF_COS.format(a="v", b="cent_v")} DESC, cent_id
+               ) AS rn
+        FROM corp CROSS JOIN cent WHERE corp.vec_id < 10) WHERE rn <= 2),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             {_IVF_COS.format(a="qv", b="cv")} AS sim
+      FROM corp_assign JOIN q_assign USING (cent_id)
+      WHERE query_id != neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims)
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str):
+    """IVF coarse-quantizer ANN: inverted lists under deterministic seed
+    centroids (vec_id < 16), queries probe their 2 nearest lists. The third
+    point on the exact↔LSH↔IVF accuracy/cost curve."""
+    from ..llm.similarity import ivf_cosine_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        e.filter(F.col("vec_id") < 10),
+        e,
+        e.filter(F.col("vec_id") < 16),
+        k=5,
+        nprobe=2,
+    )
+
+
 # ------------------------------------------------------- language id
 _STOPWORDS_SQL = ", ".join(
     f"('{lang}', '{w}')" for lang, ws in LANG_STOPWORDS.items() for w in ws
