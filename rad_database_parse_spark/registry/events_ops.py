@@ -279,6 +279,87 @@ def stateful_user_totals_stream(spark: SparkSession, sf_dir: str):
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+# ------------------------------------------------- stream-static join
+@register(
+    "stream_static_join_segments",
+    """
+    SELECT date_trunc('hour', ts) AS win_start,
+           c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join_segments(spark: SparkSession, sf_dir: str):
+    """Stream-static dimension enrichment run as a REAL 2-microbatch file
+    replay: events stream ⋈ broadcast customer dim → hourly totals per
+    market segment (complete-mode state), equal to the batch join+agg the
+    oracle runs. Decimal accumulation keeps the streamed sum exact across
+    microbatch order."""
+    import tempfile
+
+    from ..streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_static_segment_totals,
+    )
+
+    replay = tempfile.mkdtemp(prefix="events_replay_") + "/events"
+    t(spark, sf_dir, "events").repartition(2).write.mode("overwrite").parquet(replay)
+    _STATEFUL_SEQ[0] += 1
+    name = f"stream_static_segments_{_STATEFUL_SEQ[0]}"
+    run_stream_to_memory(
+        stream_static_segment_totals(
+            read_events_stream(spark, replay), t(spark, sf_dir, "customer")
+        ),
+        name,
+    )
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+# --------------------------------------------- streaming watermark dedup
+@register(
+    "stream_watermark_dedup",
+    """
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    """,
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str):
+    """dropDuplicatesWithinWatermark under real duplication: the replay dir
+    holds TWO copies of every event file, so the stream sees each event
+    twice across microbatches; the dedup state (keyed on event_id, bounded
+    by a 60-day watermark that covers the corpus span) must emit each
+    exactly once. Totals over the surviving rows equal plain batch totals
+    over the base table — duplicates carry identical payloads, so the
+    decimal sum is survivor-choice-independent."""
+    import tempfile
+
+    from ..streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    replay = tempfile.mkdtemp(prefix="events_replay_") + "/events"
+    ev = t(spark, sf_dir, "events").repartition(2)
+    ev.write.mode("overwrite").parquet(replay)
+    ev.write.mode("append").parquet(replay)
+    _STATEFUL_SEQ[0] += 1
+    name = f"stream_wm_dedup_{_STATEFUL_SEQ[0]}"
+    run_stream_to_memory(
+        streaming_dedup(read_events_stream(spark, replay), watermark="60 days"), name
+    )
+    return spark.sql(f"SELECT * FROM {name}").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dbl(F.sum(dec("value"))).alias("total_value"),
+    )
+
+
 # ----------------------------------------------------- sliding windows
 @register(
     "sliding_window_counts",

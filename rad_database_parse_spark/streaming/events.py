@@ -71,6 +71,34 @@ def sessionized_stream(
     )
 
 
+def stream_static_segment_totals(
+    events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the customer
+    dimension (static side broadcast — re-read per microbatch on a real
+    cluster, so dimension updates are picked up), then hourly totals per
+    market segment. The stream-static join is stateless; only the windowed
+    aggregation keeps state."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value_dec"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "segment",
+            "n",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-event within the watermark horizon."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events

@@ -105,3 +105,31 @@ def test_fingerprint_order_sensitive(spark):
     toks = token_ids(tokenize(a, "text", "doc_id"))
     fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(toks, "doc_id").collect()}
     assert fp[1] != fp[2]  # same bag of words, different order → different print
+
+
+def test_connected_components_path_and_clique(spark):
+    from rad_database_parse_spark.llm.cluster import (
+        connected_components,
+        neardup_cluster_assign,
+    )
+
+    # path 1-2-3-4-5 (needs transitive propagation, exercises pointer
+    # jumping), clique 10-11-12, singleton 20 (no pairs at all)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        ["id_a", "id_b"],
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20]], ["doc_id"])
+    assign = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in neardup_cluster_assign(docs, pairs).collect()
+    }
+    assert assign[20] == (20, True)
+    assert assign[1] == (1, True) and assign[5] == (1, False)
+    assert assign[10] == (10, True) and assign[12] == (10, False)
