@@ -52,3 +52,43 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     rows that have no source match, then union all source rows."""
     untouched = target.join(source.select(*keys), on=keys, how="left_anti")
     return untouched.unionByName(source.select(*target.columns))
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_ts: str,
+    genesis_ts: str = "1900-01-01",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply `updates` to `dim` as new
+    versions effective at `effective_ts`, closing the superseded rows.
+
+    Output = dim columns + (valid_from, valid_to, is_current). Updated keys
+    yield two rows (old version closed at effective_ts, new version open);
+    untouched keys keep one open row. The update set is usually tiny next
+    to the dimension, so both the semi and anti probes broadcast — the
+    dimension streams through without a shuffle."""
+    upd_keys = updates.select(*keys)
+    genesis = F.lit(genesis_ts).cast("timestamp")
+    eff = F.lit(effective_ts).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+    closed = (
+        dim.join(F.broadcast(upd_keys), on=keys, how="left_semi")
+        .withColumn("valid_from", genesis)
+        .withColumn("valid_to", eff)
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched = (
+        dim.join(F.broadcast(upd_keys), on=keys, how="left_anti")
+        .withColumn("valid_from", genesis)
+        .withColumn("valid_to", null_ts)
+        .withColumn("is_current", F.lit(True))
+    )
+    fresh = (
+        updates.select(*dim.columns)
+        .withColumn("valid_from", eff)
+        .withColumn("valid_to", null_ts)
+        .withColumn("is_current", F.lit(True))
+    )
+    return closed.unionByName(untouched).unionByName(fresh)

@@ -945,3 +945,68 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str):
             dbl(F.sum(dec("c_acctbal"))).alias("total_bal"),
         )
     )
+
+
+# ----------------------------------------- analytic window function suite
+@register(
+    "window_analytic_suite",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4)       OVER w AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           nth_value(o_orderkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS third_key,
+           first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS cheapest_key,
+           last_value(o_orderkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_analytic_suite(spark: SparkSession, sf_dir: str):
+    """The analytic-window battery missing from the ranking suite: ntile,
+    percent_rank, cume_dist, nth_value, first/last over explicit frames.
+    The (o_totalprice, o_orderkey) sort is tie-free, so every function is
+    deterministic across engines."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 3).over(w_run).alias("third_key"),
+        F.first("o_orderkey").over(w_full).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )
+
+
+# -------------------------------------------------- min_by/max_by (A23)
+@register(
+    "agg_min_max_by",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str):
+    """A23's argmin/argmax as AGGREGATES (max_by/min_by ↔ DuckDB
+    arg_max/arg_min) — the no-window form of top-1-per-group: one partial
+    agg, no sort, no row_number."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -417,6 +417,46 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str):
     )
 
 
+# ----------------------------------------------- SCD2 dimension history
+@register(
+    "scd2_customer_history",
+    """
+    WITH source AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 1000.0 AS c_acctbal, 'UPGRADED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           TIMESTAMP '1900-01-01' AS valid_from,
+           CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '2024-06-01'
+                ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+           c_custkey % 10 <> 0 AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           TIMESTAMP '2024-06-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM source
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str):
+    """Type-2 slowly-changing dimension: the same upgrade batch as the
+    merge query, but history-preserving — superseded versions close at the
+    effective timestamp, new versions open, untouched rows stay current.
+    The A18 update semantics with an audit trail instead of overwrite."""
+    from ..operators.mutate import scd2_apply
+
+    c = t(spark, sf_dir, "customer")
+    source = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    return scd2_apply(c, source, ["c_custkey"], "2024-06-01")
+
+
 # ------------------------------------------ A4 nearest-text title join
 # Synthetic page geometry derived deterministically from documents: every
 # quantity is integer arithmetic, so the Euclidean distance is the same
