@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import core_relational  # noqa: F401
     from . import tpch_deep  # noqa: F401
     from . import scalar_functions  # noqa: F401
+    from . import sampling_profile  # noqa: F401
     from . import etl_ops  # noqa: F401
     from . import events_ops  # noqa: F401
     from . import llm_ops  # noqa: F401

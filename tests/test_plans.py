@@ -75,3 +75,49 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir):
     ).groupBy().count()
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan and "1-URGENT" in plan
+
+
+def test_q6_pushes_shipdate_and_prunes(spark, sf_dir):
+    from rad_database_parse_spark.registry.tpch_deep import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert reads_only_columns(
+        df, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    )
+
+
+def test_q8_broadcasts_all_dimensions(spark, sf_dir):
+    from rad_database_parse_spark.registry.tpch_deep import q8_market_share
+
+    plan = formatted_plan(q8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # part, n1, region, supplier, n2
+
+
+def test_q18_top20_is_take_ordered(spark, sf_dir):
+    from rad_database_parse_spark.registry.tpch_deep import q18_large_volume_orders
+
+    assert "TakeOrderedAndProject" in formatted_plan(
+        q18_large_volume_orders(spark, sf_dir)
+    )
+
+
+def test_deterministic_sample_prunes_columns(spark, sf_dir):
+    from rad_database_parse_spark.registry.sampling_profile import (
+        deterministic_sample,
+    )
+
+    assert reads_only_columns(
+        deterministic_sample(spark, sf_dir),
+        {"l_orderkey", "l_linenumber", "l_quantity"},
+    )
+
+
+def test_scd2_probes_broadcast(spark, sf_dir):
+    from rad_database_parse_spark.registry.etl_ops import scd2_customer_history
+
+    plan = formatted_plan(scd2_customer_history(spark, sf_dir))
+    # both the semi and the anti probe of the update-key set broadcast —
+    # the dimension never shuffles
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
