@@ -986,6 +986,37 @@ def window_analytic_suite(spark: SparkSession, sf_dir: str):
     )
 
 
+# ------------------------------------------------ SQL API surface parity
+_SQL_SURFACE = """
+    WITH rev AS (
+      SELECT n_name, r_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY n_name, r_name)
+    SELECT r_name, n_name, revenue,
+           RANK() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name) AS rnk
+    FROM rev
+"""
+
+
+@register("sql_api_rank_revenue", _SQL_SURFACE)
+def sql_api_rank_revenue(spark: SparkSession, sf_dir: str):
+    """The engine's SQL surface end-to-end: tables registered as temp views,
+    the query text handed to spark.sql — CTE, 5-table join, windowed rank —
+    and the ORACLE IS THE SAME STRING (both dialects parse it). Proves a
+    reference user can bring plain ANSI SQL instead of the DataFrame API."""
+    for name in ("lineitem", "orders", "customer", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_SURFACE)
+
+
 # -------------------------------------------------- min_by/max_by (A23)
 @register(
     "agg_min_max_by",

@@ -561,3 +561,159 @@ def datetime_functions(spark: SparkSession, sf_dir: str):
             "days_since"
         ),
     )
+
+
+# ------------------------------------------------------- funnel analysis
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str):
+    """Ordered-sequence funnel: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that click.
+    Each stage is one agg + one join keyed on user_id — at scale the three
+    stages reuse one hash partitioning on user_id (no re-shuffle between
+    them), which is the property that matters when events is the 100 TB
+    table."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+# ------------------------------------------------------ cohort retention
+@register(
+    "cohort_retention",
+    """
+    WITH first_day AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             datediff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE))
+               AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id)
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort, day_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str):
+    """Cohort × day-offset retention triangle: users grouped by first-seen
+    day, counted on each subsequent active day. First-seen and activity
+    both partition on user_id — one shuffle, then a small re-agg on the
+    (cohort, offset) pairs."""
+    e = t(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort")
+    )
+    activity = (
+        e.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))), F.col("cohort"))
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("cohort", F.col("cohort").cast("timestamp"))
+    )
+
+
+# ------------------------------------------- rolling stats (exact sums)
+@register(
+    "window_rolling_stats",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(value AS DECIMAL(12,2)) AS v,
+             COUNT(*) OVER w AS n_win,
+             SUM(CAST(value AS DECIMAL(12,2))) OVER w AS sum_dec,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+               OVER w AS sumsq_dec
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           n_win,
+           CAST(sum_dec AS DOUBLE) / n_win AS roll_mean,
+           CAST(v AS DOUBLE) - CAST(sum_dec AS DOUBLE) / n_win AS roll_dev,
+           CASE WHEN n_win > 1 THEN
+             (CAST(sumsq_dec AS DOUBLE) * n_win
+              - CAST(sum_dec AS DOUBLE) * CAST(sum_dec AS DOUBLE))
+             / (CAST(n_win AS DOUBLE) * (n_win - 1))
+           END AS roll_var
+    FROM s
+    """,
+)
+def window_rolling_stats(spark: SparkSession, sf_dir: str):
+    """Trailing-10-event mean/deviation/variance per user. The numerics
+    pattern that survives cross-engine comparison: windowed sums accumulate
+    in exact DECIMAL (order-independent), and only the final mean/variance
+    arithmetic runs in double — every engine computes the same IEEE ops on
+    the same operands. A rolling stddev built on double sums would drift
+    with frame evaluation order."""
+    e = t(spark, sf_dir, "events")
+    v = dec("value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    s = e.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.count("*").over(w).alias("n_win"),
+        F.sum(v).over(w).alias("sum_dec"),
+        F.sum(v * v).over(w).alias("sumsq_dec"),
+    )
+    n_d = F.col("n_win").cast("double")
+    sum_d = dbl(F.col("sum_dec"))
+    return s.select(
+        "user_id",
+        "event_id",
+        "n_win",
+        (sum_d / F.col("n_win")).alias("roll_mean"),
+        (dbl(F.col("v")) - sum_d / F.col("n_win")).alias("roll_dev"),
+        F.when(
+            F.col("n_win") > 1,
+            (dbl(F.col("sumsq_dec")) * F.col("n_win") - sum_d * sum_d)
+            / (n_d * (F.col("n_win") - 1)),
+        ).alias("roll_var"),
+    )
