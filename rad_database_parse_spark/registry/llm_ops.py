@@ -52,6 +52,12 @@ _TOKS_SQL = """
 """
 
 
+_NT_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
 # ----------------------------------------------------------- exact dedup
 @register(
     "docs_exact_dedup",
@@ -69,10 +75,9 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str):
 
 
 # ------------------------------------------------------- n-gram Jaccard
-@register(
-    "docs_ngram_jaccard",
-    f"""
-    WITH {_TOKS_SQL},
+# Shared CTE chain ending in `ng_pairs` — reused by the keep-best query.
+_NGRAM_PAIR_CTES = f"""
+    {_TOKS_SQL},
     sh AS (
       SELECT DISTINCT doc_id,
              token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
@@ -83,17 +88,98 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str):
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT id_a, id_b,
-           inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = id_a
-               JOIN sizes sb ON sb.doc_id = id_b
-    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+      GROUP BY a.doc_id, b.doc_id),
+    ng_pairs AS (
+      SELECT id_a, id_b,
+             inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5)
+"""
+
+
+@register(
+    "docs_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT id_a, id_b, jaccard FROM ng_pairs
     """,
 )
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+# ---------------------------------------- quality-aware canonical keep
+@register(
+    "docs_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    kb_edges AS (
+      SELECT id_a AS u, id_b AS v FROM ng_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM ng_pairs),
+    kb_reach(u, v) AS (
+      SELECT u, v FROM kb_edges
+      UNION
+      SELECT r.u, e.v FROM kb_reach r JOIN kb_edges e ON r.v = e.u),
+    kb_comp AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component FROM kb_reach GROUP BY u),
+    kb_assign AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN kb_comp c ON c.node = d.doc_id),
+    kb_m AS (
+      SELECT doc_id,
+             {_NT_SQL} AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+      FROM documents),
+    kb_q AS (
+      SELECT doc_id,
+             round(0.4 * least(n_tokens / 64.0, 1.0)
+                   + 0.3 * (n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+                   + 0.2 * (1 - n_punct / CAST(greatest(n_chars, 1) AS DOUBLE))
+                   + 0.1 * (CASE WHEN n_alpha / CAST(greatest(n_tokens, 1) AS DOUBLE)
+                                      BETWEEN 2 AND 10
+                                 THEN 1.0 ELSE 0.5 END), 6) AS quality
+      FROM kb_m),
+    kb_ranked AS (
+      SELECT a.cluster_id, a.doc_id, q.quality,
+             COUNT(*) OVER (PARTITION BY a.cluster_id) AS n_docs,
+             ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                                ORDER BY q.quality DESC, a.doc_id) AS rn
+      FROM kb_assign a JOIN kb_q q ON q.doc_id = a.doc_id)
+    SELECT cluster_id, doc_id AS kept_doc_id, quality, n_docs
+    FROM kb_ranked WHERE rn = 1
+    """,
+)
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str):
+    """Quality-aware dedup: near-dup clusters (n-gram Jaccard pairs →
+    connected components) keep their HIGHEST-QUALITY member instead of the
+    min-id one — what a curation pipeline actually ships. Composition of
+    three registry operators: pair generation, cluster resolution, quality
+    scoring; ties break on doc_id (quality is 6-digit-rounded, near-dups
+    often tie)."""
+    from ..llm.cluster import neardup_cluster_assign
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    assign = neardup_cluster_assign(d, pairs, "doc_id").select("doc_id", "cluster_id")
+    q = quality_score(d, "text", "doc_id").select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("cluster_id")
+    return (
+        assign.join(q, "doc_id")
+        .withColumn("n_docs", F.count("*").over(wn))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id", F.col("doc_id").alias("kept_doc_id"), "quality", "n_docs"
+        )
+    )
 
 
 # -------------------------------------------------------- MinHash + LSH
@@ -362,10 +448,6 @@ def docs_language_id(spark: SparkSession, sf_dir: str):
 
 
 # ------------------------------------------------------ quality scoring
-_NT_SQL = (
-    "CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-)
 
 
 @register(
