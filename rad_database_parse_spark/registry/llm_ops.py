@@ -543,6 +543,37 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str):
     return decode_media(d, payload_col="payload", id_col="doc_id")
 
 
+# The same decode stage, ORACLE-CHECKED: the deterministic fake decoder's
+# byte statistics (payloads are ASCII text → byte == codepoint) are
+# reproduced in SQL, so the Arrow mapInPandas boundary itself gets a full
+# value-hash gate, not just a rows-only check.
+@register(
+    "multimodal_decode_oracle",
+    """
+    WITH chk AS (
+      SELECT doc_id, length(text) AS n,
+             COALESCE(SUM(ord(substr(text, CAST(gs.i AS INT) + 1, 1))), 0)
+               AS checksum
+      FROM documents LEFT JOIN LATERAL
+           (SELECT unnest(range(least(length(text), 256))) AS i) gs ON TRUE
+      GROUP BY doc_id, length(text))
+    SELECT doc_id, 'fake' AS media_type,
+           CAST(checksum % 64 + 1 AS INT) AS width,
+           CAST(n % 64 + 1 AS INT) AS height,
+           CAST(n AS INT) AS duration_ms,
+           'deterministic-fake' AS codec,
+           [CAST(checksum % 64 + 1 AS DOUBLE), CAST(n % 64 + 1 AS DOUBLE),
+            CAST(n % 97 AS DOUBLE), CAST(n % 89 AS DOUBLE)] AS features
+    FROM chk
+    """,
+)
+def multimodal_decode_oracle(spark: SparkSession, sf_dir: str):
+    from ..llm.multimodal import decode_media
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
+    return decode_media(d, payload_col="payload", id_col="doc_id")
+
+
 # -------------------------------------- embedding-cosine near-dup pairs
 @register(
     "emb_cosine_neardup",

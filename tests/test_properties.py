@@ -94,3 +94,45 @@ def test_normalize_expr_idempotent(spark_session_holder, vals):
     )
     for r in out.collect():
         assert r.n1 == r.n2
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark_session_holder, edges):
+    from rad_database_parse_spark.llm.cluster import connected_components
+
+    spark = spark_session_holder
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical root = min of each component (path-compress to fixpoint)
+    expected = {n: find(n) for n in parent}
+    # find() with min-union keeps the root as the component min
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, ["id_a", "id_b"]), "id_a", "id_b"
+        ).collect()
+    }
+    assert got == expected
