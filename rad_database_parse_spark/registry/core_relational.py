@@ -986,6 +986,46 @@ def window_analytic_suite(spark: SparkSession, sf_dir: str):
     )
 
 
+# ------------------------------------------------------- map HOF suite
+@register(
+    "map_hof_suite",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 100 = 0),
+    ent AS (
+      SELECT o_orderkey, t.k, t.v
+      FROM base CROSS JOIN LATERAL
+           (VALUES ('price', cents), ('key', o_orderkey), ('cust', o_custkey))
+             AS t(k, v)),
+    kept AS (SELECT o_orderkey, k, v * 2 AS v FROM ent WHERE v % 2 = 0)
+    SELECT o_orderkey, k, v FROM kept
+    UNION ALL
+    SELECT o_orderkey, 'norig' AS k, 3 AS v FROM base
+    """,
+)
+def map_hof_suite(spark: SparkSession, sf_dir: str):
+    """Map higher-order functions composed end-to-end: create_map →
+    map_filter (keep even values) → transform_values (double) → map_concat
+    (append a cardinality entry) → explode back to rows. The oracle mirrors
+    the semantics with plain relational ops over the entry set — exactly
+    what the HOFs compute, minus the MapType container."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    cents = (dec("o_totalprice") * 100).cast("long")
+    m = F.create_map(
+        F.lit("price"), cents,
+        F.lit("key"), F.col("o_orderkey"),
+        F.lit("cust"), F.col("o_custkey"),
+    )
+    kept = F.map_filter(m, lambda k, v: v % 2 == 0)
+    final = F.map_concat(
+        F.transform_values(kept, lambda k, v: v * 2),
+        F.create_map(F.lit("norig"), F.size(m).cast("long")),
+    )
+    return o.select("o_orderkey", F.explode(final).alias("k", "v"))
+
+
 # ------------------------------------------------ SQL API surface parity
 _SQL_SURFACE = """
     WITH rev AS (
