@@ -717,3 +717,58 @@ def window_rolling_stats(spark: SparkSession, sf_dir: str):
             / (n_d * (F.col("n_win") - 1)),
         ).alias("roll_var"),
     )
+
+
+# ---------------------------------------- scalar pandas UDF (vectorized)
+@register(
+    "pandas_scalar_net_price",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT))
+             AS net_c4
+    FROM lineitem
+    """,
+)
+def pandas_scalar_net_price(spark: SparkSession, sf_dir: str):
+    """Scalar @pandas_udf (Arrow-vectorized, the fast Python-UDF path):
+    net price in 10^-4-dollar integer units. Both prices and discounts are
+    2-decimal-clean, so integer-cents arithmetic inside the UDF is exact
+    and hash-identical to the oracle's DECIMAL expression — completing the
+    UDF matrix (scalar here; grouped-map, grouped-agg, mapInPandas, UDTF,
+    and stateful elsewhere)."""
+    from ..operators.pandas_udfs import net_price_c4
+
+    l = t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price_c4("l_extendedprice", "l_discount").alias("net_c4"),
+    )
+
+
+# ------------------------------------ grouped-agg pandas UDF (UDAF form)
+@register(
+    "pandas_udaf_weighted_price",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+           / (100.0 * SUM(CAST(round(l_quantity) AS BIGINT)))
+             AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pandas_udaf_weighted_price(spark: SparkSession, sf_dir: str):
+    """Grouped-aggregate @pandas_udf (custom UDAF): quantity-weighted mean
+    price per return flag. Accumulation in exact int64 cents·units inside
+    the UDF (quantities are integral), one double division at the end —
+    same value the oracle's integer-sum SQL produces. Spark plans this as
+    a real partial-less aggregate over Arrow batches."""
+    from ..operators.pandas_udfs import weighted_avg_price
+
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        weighted_avg_price("l_extendedprice", "l_quantity").alias("wavg_price")
+    )

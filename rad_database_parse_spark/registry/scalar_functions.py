@@ -164,3 +164,34 @@ def bitwise_functions(spark: SparkSession, sf_dir: str):
         F.bit_count(F.col("l_orderkey")).alias("ok_bits"),
         F.bitwise_not(ln).alias("ln_not"),
     )
+
+
+# ----------------------------------------------------- try_* error-safe
+@register(
+    "try_functions",
+    """
+    SELECT c_custkey,
+           TRY_CAST(substr(c_name, 10) AS INT) AS id_digits,
+           TRY_CAST(c_mktsegment AS INT) AS seg_as_int,
+           c_acctbal / nullif(c_custkey % 3, 0) AS safe_div,
+           CASE WHEN c_custkey = 0 THEN 9223372036854775807 END AS overflow_add
+    FROM customer
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str):
+    """ANSI-safe try_* family — the data-cleaning staple: try_cast parses
+    the digit tail of c_name and NULLs the non-numeric segment string;
+    try_divide NULLs division by zero; try_add NULLs bigint overflow
+    (oracle mirrors each with nullif/CASE since DuckDB stops at
+    TRY_CAST)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 10, 100).try_cast("int").alias("id_digits"),
+        F.col("c_mktsegment").try_cast("int").alias("seg_as_int"),
+        F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 3).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("bigint"),
+            F.col("c_custkey").cast("bigint"),
+        ).alias("overflow_add"),
+    )
