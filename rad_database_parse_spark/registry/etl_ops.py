@@ -800,3 +800,29 @@ def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str):
     path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/supplier"
     d.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+# ------------------------------------------------- XML sink + source
+@register(
+    "xml_roundtrip_nation",
+    """
+    SELECT n_nationkey, n_regionkey, n_name FROM nation
+    """,
+)
+def xml_roundtrip_nation(spark: SparkSession, sf_dir: str):
+    """Spark 4 native XML sink + source round-trip (rowTag records,
+    explicit read schema) — extends the format matrix past
+    csv/json/text/orc/parquet."""
+    import tempfile
+
+    d = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    path = tempfile.mkdtemp(prefix="xml_roundtrip_") + "/nation"
+    d.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).mode("overwrite").save(path)
+    return (
+        spark.read.schema("n_nationkey INT, n_regionkey INT, n_name STRING")
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+    )

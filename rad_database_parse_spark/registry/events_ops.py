@@ -772,3 +772,34 @@ def pandas_udaf_weighted_price(spark: SparkSession, sf_dir: str):
     return l.groupBy("l_returnflag").agg(
         weighted_avg_price("l_extendedprice", "l_quantity").alias("wavg_price")
     )
+
+
+# ------------------------------------------- VariantType JSON handling
+@register(
+    "variant_json_ops",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS absent,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled
+    FROM events
+    """,
+)
+def variant_json_ops(spark: SparkSession, sf_dir: str):
+    """Spark 4 VariantType path: parse_json once into a variant column,
+    then typed try_variant_get extractions — the shredded-JSON layout that
+    replaces per-access string re-parsing (at 100 TB, parsing props once
+    instead of once per extraction is the difference). Missing paths
+    yield NULL, matching the oracle's json_extract_string."""
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    src = e.select("event_id", v.alias("v"))
+    k = F.try_variant_get("v", "$.k", "int")
+    return src.select(
+        "event_id",
+        k.alias("k"),
+        F.try_variant_get("v", "$.k", "string").alias("k_str"),
+        F.try_variant_get("v", "$.missing", "int").alias("absent"),
+        (k * 2).alias("k_doubled"),
+    )
