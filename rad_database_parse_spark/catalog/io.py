@@ -69,3 +69,29 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    out_path: str | None = None,
+) -> str:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    for scan efficiency (~target_file_mb each, the row-group sweet spot a
+    100 TB table needs — thousands of KB-sized files turn a scan into a
+    metadata storm). File count is computed from the actual input bytes;
+    the rewrite is one read → repartition → write with no shuffle beyond
+    the repartition itself. Writes to `out_path` (or `path + '_compacted'`)
+    — atomic swap is the caller's move (or a lake format's)."""
+    import pathlib
+
+    total_bytes = sum(
+        f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    dest = out_path or path.rstrip("/") + "_compacted"
+    spark.read.parquet(path).repartition(int(n_files)).write.mode(
+        "overwrite"
+    ).parquet(dest)
+    return dest

@@ -124,3 +124,42 @@ def test_topk_per_group(spark):
     assert {(r.g, r.x) for r in top2.collect()} == {("g1", 3), ("g1", 2), ("g2", 9)}
     top1 = top1_per_group(df, ["g"], [F.col("x").asc()])
     assert {(r.g, r.x) for r in top1.collect()} == {("g1", 1), ("g2", 9)}
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    import pathlib
+
+    from rad_database_parse_spark.catalog.io import compact_parquet, load_table
+
+    src = str(tmp_path / "frag")
+    # fragment: 64 tiny files
+    load_table(spark, sf_dir, "orders").repartition(64).write.parquet(src)
+    assert len(list(pathlib.Path(src).rglob("*.parquet"))) == 64
+    dest = compact_parquet(spark, src, target_file_mb=128)
+    files = list(pathlib.Path(dest).rglob("*.parquet"))
+    assert len(files) <= 2  # sf0.001 orders is far under 128 MB
+    assert (
+        spark.read.parquet(dest).count()
+        == load_table(spark, sf_dir, "orders").count()
+    )
+
+
+def test_deterministic_sample_stable_under_repartition(spark, sf_dir):
+    from rad_database_parse_spark.registry.sampling_profile import (
+        deterministic_sample,
+    )
+
+    base = deterministic_sample(spark, sf_dir)
+    keys = sorted(
+        (r["l_orderkey"], r["l_linenumber"]) for r in base.collect()
+    )
+    # same predicate over a differently-partitioned input picks the SAME rows
+    from rad_database_parse_spark.catalog.io import load_table
+    from pyspark.sql import functions as F
+    from rad_database_parse_spark.registry.sampling_profile import _md5_bucket
+
+    l = load_table(spark, sf_dir, "lineitem").repartition(17, "l_partkey")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    again = l.filter(_md5_bucket(key) < 5).select("l_orderkey", "l_linenumber")
+    keys2 = sorted((r["l_orderkey"], r["l_linenumber"]) for r in again.collect())
+    assert keys == keys2
