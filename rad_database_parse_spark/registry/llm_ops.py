@@ -22,6 +22,7 @@ from ..llm.dedup import (
     simhash_signatures,
     token_ids,
     tokenize,
+    word_shingles,
 )
 from ..llm.multimodal import attach_binary_payload, payload_stats
 from ..llm.similarity import brute_force_cosine_topk, lsh_bucketed_cosine_topk
@@ -752,4 +753,46 @@ def docs_extract_numbers(spark: SparkSession, sf_dir: str):
         )
         .filter(F.length("num_str") <= 18)
         .withColumn("num_val", F.col("num_str").cast("bigint"))
+    )
+
+
+# ------------------------------------------- benchmark decontamination
+@register(
+    "docs_decontaminate",
+    f"""
+    WITH {_TOKS_SQL},
+    sh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(token, 2) OVER w IS NOT NULL),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id >= 10
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_shared, n_shared >= 5 AS contaminated
+    FROM hits
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing ≥5 distinct 3-gram
+    shingles with the held-out set (doc_id < 10 stands in for an eval
+    benchmark) get flagged for removal — the training-data hygiene step
+    that keeps eval numbers honest. The benchmark shingle set is tiny by
+    construction → broadcast; the corpus never self-joins."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokenize(d, "text", "doc_id")
+    sh = word_shingles(toks, "doc_id", n=3)
+    bench = (
+        sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .withColumn("contaminated", F.col("n_shared") >= 5)
     )

@@ -177,3 +177,40 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str):
         "bin_total",
         F.sum("n").over(w).alias("cum_n"),
     )
+
+
+# ------------------------------------------- language rebalancing mix
+@register(
+    "docs_balance_by_lang",
+    f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    thresholds AS (
+      SELECT lang, (SELECT MIN(n) FROM counts) * 10000 // n AS t
+      FROM counts)
+    SELECT doc_id, d.lang
+    FROM documents d JOIN thresholds th ON d.lang = th.lang
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
+          % 10000 < th.t
+    """,
+)
+def docs_balance_by_lang(spark: SparkSession, sf_dir: str):
+    """Corpus rebalancing with DATA-DEPENDENT rates: every language is
+    downsampled toward the minority language's count (rate = min_n/n_lang,
+    exact integer threshold out of 10000). Two passes: a language census
+    (tiny, broadcast back), then the same scan-local hash predicate as the
+    fixed-rate samplers — the source-mixing primitive at its real shape,
+    where mix targets come from the data, not a constant."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    thresholds = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang", (F.col("min_n") * 10000 / F.col("n")).cast("long").alias("t")
+    )
+    return (
+        d.join(F.broadcast(thresholds), "lang")
+        .filter(
+            _md5_bucket(F.col("doc_id").cast("string"), 10000) < F.col("t")
+        )
+        .select("doc_id", "lang")
+    )
