@@ -29,25 +29,34 @@ HEADLINE = [
     "q5_revenue_by_nation",
     "q7_nation_volume",
     "q17_small_quantity_revenue",
+    "q8_market_share",
+    "q18_large_volume_orders",
     # windows / rollup
     "window_topk_per_customer",
     "agg_rollup_region_nation",
-    # events surface: sessionization, sliding windows, as-of join, JSON
+    "window_rolling_stats",
+    # events surface: sessionization, sliding windows, as-of join, JSON,
+    # funnel/cohort analytics, variant path
     "sessionize_events",
     "sliding_window_counts",
     "asof_last_view_before_purchase",
     "json_extract_props",
+    "variant_json_ops",
+    "funnel_view_click_purchase",
+    "cohort_retention",
     "salted_join_user_revenue",
     # ETL operators
     "fuzzy_header_map",
     "dedup_exact_projection",
     "etl_pipeline_end_to_end",
-    # LLM-pipeline ops
+    # LLM-pipeline ops: dedup, text, similarity (exact + IVF), sampling
     "docs_minhash_lsh",
     "docs_token_stats",
     "docs_tfidf_top_terms",
     "emb_cosine_topk_exact",
+    "emb_cosine_topk_ivf",
     "emb_cosine_neardup",
+    "deterministic_sample",
 ]
 
 
