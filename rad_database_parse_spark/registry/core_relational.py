@@ -1081,3 +1081,73 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str):
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+# ------------------------------------------- grouping_id over rollup
+@register(
+    "agg_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str):
+    """ROLLUP with GROUPING() flags — the bit that disambiguates 'NULL
+    because subtotal' from 'NULL because the data was NULL', which any
+    report consuming rollup output needs."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+    )
+
+
+# -------------------------------------------- date spine gap detection
+@register(
+    "events_hour_gaps",
+    """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS d0,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS d1
+      FROM events),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT hour, event_type FROM spine CROSS JOIN types),
+    present AS (
+      SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             event_type
+      FROM events)
+    SELECT g.hour, g.event_type
+    FROM grid g LEFT JOIN present p
+      ON g.hour = p.hour AND g.event_type = p.event_type
+    WHERE p.hour IS NULL
+    """,
+)
+def events_hour_gaps(spark: SparkSession, sf_dir: str):
+    """Continuity audit on a time series: a generated hour spine × the
+    event-type dimension, anti-joined against observed activity — the
+    hours a monitoring pipeline would flag as silent. sequence() builds
+    the spine from the aggregated bounds; no calendar table needed."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("d0"),
+        F.date_trunc("hour", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    present = e.select(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).distinct()
+    return grid.join(present, ["hour", "event_type"], "left_anti")
