@@ -121,3 +121,36 @@ def test_scd2_probes_broadcast(spark, sf_dir):
     # the dimension never shuffles
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_q21_single_fact_pass(spark, sf_dir):
+    from rad_database_parse_spark.registry.tpch_deep import q21_waiting_supplier
+
+    plan = formatted_plan(q21_waiting_supplier(spark, sf_dir))
+    # the double correlation resolves via windows over ONE joined subtree —
+    # lineitem is scanned once, not three times as in the textbook
+    # EXISTS/NOT-EXISTS formulation (tree section only: the details section
+    # repeats every node name)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 3  # lineitem + orders + supplier
+    # both window columns ride ONE sort+exchange (same partitioning)
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 2
+
+
+def test_funnel_reuses_user_partitioning(spark, sf_dir):
+    from rad_database_parse_spark.registry.events_ops import (
+        funnel_view_click_purchase,
+    )
+
+    plan = formatted_plan(funnel_view_click_purchase(spark, sf_dir))
+    # stages join/aggregate on user_id throughout; no sort-merge join
+    # should appear at this size and no more than the expected exchanges
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    from rad_database_parse_spark.registry.llm_ops import docs_decontaminate
+
+    plan = formatted_plan(docs_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
