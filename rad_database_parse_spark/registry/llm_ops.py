@@ -796,3 +796,109 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str):
         .agg(F.countDistinct("shingle").alias("n_shared"))
         .withColumn("contaminated", F.col("n_shared") >= 5)
     )
+
+
+# ------------------------------------------ per-language vocabulary top-k
+@register(
+    "docs_top_tokens_per_lang",
+    f"""
+    WITH {_TOKS_SQL},
+    counts AS (
+      SELECT d.lang, t.token, COUNT(*) AS n
+      FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+      GROUP BY d.lang, t.token),
+    ranked AS (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      FROM counts)
+    SELECT lang, token, n, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def docs_top_tokens_per_lang(spark: SparkSession, sf_dir: str):
+    """Corpus-level vocabulary: top-10 tokens per language (token counts
+    shuffle on (lang, token) — short keys; per-group top-k via window with
+    deterministic token tie-break). The census a tokenizer-training or
+    stopword-induction step starts from."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokenize(d, "text", "doc_id")
+    counts = (
+        toks.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+# ------------------------------------- co-occurrence lift (log-free PMI)
+@register(
+    "docs_cooccurrence_lift",
+    f"""
+    WITH {_TOKS_SQL},
+    doc_tok AS (SELECT DISTINCT doc_id, token FROM toks),
+    tok_df AS (
+      SELECT token, COUNT(*) AS df FROM doc_tok GROUP BY token),
+    vocab AS (SELECT token, df FROM tok_df WHERE df >= 100),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_ab
+      FROM doc_tok a
+        JOIN vocab va ON va.token = a.token
+        JOIN doc_tok b ON b.doc_id = a.doc_id AND a.token < b.token
+        JOIN vocab vb ON vb.token = b.token
+      GROUP BY a.token, b.token)
+    SELECT tok_a, tok_b, n_ab,
+           CAST(n_ab AS DOUBLE) * (SELECT nd FROM n_docs)
+           / (CAST(va.df AS DOUBLE) * vb.df) AS lift
+    FROM pairs JOIN vocab va ON va.token = tok_a
+               JOIN vocab vb ON vb.token = tok_b
+    WHERE n_ab >= 50
+    """,
+)
+def docs_cooccurrence_lift(spark: SparkSession, sf_dir: str):
+    """Token co-occurrence lift — PMI without the logarithm, so the score
+    is a ratio of EXACT integers (doc counts) and stays bit-identical
+    cross-engine (log is libm territory, excluded by the parity policy;
+    lift ranks identically since log is monotone). Vocabulary is
+    df-thresholded BEFORE the pair join — the frequency cut is what keeps
+    the self-join linear-ish instead of |tokens|² per doc at corpus
+    scale."""
+    d = t(spark, sf_dir, "documents")
+    doc_tok = tokenize(d, "text", "doc_id").select("doc_id", "token").distinct()
+    tok_df = doc_tok.groupBy("token").agg(F.count("*").alias("df"))
+    vocab = tok_df.filter(F.col("df") >= 100)
+    nd = d.agg(F.countDistinct("doc_id").alias("nd"))
+    a = doc_tok.join(F.broadcast(vocab.select("token")), "token").select(
+        F.col("doc_id"), F.col("token").alias("tok_a")
+    )
+    b = doc_tok.join(F.broadcast(vocab.select("token")), "token").select(
+        F.col("doc_id"), F.col("token").alias("tok_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    va = vocab.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                * F.col("nd")
+                / (F.col("df_a").cast("double") * F.col("df_b"))
+            ).alias("lift"),
+        )
+    )

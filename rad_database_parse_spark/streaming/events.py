@@ -106,13 +106,19 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def view_purchase_interval_join(
-    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase matched to the same user's
-    views in the preceding `horizon`. Both sides carry watermarks so the
-    join state is bounded — Spark evicts view rows older than the horizon
-    plus watermark delay. Works identically in batch (no watermark needed),
-    which the batch-equivalence test exploits."""
+    """Stream-stream join: each purchase matched to the same user's views
+    in the preceding `horizon`. Both sides carry watermarks so the join
+    state is bounded — Spark evicts view rows older than the horizon plus
+    watermark delay. Works identically in batch (no watermark needed),
+    which the batch-equivalence test exploits. how='right_outer' emits
+    view-less purchases with NULL view columns once the watermark passes
+    them (streaming outer joins hold rows in state until the watermark
+    proves no match can arrive)."""
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
@@ -131,6 +137,7 @@ def view_purchase_interval_join(
         (F.col("v_user") == F.col("p_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts")
 
 

@@ -181,3 +181,120 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path_factory):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_right_outer_join_emits_unmatched(
+    spark, sf_dir, tmp_path_factory
+):
+    """Right-outer interval join: purchases with NO view in the preceding
+    hour emit with NULL view columns once the watermark proves no match
+    can arrive. Streaming holds tail-of-timeline rows in state when the
+    stream ends (watermark never passes them), so equivalence is checked
+    on the safe zone: everything the stream emitted must match batch, and
+    every batch-unmatched purchase older than max_ts - (horizon +
+    watermark) must have been emitted."""
+    from pyspark.sql import functions as F
+
+    from rad_database_parse_spark.streaming.events import (
+        view_purchase_interval_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    views_b = e.filter(F.col("event_type") == "view")
+    purch_b = e.filter(F.col("event_type") == "purchase")
+    batch = view_purchase_interval_join(views_b, purch_b, how="right_outer")
+    batch_unmatched = {
+        r["purchase_id"]
+        for r in batch.filter(F.col("view_id").isNull()).collect()
+    }
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    safe_cutoff = max_ts - datetime.timedelta(hours=3, minutes=5)
+    safe_unmatched = {
+        r["purchase_id"]
+        for r in batch.filter(
+            F.col("view_id").isNull() & (F.col("purchase_ts") < F.lit(safe_cutoff))
+        ).collect()
+    }
+
+    # replay in TIME ORDER (quartile files written sequentially — the file
+    # source triggers by modification time): with out-of-order files an old
+    # view can arrive after the watermark passed its purchase, get dropped
+    # as late, and the purchase legitimately emits unmatched — real
+    # late-data semantics, but not what this equivalence test targets
+    out = str(tmp_path_factory.mktemp("events_ss_outer"))
+    bounds = e.agg(
+        F.expr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))").alias("q")
+    ).collect()[0]["q"]
+    prev = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        part = e
+        if prev is not None:
+            part = part.filter(F.unix_micros("ts") > prev)
+        if hi is not None:
+            part = part.filter(F.unix_micros("ts") <= hi)
+        part.coalesce(1).write.mode("append").parquet(out)
+        prev = hi
+    s = read_events_stream(spark, out)
+    stream = view_purchase_interval_join(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "purchase"),
+        how="right_outer",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_outer_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT purchase_id, view_id FROM ss_outer_out")
+    got_unmatched = {
+        r["purchase_id"] for r in got.filter(F.col("view_id").isNull()).collect()
+    }
+    # everything emitted as unmatched is truly unmatched in batch
+    assert got_unmatched <= batch_unmatched
+    # everything safely past the watermark horizon was emitted
+    assert safe_unmatched <= got_unmatched
+    assert len(safe_unmatched) > 0
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path_factory):
+    """The reference's idempotent ingest (A14/A16 exists-probe dedup,
+    database.py:18-32,43-61) in streaming form: foreachBatch anti-joins
+    each microbatch against the sink before appending, so a twice-replayed
+    stream still lands every event exactly once."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    replay = str(tmp_path_factory.mktemp("events_dup")) + "/events"
+    ev = load_table(spark, sf_dir, "events").repartition(2)
+    ev.write.mode("overwrite").parquet(replay)
+    ev.write.mode("append").parquet(replay)
+
+    sink = str(tmp_path_factory.mktemp("sink")) + "/events_clean"
+
+    def upsert(batch_df, batch_id):
+        batch = batch_df.dropDuplicates(["event_id"])
+        if pathlib.Path(sink).exists():
+            existing = batch_df.sparkSession.read.parquet(sink).select("event_id")
+            batch = batch.join(existing, "event_id", "left_anti")
+        batch.write.mode("append").parquet(sink)
+
+    q = (
+        read_events_stream(spark, replay)
+        .writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    landed = spark.read.parquet(sink)
+    n_total = landed.count()
+    n_distinct = landed.select("event_id").distinct().count()
+    n_src = ev.count()
+    assert n_total == n_distinct == n_src
