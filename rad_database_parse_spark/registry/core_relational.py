@@ -1151,3 +1151,97 @@ def events_hour_gaps(spark: SparkSession, sf_dir: str):
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).distinct()
     return grid.join(present, ["hour", "event_type"], "left_anti")
+
+
+# ----------------------------------------------- pivot with multiple aggs
+@register(
+    "pivot_multi_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS o_qty,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS o_n,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS f_qty,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS f_n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str):
+    """Pivot with MULTIPLE aggregates per pivot value (sum + count) —
+    Spark names the output columns {value}_{alias}; the oracle is the
+    equivalent conditional-aggregation spread."""
+    pivoted = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.sum(dec("l_quantity")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pivoted.select(
+        "l_returnflag",
+        dbl(F.col("O_qty")).alias("o_qty"),
+        F.col("O_n").alias("o_n"),
+        dbl(F.col("F_qty")).alias("f_qty"),
+        F.col("F_n").alias("f_n"),
+    )
+
+
+# ----------------------------------- correlation from exact decimal sums
+@register(
+    "agg_corr_from_sums",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           (sxy - sx * sy / n)
+           / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_corr_from_sums(spark: SparkSession, sf_dir: str):
+    """Covariance/correlation the parity-safe way: built-in corr()/covar()
+    accumulate in doubles whose summation order differs per engine and per
+    partitioning; here the five moments accumulate in EXACT decimal (any
+    order, same sums), and the covariance/correlation formulas run as a
+    fixed IEEE expression on identical operands. Same pattern as the
+    rolling variance, at aggregate granularity."""
+    l = t(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dbl(F.sum(x)).alias("sx"),
+        dbl(F.sum(y)).alias("sy"),
+        dbl(F.sum(x * y)).alias("sxy"),
+        dbl(F.sum(x * x)).alias("sxx"),
+        dbl(F.sum(y * y)).alias("syy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        cov.alias("covar_qty_price"),
+        corr.alias("corr_qty_price"),
+    )
