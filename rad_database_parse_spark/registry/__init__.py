@@ -39,13 +39,18 @@ def register(name: str, oracle: str | None):
 
 
 def all_queries() -> dict[str, QueryDef]:
-    # Import registers everything on first use.
+    # Import registers everything on first use.  Registration ORDER matters:
+    # the driver's correctness gate checks the first 50 registered queries per
+    # round, so families rotate to the front until each has driver-green rows.
+    # Round 1 covered core_relational + tpch_deep (+2 scalar); round 2 puts
+    # llm_ops (25) + events_ops (25) in the window; etl/sampling/scalar lead
+    # the next rotation.
+    from . import llm_ops  # noqa: F401
+    from . import events_ops  # noqa: F401
+    from . import etl_ops  # noqa: F401
+    from . import sampling_profile  # noqa: F401
+    from . import scalar_functions  # noqa: F401
     from . import core_relational  # noqa: F401
     from . import tpch_deep  # noqa: F401
-    from . import scalar_functions  # noqa: F401
-    from . import sampling_profile  # noqa: F401
-    from . import etl_ops  # noqa: F401
-    from . import events_ops  # noqa: F401
-    from . import llm_ops  # noqa: F401
 
     return dict(_REGISTRY)

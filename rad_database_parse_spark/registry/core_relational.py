@@ -1161,11 +1161,13 @@ def events_hour_gaps(spark: SparkSession, sf_dir: str):
            CAST(SUM(CASE WHEN l_linestatus = 'O'
                          THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
              AS o_qty,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS o_n,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS o_n,
            CAST(SUM(CASE WHEN l_linestatus = 'F'
                          THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
              AS f_qty,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS f_n
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_n
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1182,12 +1184,14 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).alias("n"),
         )
     )
+    # coalesce counts to 0: Spark's pivot yields NULL for an absent
+    # (flag,status) cell where the conditional-aggregation oracle yields 0.
     return pivoted.select(
         "l_returnflag",
         dbl(F.col("O_qty")).alias("o_qty"),
-        F.col("O_n").alias("o_n"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("o_n"),
         dbl(F.col("F_qty")).alias("f_qty"),
-        F.col("F_n").alias("f_n"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("f_n"),
     )
 
 

@@ -98,7 +98,8 @@ _SESSION_SQL = f"""
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS session_id
       FROM gaps)
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
     FROM sess GROUP BY user_id, session_id

@@ -289,7 +289,8 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str):
       FROM doc_tokens CROSS JOIN range(32) t(bit)
       GROUP BY doc_id, bit)
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM contrib GROUP BY doc_id
     """,
 )
@@ -509,7 +510,7 @@ _POW31_SQL = "[" + ", ".join(str(31**i) for i in range(8)) + "]"
       SELECT doc_id,
              ((token_id % 1048573) * ({_POW31_SQL})[CAST(pos % 8 AS INT) + 1]) % 2147483647 AS term
       FROM toks)
-    SELECT doc_id, SUM(term) % 2147483647 AS fingerprint
+    SELECT doc_id, CAST(SUM(term) % 2147483647 AS BIGINT) AS fingerprint
     FROM terms GROUP BY doc_id
     """,
 )

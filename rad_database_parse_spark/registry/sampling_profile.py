@@ -154,7 +154,7 @@ def profile_orders(spark: SparkSession, sf_dir: str):
     SELECT bin, bin * 50000.0 AS bin_lo,
            COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_total,
-           SUM(COUNT(*)) OVER (ORDER BY bin) AS cum_n
+           CAST(SUM(COUNT(*)) OVER (ORDER BY bin) AS BIGINT) AS cum_n
     FROM binned GROUP BY bin
     """,
 )
