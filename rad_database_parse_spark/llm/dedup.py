@@ -87,19 +87,36 @@ def word_shingles(tokens: DataFrame, id_col: str, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+    threshold: float = 0.5, max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Candidate duplicate pairs with exact n-gram Jaccard ≥ threshold.
 
     Self-join on shingle generates only co-occurring pairs; |A∪B| comes from
     per-doc shingle counts (|A|+|B|−|A∩B|), so no second pass over pairs.
     The shingle set is persisted (3 plan references: sizes + both join
-    sides) — MEMORY_AND_DISK so large corpora spill rather than re-shingle."""
+    sides) — MEMORY_AND_DISK so large corpora spill rather than re-shingle.
+
+    ``max_shingle_df`` drops shingles shared by more than that many docs
+    before the self-join (Jaccard is then computed over the capped shingle
+    space on both the intersection AND size side). Without it, one
+    boilerplate shingle in d docs contributes d² join rows — quadratic on
+    exactly the hot keys a 100 TB corpus is full of. The dropped shingles
+    carry ~no signal (they match everything); the slight recall loss is the
+    standard trade. The hot set is tiny (shingles with df > cap), so it
+    broadcasts into an anti-join — no extra shuffle on the big side."""
     from pyspark import StorageLevel
 
-    sh = word_shingles(tokenize(df, text_col, id_col), id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = word_shingles(tokenize(df, text_col, id_col), id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -324,25 +341,38 @@ def minhash_lsh_candidates(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
 ) -> DataFrame:
-    """32-bit SimHash per document: for each bit j, sign of Σ_tokens
-    (±1 by bit j of the token's arithmetic hash). One aggregate expression
-    per bit in a single groupBy — no ×bits row blowup, and map-side partial
-    aggregation collapses each partition to one row per doc."""
+    """SimHash per document: for each bit j, sign of Σ_tokens (±1 by bit j
+    of the token's arithmetic hash). One aggregate expression per bit in a
+    single groupBy — no ×bits row blowup, and map-side partial aggregation
+    collapses each partition to one row per doc.
+
+    Default 64 bits (halves false candidates vs 32 on billion-doc corpora);
+    bit j draws from hash function j//32 so each 32-bit block is an
+    independent universal hash, and bits 0-31 are bit-identical to the
+    legacy 32-bit construction (the registry oracle relies on that).
+    Bits are OR-combined, so a 64-bit signature using the sign bit stays a
+    valid bit pattern (equality / xor-hamming both work on negative longs)."""
     # hv hoisted into a projection so the md5-derived token_id is computed
     # once per row, not once per bit aggregate (see _hash_value_cols note)
+    n_srcs = (bits + 31) // 32
     toks = token_ids(tokenize(df, text_col, id_col)).select(
         id_col,
-        (
-            (F.lit(HASH_AS[0]) * F.col("token_id") + F.lit(HASH_BS[0]))
-            % F.lit(MERSENNE_P)
-        ).alias("hv"),
+        *[
+            (
+                (F.lit(HASH_AS[k]) * F.col("token_id") + F.lit(HASH_BS[k]))
+                % F.lit(MERSENNE_P)
+            ).alias(f"hv_{k}")
+            for k in range(n_srcs)
+        ],
     )
     bit_sums = [
         F.sum(
             F.when(
-                F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(F.col(f"hv_{j // 32}"), j % 32).bitwiseAND(F.lit(1))
+                == 1,
+                1,
             ).otherwise(-1)
         ).alias(f"s_{j}")
         for j in range(bits)
@@ -350,8 +380,9 @@ def simhash_signatures(
     contrib = toks.groupBy(id_col).agg(*bit_sums)
     sig = None
     for j in range(bits):
-        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        term = F.shiftleft(
+            F.when(F.col(f"s_{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+            j,
         )
-        sig = term if sig is None else sig + term
+        sig = term if sig is None else sig.bitwiseOR(term)
     return contrib.select(id_col, sig.alias("simhash"))

@@ -44,18 +44,34 @@ def extract_abbreviation_pairs(
     )
 
 
+MAX_DICT_SIZE = 10_000  # chained-regexp codegen stays well-behaved below this
+
+
 def expand_abbreviations(
-    df: DataFrame, text_col: str, dictionary: DataFrame, out_col: str | None = None
+    df: DataFrame, text_col: str, dictionary: DataFrame,
+    out_col: str | None = None, max_dict_size: int = MAX_DICT_SIZE,
 ) -> DataFrame:
     """Replace every whole-word abbreviation occurrence in `text_col` with its
     expansion. The dictionary is collected (it is a small dimension — the
     reference's is tens of rows) and compiled into one chained
     regexp_replace expression evaluated JVM-side; longer abbreviations are
-    applied first so substrings don't pre-empt."""
-    pairs = [
-        (r.abbreviation, r.expansion)
-        for r in dictionary.select("abbreviation", "expansion").collect()
-    ]
+    applied first so substrings don't pre-empt.
+
+    The collect is bounded: an unbounded dictionary compiled into one
+    expression is a driver/codegen bomb, so collect limit+1 rows and fail
+    fast past ``max_dict_size`` (a huge dictionary wants the explode/join
+    form instead, see module docstring)."""
+    rows = (
+        dictionary.select("abbreviation", "expansion")
+        .limit(max_dict_size + 1)
+        .collect()
+    )
+    if len(rows) > max_dict_size:
+        raise ValueError(
+            f"abbreviation dictionary exceeds {max_dict_size} entries; "
+            "use a join-based expansion for large dictionaries"
+        )
+    pairs = [(r.abbreviation, r.expansion) for r in rows]
     pairs.sort(key=lambda p: -len(p[0]))
     col: Column = F.col(text_col)
     for abbrev, expansion in pairs:

@@ -36,6 +36,10 @@ def delete_where(df: DataFrame, cond: Column, limit: int | None = None,
     """DELETE FROM t WHERE cond [LIMIT n]. The LIMIT-n form needs a
     deterministic order; matches get row_number() over `order_by` and only
     rn<=n are deleted (SURVEY §2A-19)."""
+    # SQL DELETE only removes rows whose predicate is TRUE; a NULL predicate
+    # keeps the row. Coalesce so NULL doesn't leak through ~cond (dropped) or
+    # land in its own _m=NULL window partition.
+    cond = F.coalesce(cond, F.lit(False))
     if limit is None:
         return df.filter(~cond)
     w = Window.partitionBy().orderBy(*(order_by or [F.monotonically_increasing_id()]))

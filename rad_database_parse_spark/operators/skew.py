@@ -23,10 +23,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _row_salt(row_key: Column, n_salts: int) -> Column:
+def _row_salt(df: DataFrame, salt_source: str | None, n_salts: int) -> Column:
     """Deterministic per-row salt — xxhash64 spreads a hot join key's rows
-    uniformly; determinism keeps reruns reproducible."""
-    return F.pmod(F.xxhash64(row_key), F.lit(n_salts))
+    uniformly; determinism keeps reruns reproducible.
+
+    With no ``salt_source`` the salt hashes ALL columns: salting on the join
+    key alone would give every row of a hot key the same salt — zero
+    spreading for exactly the case salting exists for."""
+    cols = [F.col(salt_source)] if salt_source else [F.col(c) for c in df.columns]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts))
 
 
 def salted_equi_join(
@@ -39,11 +44,10 @@ def salted_equi_join(
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated ×n.
 
-    ``salt_source``: a column of ``big`` that varies per row (defaults to the
-    join key itself, which only helps if values within the hot key differ —
-    pass a row-unique id column for true spreading)."""
-    src = F.col(salt_source) if salt_source else F.col(key)
-    b = big.withColumn("_salt", _row_salt(src, n_salts))
+    ``salt_source``: a column of ``big`` that varies per row; by default the
+    salt hashes every column of ``big`` so a hot key genuinely spreads over
+    ``n_salts`` tasks."""
+    b = big.withColumn("_salt", _row_salt(big, salt_source, n_salts))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
@@ -54,9 +58,8 @@ def salted_groupby_count(
     df: DataFrame, key: str, n_salts: int = 8, salt_source: str | None = None
 ) -> DataFrame:
     """Two-phase count: partial per (key, salt) → final per key."""
-    src = F.col(salt_source) if salt_source else F.col(key)
     partial = (
-        df.withColumn("_salt", _row_salt(src, n_salts))
+        df.withColumn("_salt", _row_salt(df, salt_source, n_salts))
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_partial"))
     )

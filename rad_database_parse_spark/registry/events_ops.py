@@ -274,7 +274,7 @@ def stateful_user_totals_stream(spark: SparkSession, sf_dir: str):
     _STATEFUL_SEQ[0] += 1
     name = f"stateful_user_totals_{_STATEFUL_SEQ[0]}"
     run_stream_to_memory(
-        stateful_user_totals(read_events_stream(spark, replay)), name
+        stateful_user_totals(read_events_stream(spark, replay)), name, mode="update"
     )
     emitted = spark.sql(f"SELECT * FROM {name}")
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
@@ -315,6 +315,7 @@ def stream_static_join_segments(spark: SparkSession, sf_dir: str):
             read_events_stream(spark, replay), t(spark, sf_dir, "customer")
         ),
         name,
+        mode="complete",
     )
     return spark.sql(f"SELECT * FROM {name}")
 

@@ -85,10 +85,16 @@ _NGRAM_PAIR_CTES = f"""
       FROM toks
       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       QUALIFY lead(token, 2) OVER w IS NOT NULL),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    -- mirror of max_shingle_df=10000: drop boilerplate shingles before the
+    -- pair join (no-op at test scale; semantics must match the Spark side)
+    sh_capped AS (
+      SELECT * FROM sh WHERE shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 10000)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_capped GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh_capped a JOIN sh_capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
     ng_pairs AS (
       SELECT id_a, id_b,

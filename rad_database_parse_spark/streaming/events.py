@@ -187,18 +187,13 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str) -> None:
+def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Drive a bounded file-replay stream to completion synchronously.
 
-    Sink mode follows the plan: aggregations → complete, mapGroupsWithState-
-    family (update-mode custom state) → update, else append."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if "FlatMapGroupsInPandasWithState" in plan:
-        mode = "update"
-    elif "Aggregate" in plan:
-        mode = "complete"
-    else:
-        mode = "append"
+    ``mode`` is the writeStream output mode — each caller knows its own plan
+    shape (aggregations → complete, applyInPandasWithState update flows →
+    update, stateless/watermark-final → append), so it is passed explicitly
+    rather than sniffed from private plan APIs."""
     q = (
         df.writeStream.outputMode(mode)
         .format("memory")

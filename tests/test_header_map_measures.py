@@ -78,3 +78,14 @@ def test_expand_abbreviations_whole_word(spark):
     df = spark.createDataFrame([("TID rose; TIDINGS stay",)], ["t"])
     out = expand_abbreviations(df, "t", d).collect()[0].t
     assert out == "Total Ionizing Dose rose; TIDINGS stay"
+
+def test_expand_abbreviations_rejects_oversized_dict(spark):
+    import pytest
+
+    d = spark.createDataFrame(
+        [(f"A{i}", f"alpha {i}") for i in range(3)], ["abbreviation", "expansion"]
+    )
+    with pytest.raises(ValueError, match="exceeds 2 entries"):
+        expand_abbreviations(
+            spark.createDataFrame([("x",)], ["t"]), "t", d, max_dict_size=2
+        )

@@ -133,3 +133,28 @@ def test_connected_components_path_and_clique(spark):
     assert assign[20] == (20, True)
     assert assign[1] == (1, True) and assign[5] == (1, False)
     assert assign[10] == (10, True) and assign[12] == (10, False)
+
+def test_simhash_64_extends_32(spark):
+    docs = _docs(spark)
+    s32 = {r.doc_id: r.simhash
+           for r in simhash_signatures(docs, "text", "doc_id", bits=32).collect()}
+    s64 = {r.doc_id: r.simhash
+           for r in simhash_signatures(docs, "text", "doc_id", bits=64).collect()}
+    # low 32 bits of the 64-bit signature == the legacy 32-bit signature
+    for d in s32:
+        assert s64[d] & 0xFFFFFFFF == s32[d]
+    # the second hash block contributes real bits above bit 31
+    assert any(s64[d] >> 32 != 0 for d in s64)
+    # exact dups still collide at 64 bits
+    assert s64[1] == s64[2] and s64[1] != s64[4]
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    docs = _docs(spark)
+    # default cap is a no-op at this scale: near-dup pair survives
+    base = {(r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()}
+    assert (1, 2) in base
+    # cap=1 drops every shared shingle -> no candidate pairs at all
+    capped = ngram_jaccard_pairs(docs, "text", "doc_id", max_shingle_df=1)
+    assert capped.count() == 0

@@ -49,3 +49,12 @@ def test_asof_join_matches_naive(spark):
     got = {r.lname: r.price for r in out.collect()}
     # L1 sees 09:30→100; L2 sees 11:00→200; L3 ties at 09:00→300 (<= semantics)
     assert got == {"L1": 100.0, "L2": 200.0, "L3": 300.0}
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    # SQL DELETE removes only predicate-TRUE rows; NULL predicate keeps them.
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, None)], ["k", "m"]
+    )
+    assert {r.k for r in delete_where(df, F.col("m") == 1).collect()} == {2, 3}
+    out = delete_where(df, F.col("m") == 1, limit=5, order_by=[F.col("k")])
+    assert {r.k for r in out.collect()} == {2, 3}

@@ -72,7 +72,9 @@ def test_stateful_user_totals_equals_batch(spark, sf_dir, tmp_path_factory):
     e.repartition(2).write.mode("overwrite").parquet(out)
 
     run_stream_to_memory(
-        stateful_user_totals(read_events_stream(spark, out)), "stateful_test_out"
+        stateful_user_totals(read_events_stream(spark, out)),
+        "stateful_test_out",
+        mode="update",
     )
     final = (
         spark.sql("SELECT * FROM stateful_test_out")
