@@ -826,3 +826,92 @@ def xml_roundtrip_nation(spark: SparkSession, sf_dir: str):
         .option("rowTag", "nation")
         .load(path)
     )
+
+
+# --------------------------------------- rad_id back-reference (list of ids)
+@register(
+    "part_rad_backref",
+    """
+    WITH backref AS (
+      -- the reference's "list unique ids" back-reference per part
+      SELECT l_partkey, list_sort(list(DISTINCT l_orderkey)) AS rad_ids
+      FROM lineitem GROUP BY l_partkey),
+    exploded AS (
+      SELECT l_partkey, UNNEST(rad_ids) AS rad_id FROM backref)
+    SELECT p.p_brand,
+           COUNT(*) AS n_links,
+           COUNT(DISTINCT e.l_partkey) AS n_parts,
+           COUNT(DISTINCT e.rad_id) AS n_rad_entries
+    FROM exploded e JOIN part p ON e.l_partkey = p.p_partkey
+                    JOIN orders o ON e.rad_id = o.o_orderkey
+    GROUP BY p.p_brand
+    """,
+)
+def part_rad_backref(spark: SparkSession, sf_dir: str):
+    """The reference's part→radiation back-reference: each part row carries
+    a LIST of rad_table ids (`rad_id INTEGER NOT NULL`, database.py:274;
+    workflow comment "back reference the radiation (list unique ids)",
+    main.py:62-64). Spark-first: materialize the back-ref as an
+    ArrayType(Long) column via sort_array(collect_set(...)), then consume
+    it with explode + joins back to the referenced entries — the read path
+    a user of the reference's list-of-ids design needs. The per-brand
+    rollup keeps the output deterministic for the oracle."""
+    li = t(spark, sf_dir, "lineitem")
+    backref = li.groupBy("l_partkey").agg(
+        F.sort_array(F.collect_set("l_orderkey")).alias("rad_ids")
+    )
+    exploded = backref.select(
+        "l_partkey", F.explode("rad_ids").alias("rad_id")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    return (
+        exploded.join(p, exploded.l_partkey == p.p_partkey)
+        .join(o, exploded.rad_id == o.o_orderkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("rad_id").alias("n_rad_entries"),
+        )
+    )
+
+
+# ------------------------------------------------- paper_table dimension
+@register(
+    "paper_dim_join",
+    """
+    WITH paper_table AS (
+      SELECT paper_name,
+             ROW_NUMBER() OVER (ORDER BY paper_name) AS paper_id
+      FROM (SELECT DISTINCT source AS paper_name FROM documents))
+    SELECT pt.paper_id, pt.paper_name,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN paper_table pt ON d.source = pt.paper_name
+    GROUP BY pt.paper_id, pt.paper_name
+    """,
+)
+def paper_dim_join(spark: SparkSession, sf_dir: str):
+    """The reference's paper registry dimension (`paper_table(id,
+    paper_name)`, database.py:77-81) built and consumed in one query:
+    distinct sources get a deterministic surrogate id (row_number over the
+    name — the Spark form of AUTOINCREMENT for a static load), the fact
+    table joins the broadcast dimension, and the rollup carries both the
+    surrogate and the natural key so lineage survives."""
+    d = t(spark, sf_dir, "documents")
+    dim = (
+        d.select(F.col("source").alias("paper_name"))
+        .distinct()
+        .withColumn(
+            "paper_id", F.row_number().over(Window.orderBy("paper_name"))
+        )
+    )
+    return (
+        d.join(F.broadcast(dim), d.source == dim.paper_name)
+        .groupBy("paper_id", "paper_name")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
