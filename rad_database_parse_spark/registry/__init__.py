@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QueryDef]:
     # the next rotation.
     from . import llm_ops  # noqa: F401
     from . import events_ops  # noqa: F401
+    from . import pipeline_ops  # noqa: F401
     from . import etl_ops  # noqa: F401
     from . import sampling_profile  # noqa: F401
     from . import scalar_functions  # noqa: F401

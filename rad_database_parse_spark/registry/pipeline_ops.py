@@ -1,0 +1,424 @@
+"""Large-pipeline operators: CDC snapshot diff, range/band join,
+multi-resolution rollup, sequence packing, composed quality gates, and
+embedding centroids.
+
+These extend the training-data-pipeline surface (SURVEY §2C) with the
+operations a 100 TB ingest actually runs between the reference's extract
+stage and model consumption. Inputs are synthesized deterministically from
+the driver testdata so both engines see identical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import dbl, dec, t
+
+# ------------------------------------------------------ CDC snapshot diff
+@register(
+    "snapshot_diff_customers",
+    """
+    WITH old AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+    new AS (
+      -- deterministic second snapshot: drop %10 keys, bump %7 balances,
+      -- insert shifted copies of %13 keys
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN CAST(c_acctbal AS DECIMAL(12,2)) + 100
+                  ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(c_acctbal AS DECIMAL(12,2))
+      FROM customer WHERE c_custkey % 13 = 0)
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CAST(o.bal AS DOUBLE) AS old_bal,
+           CAST(n.bal AS DOUBLE) AS new_bal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL OR o.bal <> n.bal
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str):
+    """CDC between two table snapshots without a log: one full outer join
+    on the key, rows classified added/removed/changed (unchanged rows are
+    dropped — the diff output is change-volume-sized, not table-sized).
+    Both sides shuffle-partition on the same key, so the join co-locates;
+    at 100 TB this is the standard snapshot-reconciliation shape and the
+    diff feeds a MERGE. Balances compare in DECIMAL (exact)."""
+    c = t(spark, sf_dir, "customer")
+    old = c.select("c_custkey", dec("c_acctbal").alias("bal"))
+    new = (
+        c.filter(F.col("c_custkey") % 10 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0, dec("c_acctbal") + F.lit(100)
+            )
+            .otherwise(dec("c_acctbal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                dec("c_acctbal").alias("bal"),
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    change = (
+        F.when(F.col("o.c_custkey").isNull(), F.lit("added"))
+        .when(F.col("n.c_custkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias(
+                "c_custkey"
+            ),
+            change.alias("change_type"),
+            dbl(F.col("o.bal")).alias("old_bal"),
+            dbl(F.col("n.bal")).alias("new_bal"),
+        )
+        .filter(
+            F.col("old_bal").isNull()
+            | F.col("new_bal").isNull()
+            | (F.col("old_bal") != F.col("new_bal"))
+        )
+    )
+
+
+# ------------------------------------------------------- range/band join
+@register(
+    "range_band_join_orders",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('micro', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+             ('mid', 150000.0, 300000.0), ('large', 300000.0, 1e18))
+    SELECT b.band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_band_join_orders(spark: SparkSession, sf_dir: str):
+    """Numeric range (band) join: every fact row lands in the band whose
+    [lo, hi) interval contains it. The band table is tiny, so the non-equi
+    condition plans as a broadcast nested-loop — each fact row tests ~|bands|
+    predicates JVM-side, which is the right physical strategy (an equi-join
+    is impossible without materializing the containment). For monotone
+    fixed-width bands you'd precompute a bucket key instead (see
+    histogram_totalprice); this operator is the general arbitrary-interval
+    form."""
+    bands = spark.createDataFrame(
+        [
+            ("micro", 0.0, 50_000.0),
+            ("small", 50_000.0, 150_000.0),
+            ("mid", 150_000.0, 300_000.0),
+            ("large", 300_000.0, 1e18),
+        ],
+        ["band", "lo", "hi"],
+    )
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+    )
+
+
+# ------------------------------------------- multi-resolution time rollup
+@register(
+    "rollup_multi_resolution",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_start,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(12,2))) AS total_dec
+      FROM events GROUP BY 1),
+    daily AS (
+      SELECT date_trunc('day', bucket_start) AS bucket_start,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(total_dec) AS total_dec
+      FROM hourly GROUP BY 1)
+    SELECT 'hour' AS resolution, bucket_start, n,
+           CAST(total_dec AS DOUBLE) AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS resolution, bucket_start, n,
+           CAST(total_dec AS DOUBLE) AS total_value
+    FROM daily
+    """,
+)
+def rollup_multi_resolution(spark: SparkSession, sf_dir: str):
+    """Hypertable-style cascading rollup: the day resolution aggregates the
+    HOURLY aggregate, not the raw facts — the continuous-aggregate pattern
+    (one fact scan total; each coarser level reads the finer one, which is
+    ~24x smaller). Decimal partials re-aggregate exactly, so the cascade is
+    bit-equal to aggregating raw data. At 100 TB the hourly table is what
+    you persist; daily/monthly are cheap derivations."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).alias("total_dec"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("total_dec").alias("total_dec"),
+        )
+    )
+    out_h = hourly.select(
+        F.lit("hour").alias("resolution"),
+        "bucket_start",
+        "n",
+        dbl(F.col("total_dec")).alias("total_value"),
+    )
+    out_d = daily.select(
+        F.lit("day").alias("resolution"),
+        "bucket_start",
+        "n",
+        dbl(F.col("total_dec")).alias("total_value"),
+    )
+    return out_h.unionByName(out_d)
+
+
+# ------------------------------------------------------ sequence packing
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "docs_pack_sequences",
+    f"""
+    WITH counted AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM counted)
+    SELECT lang,
+           -- floor, not CAST: DuckDB CAST(double AS BIGINT) rounds-to-nearest
+           CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}.0) AS BIGINT)
+             AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM cum GROUP BY lang, pack_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str):
+    """Training-sequence packing (concat-then-chunk): documents are laid
+    out in deterministic id order within each language shard, and a doc's
+    pack is its starting offset divided by the token budget — the
+    concatenate-everything-then-cut-fixed-windows packing LLM pipelines use
+    (docs may straddle a boundary; the tokenizer's chunker splits them).
+    The window partitions by lang, so there is NO global single-partition
+    sort — at 100 TB the shard key is whatever balances the corpus
+    (lang×source×hash-bucket); the per-shard plan is unchanged."""
+    from ..llm.text import token_count_expr
+
+    d = t(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", "lang", token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counted.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.withColumn(
+            "pack_id",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET
+            ).cast("bigint"),
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------- composed quality gating
+@register(
+    "docs_gopher_filter",
+    """
+    WITH m AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens,
+             length(text) AS n_chars,
+             length(text)
+               - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+      FROM documents),
+    gated AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS pass_len,
+             CASE WHEN n_alpha >= 0.6 * GREATEST(n_chars, 1) THEN 1 ELSE 0 END AS pass_alpha,
+             CASE WHEN n_punct <= 0.2 * GREATEST(n_chars, 1) THEN 1 ELSE 0 END AS pass_punct,
+             CASE WHEN n_alpha BETWEEN 2 * n_tokens AND 12 * n_tokens
+                  THEN 1 ELSE 0 END AS pass_wordlen
+      FROM m)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(pass_len * pass_alpha * pass_punct * pass_wordlen)
+                AS BIGINT) AS n_survivors,
+           CAST(SUM(pass_len) AS BIGINT) AS pass_len,
+           CAST(SUM(pass_alpha) AS BIGINT) AS pass_alpha,
+           CAST(SUM(pass_punct) AS BIGINT) AS pass_punct,
+           CAST(SUM(pass_wordlen) AS BIGINT) AS pass_wordlen
+    FROM gated GROUP BY lang
+    """,
+)
+def docs_gopher_filter(spark: SparkSession, sf_dir: str):
+    """Gopher-style composed quality gating: four independent rule gates
+    (length band, alpha ratio, punctuation density, mean word length) with
+    a per-language survival report — the per-rule pass counts are what you
+    tune thresholds against before committing a 100 TB filter pass. All
+    gates are integer comparisons (ratio thresholds rewritten as integer
+    cross-products), so the report is bit-exact in any engine."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    from ..llm.text import token_count_expr
+
+    n_tokens = token_count_expr(txt)
+    n_chars = F.length(txt)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(F.lower(txt), r"[^a-z]", ""))
+    m = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        n_alpha.alias("n_alpha"),
+    )
+    one = F.lit(1)
+    gated = m.select(
+        "lang",
+        F.when(F.col("n_tokens").between(5, 100_000), 1).otherwise(0).alias("pass_len"),
+        F.when(
+            F.col("n_alpha") >= 0.6 * F.greatest(F.col("n_chars"), one), 1
+        ).otherwise(0).alias("pass_alpha"),
+        F.when(
+            F.col("n_punct") <= 0.2 * F.greatest(F.col("n_chars"), one), 1
+        ).otherwise(0).alias("pass_punct"),
+        F.when(
+            F.col("n_alpha").between(2 * F.col("n_tokens"), 12 * F.col("n_tokens")),
+            1,
+        ).otherwise(0).alias("pass_wordlen"),
+    )
+    return gated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.col("pass_len")
+            * F.col("pass_alpha")
+            * F.col("pass_punct")
+            * F.col("pass_wordlen")
+        )
+        .cast("bigint")
+        .alias("n_survivors"),
+        F.sum("pass_len").cast("bigint").alias("pass_len"),
+        F.sum("pass_alpha").cast("bigint").alias("pass_alpha"),
+        F.sum("pass_punct").cast("bigint").alias("pass_punct"),
+        F.sum("pass_wordlen").cast("bigint").alias("pass_wordlen"),
+    )
+
+
+# ---------------------------------------------- embedding label centroids
+EMB_DIM = 64
+CENT_SCALE = 1_000_000  # fixed-point scale: exact integer sums in any engine
+
+
+@register(
+    "emb_label_centroids",
+    f"""
+    WITH expl AS (
+      SELECT label, r.pos,
+             -- widen the float32 element to DOUBLE before scaling: DuckDB
+             -- would otherwise multiply in single precision and land on the
+             -- other side of the rounding boundary
+             CAST(floor(CAST(embedding[CAST(r.pos AS INT) + 1] AS DOUBLE)
+                        * {CENT_SCALE} + 0.5) AS BIGINT) AS v_fp
+      FROM embeddings CROSS JOIN range({EMB_DIM}) r(pos)),
+    per_dim AS (
+      SELECT label, pos, SUM(v_fp) AS s, COUNT(*) AS n
+      FROM expl GROUP BY label, pos)
+    SELECT label,
+           CAST(MIN(n) AS BIGINT) AS n_vecs,
+           -- floor(x+0.5)/1e6 instead of ROUND(x,6): ROUND's half-way rule
+           -- differs between engines; floor on the same IEEE double doesn't
+           list(CAST(floor(s / n + 0.5) AS BIGINT) / {CENT_SCALE}.0
+                ORDER BY pos) AS centroid
+    FROM per_dim GROUP BY label
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str):
+    """Per-label embedding centroid (the IVF training / class-prototype
+    primitive): posexplode to (label, dim, value), aggregate per dimension,
+    reassemble the vector ordered by dimension. Values go through a
+    fixed-point conversion (floor(v*1e6+0.5) — IEEE-exact, so both engines
+    produce identical integers) and sum as BIGINT: float summation order
+    varies across partitions, integer summation is exact. The explode is
+    N×D rows but purely map-side before one (label, dim) aggregation;
+    map-side partial agg collapses it per partition."""
+    e = t(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn(
+        "v_fp",
+        F.floor(F.col("v").cast("double") * CENT_SCALE + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    per_dim = expl.groupBy("label", "pos").agg(
+        F.sum("v_fp").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.min("n").cast("bigint").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (
+                            F.floor(F.col("s") / F.col("n") + F.lit(0.5)).cast(
+                                "bigint"
+                            )
+                            / F.lit(float(CENT_SCALE))
+                        ).alias("c"),
+                    )
+                )
+            ).alias("pairs"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform(F.col("pairs"), lambda p: p.c).alias("centroid"),
+        )
+    )
