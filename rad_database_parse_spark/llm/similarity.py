@@ -78,7 +78,14 @@ def brute_force_cosine_topk(
 
 def sign_bucket(vec: Column, dims: list[int] | None = None) -> Column:
     """Bucket id from the sign bits of fixed coordinates (deterministic
-    hyperplane-LSH stand-in: hyperplane i = coordinate axis dims[i])."""
+    hyperplane-LSH stand-in: hyperplane i = coordinate axis dims[i]).
+
+    Recall/scale dial (SCALE.md): a single b-bit table finds a pair only
+    if ALL b signs agree (recall (1-θ/π)^b for angle θ). Production tuning
+    OR-amplifies: L independent tables (different ``dims`` draws), union
+    the candidate pairs, dedup — recall 1-(1-p^b)^L while each table's
+    bucket join stays N/2^b-sized. The plan is this function called L
+    times with a table id column unioned before the bucket self-join."""
     dims = dims or DEFAULT_SIGN_DIMS
     bucket = F.lit(0)
     for i, d in enumerate(dims):

@@ -159,23 +159,26 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             T.StructField("total_value", T.DoubleType()),
         ]
     )
+    # totals accumulate as integer CENTS in state (the repo's decimal-exact
+    # policy): float accumulation would drift with microbatch order, so the
+    # emitted total could differ between replays of the same data.
     state_schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
-            T.StructField("total", T.DoubleType()),
+            T.StructField("total_cents", T.LongType()),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int((pdf["value"] * 100).round().sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
