@@ -422,3 +422,301 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str):
             F.transform(F.col("pairs"), lambda p: p.c).alias("centroid"),
         )
     )
+
+
+# ------------------------------------- approx percentile, bounded error
+@register(
+    "agg_approx_quantile_check",
+    """
+    SELECT o_orderpriority,
+           -- interpolate in DOUBLE: quantile_cont over DECIMAL rounds the
+           -- interpolated value back to scale 2 (Spark keeps the double)
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS p95,
+           1 AS p50_within_tol, 1 AS p95_within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_quantile_check(spark: SparkSession, sf_dir: str):
+    """Approximate percentile with an in-query error bound: the checked
+    output carries the EXACT percentiles (hash-comparable across engines)
+    plus flags asserting Spark's approx_percentile sketch landed within 5%
+    of exact — the oracle pins the flags to 1, so sketch drift fails the
+    gate. At 100 TB the sketch (one pass, mergeable, no sort) is the one
+    you run; this query is the harness proving its error budget."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), 0.5).alias("p50"),
+        F.percentile(F.col("o_totalprice"), 0.95).alias("p95"),
+        F.approx_percentile(F.col("o_totalprice"), 0.5, 10_000).alias("a50"),
+        F.approx_percentile(F.col("o_totalprice"), 0.95, 10_000).alias("a95"),
+    )
+    tol = 0.05
+    return agg.select(
+        "o_orderpriority",
+        "p50",
+        "p95",
+        (F.abs(dbl(F.col("a50")) - F.col("p50")) <= tol * F.abs(F.col("p50")))
+        .cast("int")
+        .alias("p50_within_tol"),
+        (F.abs(dbl(F.col("a95")) - F.col("p95")) <= tol * F.abs(F.col("p95")))
+        .cast("int")
+        .alias("p95_within_tol"),
+    )
+
+
+# ----------------------------- OR-amplified sign-LSH near-dup (2 tables)
+_LSH_DIMS_A = [0, 8, 16, 24, 32, 40, 48, 56]
+_LSH_DIMS_B = [4, 12, 20, 28, 36, 44, 52, 60]
+
+
+def _bucket_sql(dims):
+    return " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(dims)
+    )
+
+
+@register(
+    "emb_lsh_or_amplified",
+    f"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_bucket_sql(_LSH_DIMS_A)} AS b0,
+             {_bucket_sql(_LSH_DIMS_B)} AS b1
+      FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM c a JOIN c b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM c a JOIN c b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           round(list_dot_product(ca.v, cb.v) /
+                 (sqrt(list_dot_product(ca.v, ca.v))
+                  * sqrt(list_dot_product(cb.v, cb.v))), 6) AS sim
+    FROM cand JOIN c ca ON ca.vec_id = id_a JOIN c cb ON cb.vec_id = id_b
+    WHERE round(list_dot_product(ca.v, cb.v) /
+                (sqrt(list_dot_product(ca.v, ca.v))
+                 * sqrt(list_dot_product(cb.v, cb.v))), 6) >= 0.2
+    """,
+)
+def emb_lsh_or_amplified(spark: SparkSession, sf_dir: str):
+    """OR-amplified hyperplane LSH (the sign_bucket docstring recipe made
+    concrete): TWO independent 8-bit bucket tables, candidate pairs from
+    either table union-deduped BEFORE the expensive verify, then one
+    row-local cosine per surviving pair. Recall rises from p^8 to
+    1-(1-p^8)^2 while each table's self-join stays N/256-bucket-sized;
+    the dedup shuffles only narrow id pairs."""
+    from ..llm.similarity import cosine, sign_bucket
+
+    e = t(spark, sf_dir, "embeddings")
+    c = e.select(
+        "vec_id",
+        "embedding",
+        sign_bucket(F.col("embedding"), _LSH_DIMS_A).alias("b0"),
+        sign_bucket(F.col("embedding"), _LSH_DIMS_B).alias("b1"),
+    )
+
+    def table_pairs(bucket_col):
+        a = c.select(F.col("vec_id").alias("id_a"), F.col(bucket_col).alias("bk"))
+        b = c.select(F.col("vec_id").alias("id_b"), F.col(bucket_col).alias("bk"))
+        return a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+
+    cand = table_pairs("b0").union(table_pairs("b1")).distinct()
+    va = c.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = c.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= 0.2)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+# ------------------------------- blocked string-similarity (entity res)
+@register(
+    "part_name_neardup",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             regexp_extract(p_name, '^[^ ]+') AS blk,
+             length(p_name) AS ln
+      FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+         AND abs(a.ln - b.ln) <= 4
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def part_name_neardup(spark: SparkSession, sf_dir: str):
+    """Entity-resolution string-similarity join with blocking: candidate
+    pairs must share a cheap block key (first token) AND pass a length-
+    difference prefilter (a free levenshtein lower bound) before the
+    O(len²) edit distance runs. The all-pairs square never materializes —
+    the join is linear in block-collision volume, the classic dedup shape
+    for names/addresses at warehouse scale. JVM levenshtein, no UDF."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"^[^ ]+", 0).alias("blk"),
+        F.length("p_name").alias("ln"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("na"),
+        "blk",
+        F.col("ln").alias("la"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("nb"),
+        "blk",
+        F.col("ln").alias("lb"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 4)
+        )
+        .withColumn("dist", F.levenshtein("na", "nb").cast("bigint"))
+        .filter(F.col("dist") <= 4)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+# ----------------------------------------- z-score anomaly flags (hours)
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS sx,
+             CAST(SUM(n * n) AS BIGINT) AS sxx
+      FROM hourly GROUP BY event_type)
+    SELECT h.event_type, h.hour, h.n,
+           round((h.n - sx / CAST(n_hours AS DOUBLE))
+                 / sqrt((sxx - sx * (sx / CAST(n_hours AS DOUBLE)))
+                        / (n_hours - 1)), 6) AS z
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE abs((h.n - sx / CAST(n_hours AS DOUBLE))
+              / sqrt((sxx - sx * (sx / CAST(n_hours AS DOUBLE)))
+                     / (n_hours - 1))) > 2
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str):
+    """Volume-anomaly detection: hourly counts per type, per-type mean/std
+    derived from EXACT integer sums (count, Σn, Σn² — one aggregate over
+    the small hourly table), z-score in double on identical operands, flag
+    |z| > 2. The stats side is |types|-sized and broadcasts; no second
+    scan of the facts. The parity-safe variance form matches
+    agg_corr_from_sums (float policy: exact moments, then IEEE ops)."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n_hours").cast("double")
+    var = (F.col("sxx") - F.col("sx") * mean) / (F.col("n_hours") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs((F.col("n") - mean) / F.sqrt(var)) > 2)
+        .select("event_type", "hour", "n", "z")
+    )
+
+
+# ------------------------------------------- event-type transition matrix
+@register(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM cnt GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           round(c.n / CAST(t.n_from AS DOUBLE), 6) AS p
+    FROM cnt c JOIN tot t ON c.from_type = t.from_type
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str):
+    """First-order behavioral transition matrix: per-user event sequences
+    (one window, partitioned by user — no global sort), pair counts, and
+    row-normalized transition probabilities. The normalizing totals are
+    |types|²-sized partials rolled to |types| — broadcast back. Exact
+    integer counts; probability divided in double and rounded (float
+    policy)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .withColumn(
+            "p", F.round(F.col("n") / F.col("n_from").cast("double"), 6)
+        )
+        .select("from_type", "to_type", "n", "p")
+    )
+
+
+# ------------------------------------------------ decile profiling (NTILE)
+@register(
+    "ntile_decile_stats",
+    """
+    WITH ranked AS (
+      SELECT c_acctbal,
+             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+    SELECT decile,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM ranked GROUP BY decile
+    """,
+)
+def ntile_decile_stats(spark: SparkSession, sf_dir: str):
+    """Decile profiling via NTILE: deterministic total order (value, key
+    tie-break), ten equal-height buckets, per-bucket range and mass. The
+    global NTILE window is the one intentionally serial step (rank needs a
+    total order); at 100 TB you'd swap it for quantile cut points from
+    approx_percentile and a scan-local bucket assignment — same output
+    contract, no global sort."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_acctbal", F.ntile(10).over(w).alias("decile")
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        dbl(F.min(dec("c_acctbal"))).alias("lo"),
+        dbl(F.max(dec("c_acctbal"))).alias("hi"),
+        dbl(F.sum(dec("c_acctbal"))).alias("total"),
+    )

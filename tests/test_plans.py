@@ -154,3 +154,32 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     plan = formatted_plan(docs_decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_range_band_join_is_broadcast_nlj(spark, sf_dir):
+    from rad_database_parse_spark.registry.pipeline_ops import (
+        range_band_join_orders,
+    )
+
+    plan = formatted_plan(range_band_join_orders(spark, sf_dir))
+    # non-equi interval join over a tiny dim must broadcast, never cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_part_name_neardup_blocks_before_distance(spark, sf_dir):
+    from rad_database_parse_spark.registry.pipeline_ops import part_name_neardup
+
+    plan = formatted_plan(part_name_neardup(spark, sf_dir))
+    # the string-similarity join must be an equi-join on the block key
+    # (hash-partitioned candidates), not an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    from rad_database_parse_spark.registry.pipeline_ops import (
+        events_anomaly_zscore,
+    )
+
+    assert uses_broadcast_join(events_anomaly_zscore(spark, sf_dir))
