@@ -720,3 +720,192 @@ def ntile_decile_stats(spark: SparkSession, sf_dir: str):
         dbl(F.max(dec("c_acctbal"))).alias("hi"),
         dbl(F.sum(dec("c_acctbal"))).alias("total"),
     )
+
+
+# -------------------------------------------- PageRank, fixed-point exact
+PR_SCALE = 1_000_000
+PR_ITERS = 8
+PR_BASE = 150_000  # floor(0.15 * PR_SCALE)
+
+
+def _pr_oracle_sql() -> str:
+    """Unrolled fixed-point PageRank as chained CTEs (no engine-specific
+    recursion semantics): every rank is an integer, every step uses
+    floor() on double ops over exact integers — bit-equal in any engine."""
+    parts = [
+        """
+    edges AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION
+      SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (
+      SELECT src AS node, CAST(%d AS BIGINT) AS r
+      FROM (SELECT DISTINCT src FROM edges))
+        """
+        % PR_SCALE
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""
+    r{i} AS (
+      SELECT e.dst AS node,
+             CAST({PR_BASE} + floor(0.85 * SUM(
+                    CAST(floor(CAST(r.r AS DOUBLE) / d.d) AS BIGINT)))
+                  AS BIGINT) AS r
+      FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN r{i - 1} r ON r.node = e.src
+      GROUP BY e.dst)
+            """
+        )
+    ctes = ",".join(parts)
+    return f"WITH {ctes} SELECT node, r AS rank_fp FROM r{PR_ITERS}"
+
+
+@register("graph_pagerank_fixedpoint", _pr_oracle_sql())
+def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str):
+    """PageRank over the customer↔supplier trade graph (both directions of
+    every distinct trading pair), 8 unrolled iterations in ONE lazy plan.
+
+    Scale shape: state is one (node, rank) row per node; each iteration is
+    edges ⋈ ranks (partitioned on the edge source) → groupBy(dst) — the
+    same bounded-state iterate as connected components (llm/cluster.py),
+    without the driver fixpoint probe since the iteration count is fixed.
+    Edges+degrees persist once and serve all 8 iterations.
+
+    Parity shape: ranks are FIXED-POINT integers (1e6 scale); each step is
+    floor(rank/deg) per edge, integer sum, then floor(0.85·x) — doubles
+    touch only exact integers < 2^53, so both engines produce identical
+    bit patterns, no rounding policy needed. Dangling mass: none by
+    construction (bidirectional edges ⇒ every node has out-degree)."""
+    from pyspark import StorageLevel
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    edges_deg.count()  # materialize once; 8 iterations reuse it
+    ranks = (
+        edges.select("src").distinct().select(
+            F.col("src").alias("node"),
+            F.lit(PR_SCALE).cast("bigint").alias("r"),
+        )
+    )
+    for _ in range(PR_ITERS):
+        contrib = edges_deg.join(
+            ranks, edges_deg.src == ranks.node
+        ).select(
+            "dst",
+            F.floor(F.col("r").cast("double") / F.col("d"))
+            .cast("bigint")
+            .alias("c"),
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (
+                F.lit(PR_BASE)
+                + F.floor(F.lit(0.85) * F.sum("c"))
+            )
+            .cast("bigint")
+            .alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+# ------------------------------------- chi-square contingency (per cell)
+@register(
+    "chisq_contingency_cells",
+    """
+    WITH obs AS (
+      SELECT event_type, user_id % 4 AS segment, COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    rowt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+    colt AS (SELECT segment, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS total FROM obs)
+    SELECT obs.event_type, obs.segment, obs.o,
+           round(rt * (ct / CAST(total AS DOUBLE)), 6) AS expected,
+           round(pow(obs.o - rt * (ct / CAST(total AS DOUBLE)), 2)
+                 / (rt * (ct / CAST(total AS DOUBLE))), 6) AS chi2_contrib
+    FROM obs JOIN rowt USING (event_type) JOIN colt USING (segment) CROSS JOIN n
+    """,
+)
+def chisq_contingency_cells(spark: SparkSession, sf_dir: str):
+    """Independence screening for a contingency table (event_type ×
+    user segment): observed counts, expected-under-independence, and the
+    per-cell χ² contribution. Margins are tiny aggregates broadcast back
+    onto the cell table; all inputs to the double arithmetic are exact
+    integers evaluated in the same order on both engines (rt·(ct/N)), so
+    the rounded output hashes equal. Per-cell output (no cross-cell float
+    sum) keeps the result order-independent; the final χ² statistic is a
+    trivial exact reduce the caller does over these cells."""
+    e = t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("segment")
+    ).agg(F.count("*").alias("o"))
+    rowt = obs.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rt"))
+    colt = obs.groupBy("segment").agg(F.sum("o").cast("bigint").alias("ct"))
+    n = obs.agg(F.sum("o").cast("bigint").alias("total"))
+    expected = F.col("rt") * (F.col("ct") / F.col("total").cast("double"))
+    return (
+        obs.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "segment")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "segment",
+            "o",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("o") - expected, 2) / expected, 6
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+# --------------------------------------------- weighted systematic sample
+@register(
+    "weighted_sample_orders",
+    """
+    WITH m AS (SELECT MAX(o_totalprice) AS maxp FROM orders)
+    SELECT o_orderkey, o_totalprice
+    FROM orders CROSS JOIN m
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))
+               AS BIGINT) * maxp
+          < o_totalprice * 16777216.0
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str):
+    """Weight-proportional deterministic sampling (price-biased): row kept
+    iff hash_u01(key) < weight/max_weight, with the uniform drawn from the
+    row key's md5 — same rows on any engine, any retry, any partitioning
+    (the PRNG-free discipline of deterministic_sample, extended to
+    importance weights). The max-weight normalizer arrives via a broadcast
+    aggregate, so selection stays a scan-local predicate."""
+    o = t(spark, sf_dir, "orders")
+    m = o.agg(F.max("o_totalprice").alias("maxp"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(m))
+        .filter(h * F.col("maxp") < F.col("o_totalprice") * F.lit(16777216.0))
+        .select("o_orderkey", "o_totalprice")
+    )
