@@ -909,3 +909,92 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str):
         .filter(h * F.col("maxp") < F.col("o_totalprice") * F.lit(16777216.0))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+# ------------------------------------------ LATERAL correlated subquery
+@register(
+    "lateral_topk_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str):
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    SQL-API spelling of top-k-per-group (same oracle text runs on DuckDB
+    verbatim). Catalyst de-correlates this into the window/rank plan the
+    DataFrame form (topk_per_group) produces by hand; the query pins that
+    equivalence. Deterministic ties: price DESC then key ASC."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+# ------------------------------------- mergeable HLL sketches (DataSketches)
+@register(
+    "sketch_distinct_users",
+    """
+    SELECT event_type AS scope,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS within_tol
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__global__' AS scope,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS within_tol
+    FROM events
+    """,
+)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str):
+    """Mergeable cardinality sketches (Apache DataSketches HLL, built into
+    Spark 4): one sketch per event_type, the GLOBAL count derived by
+    hll_union_agg over the per-type sketches — NOT a rescan. That
+    mergeability is the 100 TB story: partial sketches roll up across
+    partitions/days/segments without touching raw data again. The checked
+    output carries exact counts plus flags pinning each estimate within 5%
+    of exact (sketch regression fails the gate; the estimates themselves
+    are engine-specific so they stay out of the hash)."""
+    e = t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        F.col("event_type").alias("scope"),
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("within_tol"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    glob = (
+        e.agg(F.count_distinct("user_id").alias("exact_users"))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            F.lit("__global__").alias("scope"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            )
+            .cast("int")
+            .alias("within_tol"),
+        )
+    )
+    return typed.unionByName(glob)
