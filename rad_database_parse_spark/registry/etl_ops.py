@@ -915,3 +915,121 @@ def paper_dim_join(spark: SparkSession, sf_dir: str):
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# ------------------------------------- SCD2 point-in-time (temporal) join
+@register(
+    "scd2_pointintime_join",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1900-01-01' AS valid_from,
+             CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '1998-01-01'
+                  ELSE CAST(NULL AS TIMESTAMP) END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPGRADED' AS c_mktsegment,
+             TIMESTAMP '1998-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT d.c_mktsegment AS segment_at_order_time,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+         AND o.o_orderdate >= d.valid_from
+         AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY 1
+    """,
+)
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str):
+    """Point-in-time lookup against a type-2 dimension: each fact row joins
+    the version whose [valid_from, valid_to) interval contains the event
+    time — the temporal-correctness primitive that makes SCD2 history
+    usable (training-data term: no leakage of future attributes into past
+    examples). The equi-key carries the join; the interval predicate is a
+    residual filter, so this stays a hash join on c_custkey — versions per
+    key are few, making the residual cheap. Effective date 1998-01-01
+    splits the order span so both version branches are exercised."""
+    from ..operators.mutate import scd2_apply
+
+    c = t(spark, sf_dir, "customer")
+    source = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    dim = scd2_apply(c, source, ["c_custkey"], "1998-01-01").select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to"
+    )
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            dim,
+            (o.o_custkey == dim.c_custkey)
+            & (o.o_orderdate >= dim.valid_from)
+            & (dim.valid_to.isNull() | (o.o_orderdate < dim.valid_to)),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment_at_order_time"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------- NULL semantics suite
+@register(
+    "null_semantics_suite",
+    """
+    WITH v AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS val,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer)
+    SELECT c_custkey,
+           CAST(val AS DOUBLE) AS val,
+           (val IS NOT DISTINCT FROM bal) AS ns_eq,
+           (val IS DISTINCT FROM bal) AS ns_neq,
+           CAST(nullif(bal, val) AS DOUBLE) AS nullif_same,
+           CAST(COALESCE(val, -1) AS DOUBLE) AS coalesced,
+           CASE WHEN val IS NULL THEN 'missing' ELSE 'present' END AS presence,
+           ROW_NUMBER() OVER (ORDER BY val ASC NULLS FIRST, c_custkey)
+             AS rn_nulls_first,
+           ROW_NUMBER() OVER (ORDER BY val DESC NULLS LAST, c_custkey)
+             AS rn_nulls_last
+    FROM v
+    """,
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str):
+    """Three-valued-logic surface in one pass: null-safe equality
+    (<=> / IS [NOT] DISTINCT FROM), NULLIF collapse, COALESCE defaults,
+    NULL-presence classification, and both NULLS FIRST / NULLS LAST window
+    orderings — the semantics every dialect pair silently disagrees on
+    until pinned by a gate."""
+    c = t(spark, sf_dir, "customer")
+    v = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(dec("c_acctbal"))
+        .alias("val"),
+        dec("c_acctbal").alias("bal"),
+    )
+    w_first = Window.orderBy(F.col("val").asc_nulls_first(), F.col("c_custkey"))
+    w_last = Window.orderBy(F.col("val").desc_nulls_last(), F.col("c_custkey"))
+    return v.select(
+        "c_custkey",
+        dbl(F.col("val")).alias("val"),
+        F.col("val").eqNullSafe(F.col("bal")).alias("ns_eq"),
+        (~F.col("val").eqNullSafe(F.col("bal"))).alias("ns_neq"),
+        dbl(F.nullif(F.col("bal"), F.col("val"))).alias("nullif_same"),
+        dbl(F.coalesce(F.col("val"), F.lit(-1))).alias("coalesced"),
+        F.when(F.col("val").isNull(), F.lit("missing"))
+        .otherwise(F.lit("present"))
+        .alias("presence"),
+        F.row_number().over(w_first).alias("rn_nulls_first"),
+        F.row_number().over(w_last).alias("rn_nulls_last"),
+    )
