@@ -37,6 +37,10 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in `pairs`, component = min reachable
     node id. Exact fixpoint (driver-checked), ≤ max_iter rounds."""
+    # the distinct() looks redundant (pairs are already unique and MIN is
+    # duplicate-insensitive) but measured FASTER end-to-end: its shuffle
+    # leaves the persisted edge list compactly partitioned for the
+    # per-round joins (24.9s vs 36.0s at sf0.1 without it).
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
