@@ -1002,3 +1002,58 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str):
         )
     )
     return typed.unionByName(glob)
+
+
+# ------------------------------------------------ rolling window median
+@register(
+    "window_rolling_median",
+    """
+    SELECT user_id, event_id,
+           quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS med11
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str):
+    """Trailing-11-row median per user stream (robust smoother for noisy
+    metrics — the percentile aggregate evaluated over a moving frame).
+    Frames are per-user partitions, so no global sort; the frame is
+    row-bounded, so state per window position is 11 values. Both engines
+    interpolate the same doubles in the same order."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.percentile(F.col("value"), 0.5).over(w).alias("med11"),
+    )
+
+
+# --------------------------------------------- ordered string aggregation
+@register(
+    "agg_string_concat_groups",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_string_concat_groups(spark: SparkSession, sf_dir: str):
+    """LISTAGG/string_agg with deterministic ordering: collect_set →
+    array_sort → array_join keeps the concatenation order-stable under any
+    partitioning (a bare collect_list concat is nondeterministic across
+    shuffles — the classic flaky-aggregation bug this query pins)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.array_join(
+            F.array_sort(F.collect_set("c_mktsegment")), ","
+        ).alias("segments"),
+    )
