@@ -59,6 +59,21 @@ HEADLINE = [
     "deterministic_sample",
 ]
 
+# Round-2 operator families, timed ALONGSIDE the headline set (the 28-query
+# headline total stays comparable round-over-round; these report separately
+# as value_extended / queries keys).
+EXTENDED = [
+    "part_rad_backref",
+    "snapshot_diff_customers",
+    "range_band_join_orders",
+    "rollup_multi_resolution",
+    "docs_pack_sequences",
+    "emb_label_centroids",
+    "graph_pagerank_fixedpoint",
+    "part_name_neardup",
+    "docs_simhash",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,25 +96,31 @@ def main() -> int:
     ).mode("overwrite").save()
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop persisted intermediates between queries — each query is
-        # timed in isolation, and lingering caches from earlier queries
-        # otherwise build heap pressure that taxes later ones' GC
-        spark.catalog.clearCache()
+    def run(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = registry[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            # drop persisted intermediates between queries — each query is
+            # timed in isolation, and lingering caches from earlier queries
+            # otherwise build heap pressure that taxes later ones' GC
+            spark.catalog.clearCache()
+        return timings
 
+    timings = run(HEADLINE)
     total = round(sum(timings.values()), 3)
+    extended = run(EXTENDED)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **extended},
+                "headline_n": len(HEADLINE),
+                "value_extended": round(sum(extended.values()), 3),
                 "sf": sf,
             }
         )
