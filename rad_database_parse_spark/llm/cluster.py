@@ -94,6 +94,52 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+    scale: int = 1_000_000,
+    base: int = 150_000,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list where every node has
+    out-degree ≥ 1 (symmetrize first otherwise — dangling mass is dropped).
+
+    Ranks are integers at ``scale``; each iteration computes
+    rank(v) = base + floor(0.85 · Σ_{u→v} floor(rank(u)/deg(u))) — every
+    double op touches exact integers < 2^53, so results are bit-identical
+    on any engine and any partitioning (no float-summation-order drift).
+    State per iteration is one (node, rank) row; edges+degrees persist
+    once and serve all iterations. Returns (node, rank_fp)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    edges_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    edges_deg.count()  # materialize once; every iteration reuses it
+    ranks = e.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.lit(scale).cast("bigint").alias("r"),
+    )
+    for _ in range(iters):
+        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+            "dst",
+            F.floor(F.col("r").cast("double") / F.col("d"))
+            .cast("bigint")
+            .alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (F.lit(base) + F.floor(F.lit(0.85) * F.sum("c")))
+                .cast("bigint")
+                .alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
 def neardup_cluster_assign(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

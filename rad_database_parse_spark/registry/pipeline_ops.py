@@ -783,8 +783,10 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str):
     floor(rank/deg) per edge, integer sum, then floor(0.85·x) — doubles
     touch only exact integers < 2^53, so both engines produce identical
     bit patterns, no rounding policy needed. Dangling mass: none by
-    construction (bidirectional edges ⇒ every node has out-degree)."""
-    from pyspark import StorageLevel
+    construction (bidirectional edges ⇒ every node has out-degree).
+    Iterate lives in llm/cluster.py (pagerank_fixed_point), property-tested
+    against a pure-Python reference on a controlled graph."""
+    from ..llm.cluster import pagerank_fixed_point
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -796,42 +798,16 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
-        .union(
-            pairs.select(
-                F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
-            )
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    edges_deg.count()  # materialize once; 8 iterations reuse it
-    ranks = (
-        edges.select("src").distinct().select(
-            F.col("src").alias("node"),
-            F.lit(PR_SCALE).cast("bigint").alias("r"),
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
         )
     )
-    for _ in range(PR_ITERS):
-        contrib = edges_deg.join(
-            ranks, edges_deg.src == ranks.node
-        ).select(
-            "dst",
-            F.floor(F.col("r").cast("double") / F.col("d"))
-            .cast("bigint")
-            .alias("c"),
-        )
-        ranks = contrib.groupBy("dst").agg(
-            (
-                F.lit(PR_BASE)
-                + F.floor(F.lit(0.85) * F.sum("c"))
-            )
-            .cast("bigint")
-            .alias("r")
-        ).select(F.col("dst").alias("node"), "r")
-    return ranks.select("node", F.col("r").alias("rank_fp"))
+    return pagerank_fixed_point(
+        edges, iters=PR_ITERS, scale=PR_SCALE, base=PR_BASE
+    )
 
 
 # ------------------------------------- chi-square contingency (per cell)
