@@ -183,3 +183,14 @@ def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
     )
 
     assert uses_broadcast_join(events_anomaly_zscore(spark, sf_dir))
+
+
+def test_scd2_pointintime_is_hash_join_with_residual(spark, sf_dir):
+    from rad_database_parse_spark.registry.etl_ops import scd2_pointintime_join
+
+    plan = formatted_plan(scd2_pointintime_join(spark, sf_dir))
+    # temporal lookup must carry the join on the equi-key (hash join) with
+    # the validity interval as a residual condition — never a nested loop
+    # over fact x versions
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
