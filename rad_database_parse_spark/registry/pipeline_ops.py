@@ -1033,3 +1033,115 @@ def agg_string_concat_groups(spark: SparkSession, sf_dir: str):
             F.array_sort(F.collect_set("c_mktsegment")), ","
         ).alias("segments"),
     )
+
+
+# -------------------------------------------- ABC cumulative-share classes
+@register(
+    "supplier_abc_classification",
+    """
+    WITH totals AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+      FROM lineitem GROUP BY l_suppkey),
+    grand AS (SELECT SUM(rev_dec) AS g FROM totals),
+    ranked AS (
+      SELECT l_suppkey, rev_dec,
+             SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_suppkey) AS cum_dec
+      FROM totals)
+    SELECT l_suppkey,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           round(CAST(cum_dec AS DOUBLE) / CAST(g AS DOUBLE), 6) AS cum_share,
+           CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(g AS DOUBLE) <= 0.5
+                  THEN 'A'
+                WHEN CAST(cum_dec AS DOUBLE) / CAST(g AS DOUBLE) <= 0.8
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN grand
+    """,
+)
+def supplier_abc_classification(spark: SparkSession, sf_dir: str):
+    """ABC (Pareto) classification: revenue per supplier, cumulative share
+    over the descending-revenue order, threshold classes. The window runs
+    over the AGGREGATED supplier table (|suppliers| rows, not the fact
+    volume), so the serial ordered-window step is dimension-sized; the
+    grand total broadcasts. Cumulative sums stay in DECIMAL (exact), the
+    share divides in double and rounds (float policy), ties break on the
+    key."""
+    li = t(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice")).alias("rev_dec")
+    )
+    grand = totals.agg(F.sum("rev_dec").alias("g"))
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_suppkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = totals.withColumn("cum_dec", F.sum("rev_dec").over(w))
+    share = dbl(F.col("cum_dec")) / dbl(F.col("g"))
+    return (
+        ranked.crossJoin(F.broadcast(grand))
+        .select(
+            "l_suppkey",
+            dbl(F.col("rev_dec")).alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.5, "A")
+            .when(share <= 0.8, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+# ------------------------------------------------- monthly seasonality
+@register(
+    "orders_seasonality",
+    """
+    WITH monthly AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS mon,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+      FROM orders GROUP BY 1),
+    base AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_n, SUM(rev_dec) AS total_rev,
+             COUNT(*) AS n_months
+      FROM monthly)
+    SELECT mon, n,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           round(n / (CAST(total_n AS DOUBLE) / n_months), 6) AS volume_index,
+           round(CAST(rev_dec AS DOUBLE)
+                 / (CAST(total_rev AS DOUBLE) / n_months), 6) AS revenue_index
+    FROM monthly CROSS JOIN base
+    """,
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str):
+    """Seasonality decomposition: per-calendar-month volume and revenue
+    indexed against the all-months average (index 1.0 = typical month).
+    One fact aggregation to a 12-row table; the base rates broadcast.
+    Exact integer/decimal numerators, double division, rounded output."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("int").alias("mon")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("o_totalprice")).alias("rev_dec"),
+    )
+    base = monthly.agg(
+        F.sum("n").cast("bigint").alias("total_n"),
+        F.sum("rev_dec").alias("total_rev"),
+        F.count("*").alias("n_months"),
+    )
+    return (
+        monthly.crossJoin(F.broadcast(base))
+        .select(
+            "mon",
+            "n",
+            dbl(F.col("rev_dec")).alias("revenue"),
+            F.round(
+                F.col("n") / (dbl(F.col("total_n")) / F.col("n_months")), 6
+            ).alias("volume_index"),
+            F.round(
+                dbl(F.col("rev_dec"))
+                / (dbl(F.col("total_rev")) / F.col("n_months")),
+                6,
+            ).alias("revenue_index"),
+        )
+    )
