@@ -805,3 +805,89 @@ def variant_json_ops(spark: SparkSession, sf_dir: str):
         F.try_variant_get("v", "$.missing", "int").alias("absent"),
         (k * 2).alias("k_doubled"),
     )
+
+
+# --------------------------------- stream-stream OUTER interval join
+@register(
+    "stream_interval_outer_join",
+    """
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_outer_join(spark: SparkSession, sf_dir: str):
+    """Stream-stream RIGHT OUTER interval join driven to full batch
+    equivalence: purchases with no view in the preceding hour emit NULL
+    view columns only once the watermark proves no match can arrive.
+
+    Two replay subtleties make the exact oracle possible: (1) quartile
+    files written in TIME order — the file source triggers by modification
+    time, and an out-of-order old view would be dropped as late, turning
+    its purchase legitimately-but-unhelpfully unmatched; (2) a sentinel
+    event pair far past the corpus end advances both watermarks so every
+    real row flushes from join state (streaming outer joins hold
+    tail-of-timeline rows forever otherwise). The sentinel user is
+    filtered from the output."""
+    import tempfile
+
+    from ..streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        view_purchase_interval_join,
+    )
+
+    e = t(spark, sf_dir, "events")
+    replay = tempfile.mkdtemp(prefix="events_ss_outer_") + "/events"
+    bounds = e.agg(
+        F.expr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))").alias("q")
+    ).collect()[0]["q"]
+    prev = None
+    for hi in list(bounds) + [None]:
+        part = e
+        if prev is not None:
+            part = part.filter(F.unix_micros("ts") > prev)
+        if hi is not None:
+            part = part.filter(F.unix_micros("ts") <= hi)
+        part.coalesce(1).write.mode("append").parquet(replay)
+        prev = hi
+    # sentinel view+purchase 10 days past the end: advances both side's
+    # watermarks far beyond horizon+delay, flushing all real state
+    sentinel = e.agg(F.max("ts").alias("mx")).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(-1 - i).cast("long").alias("event_id"),
+                        F.expr("mx + INTERVAL 10 DAYS").alias("ts"),
+                        F.lit(-1).cast("long").alias("user_id"),
+                        F.lit(typ).alias("event_type"),
+                        F.lit(0.0).alias("value"),
+                        F.lit("{}").alias("props"),
+                    )
+                    for i, typ in enumerate(["view", "purchase"])
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    sentinel.coalesce(1).write.mode("append").parquet(replay)
+    s = read_events_stream(spark, replay)
+    joined = view_purchase_interval_join(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "purchase"),
+        how="right_outer",
+    )
+    _STATEFUL_SEQ[0] += 1
+    name = f"ss_outer_{_STATEFUL_SEQ[0]}"
+    run_stream_to_memory(joined, name, mode="append")
+    return spark.sql(f"SELECT * FROM {name}").filter(F.col("p_user") != -1)
