@@ -1145,3 +1145,73 @@ def orders_seasonality(spark: SparkSession, sf_dir: str):
             ).alias("revenue_index"),
         )
     )
+
+
+# ------------------------------------------------- RFM user segmentation
+@register(
+    "events_rfm_segmentation",
+    """
+    WITH ref AS (SELECT MAX(ts) AS now_ts FROM events),
+    rfm AS (
+      SELECT user_id,
+             CAST(epoch_us((SELECT now_ts FROM ref)) - epoch_us(MAX(ts))
+                  AS BIGINT) AS recency_us,
+             COUNT(*) AS frequency,
+             SUM(CAST(value AS DECIMAL(12,2))) AS monetary_dec
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT user_id, recency_us, frequency,
+             CAST(monetary_dec AS DOUBLE) AS monetary,
+             NTILE(4) OVER (ORDER BY recency_us ASC, user_id) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary_dec DESC, user_id) AS m_score
+      FROM rfm)
+    SELECT user_id, recency_us, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score || '-' || f_score || '-' || m_score AS segment
+    FROM scored
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str):
+    """RFM (recency / frequency / monetary) segmentation — the workhorse
+    behavioral cohorting op: one fact aggregation to a per-user table,
+    three quartile scores over that user-sized table (ordered windows run
+    on the aggregate, never the fact volume), concatenated segment label.
+    Recency is integer microseconds against the corpus max (broadcast
+    scalar); monetary aggregates in DECIMAL; every NTILE order carries a
+    key tie-break."""
+    e = t(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("now_ts"))
+    rfm = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(dec("value")).alias("monetary_dec"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            (F.unix_micros("now_ts") - F.unix_micros("last_ts"))
+            .cast("bigint")
+            .alias("recency_us"),
+            "frequency",
+            "monetary_dec",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_us").asc(), F.col("user_id"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    w_m = Window.orderBy(F.col("monetary_dec").desc(), F.col("user_id"))
+    scored = rfm.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        dbl(F.col("monetary_dec")).alias("monetary"),
+        F.ntile(4).over(w_r).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
