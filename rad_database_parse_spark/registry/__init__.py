@@ -38,14 +38,93 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# Family order of the returned dict. The driver's correctness gate checks the
-# FIRST 50 queries per round, so families rotate to the front until each has
-# driver-green rows. Round 1 covered core_relational + tpch_deep (+2 scalar);
-# round 2 puts llm_ops (25) + events_ops (25) in the window; pipeline/etl/
-# sampling lead the next rotation. The order is imposed EXPLICITLY here (not
-# via import side-effect order) so an earlier direct import of any registry
-# module — e.g. __spark_entry__.entry() touching core_relational before
-# queries() is called — cannot shuffle the window.
+# The driver's correctness gate checks the FIRST 50 queries per round, so the
+# window rotates until every query has a driver-green row. Round 1 covered
+# core_relational + tpch_deep (+ math/conditional/string scalar suites);
+# round 2 covered llm_ops (25) + events_ops positions 26-50 (events_ops has
+# 26 queries — stream_interval_outer_join at position 51 missed the cut).
+# Round 3's window is pinned EXPLICITLY by name below: the entire never-
+# checked etl_ops + sampling_profile families, the hash/bitwise/try scalar
+# suites, stream_interval_outer_join, the two re-check targets
+# (pivot_multi_agg — r1 fail since fixed; multimodal decode pair — r2 err
+# since made hash-friendly), and 13 of the 22 never-checked pipeline_ops.
+# The 9 residual pipeline_ops queries form the round-4 window (positions
+# 51-59); SURVEY §8 carries the full query→round coverage table. The order
+# is imposed here by explicit list (not import side-effect order) so an
+# earlier direct import of any registry module cannot shuffle the window.
+_WINDOW_R3 = [
+    # etl_ops — the reference's own §2A surface, never driver-checked (25)
+    "normalize_strings",
+    "classify_titles",
+    "fuzzy_header_map",
+    "parse_measure",
+    "density_row_filter",
+    "abbrev_extract",
+    "abbrev_expand",
+    "continuation_propagate_titles",
+    "update_where_segment",
+    "delete_limit_lowest",
+    "merge_upsert_customers",
+    "scd2_customer_history",
+    "nearest_title_join",
+    "csv_roundtrip_region",
+    "json_roundtrip_orders",
+    "etl_pipeline_end_to_end",
+    "abbrev_extract_udtf",
+    "pdf_datasource_stub_grid",
+    "text_roundtrip_doclines",
+    "orc_roundtrip_supplier",
+    "xml_roundtrip_nation",
+    "part_rad_backref",
+    "paper_dim_join",
+    "scd2_pointintime_join",
+    "null_semantics_suite",
+    # sampling / profiling family, never driver-checked (5)
+    "deterministic_sample",
+    "stratified_sample_by_segment",
+    "profile_orders",
+    "histogram_totalprice",
+    "docs_balance_by_lang",
+    # scalar suites without driver rows (math/conditional passed r1) (3)
+    "hash_functions",
+    "bitwise_functions",
+    "try_functions",
+    # missed r2's window by one position (1)
+    "stream_interval_outer_join",
+    # re-checks: r1's one fail (fixed) + r2's two errs (made hashable) (3)
+    "pivot_multi_agg",
+    "multimodal_decode_features",
+    "multimodal_decode_oracle",
+    # pipeline_ops, 13 of 22 — the rest are the r4 window (13)
+    "snapshot_diff_customers",
+    "range_band_join_orders",
+    "rollup_multi_resolution",
+    "docs_pack_sequences",
+    "docs_gopher_filter",
+    "emb_label_centroids",
+    "agg_approx_quantile_check",
+    "emb_lsh_or_amplified",
+    "part_name_neardup",
+    "events_anomaly_zscore",
+    "event_type_transitions",
+    "graph_pagerank_fixedpoint",
+    "sketch_distinct_users",
+]
+
+# Round-4 window: the pipeline_ops residue (positions 51-59 this round).
+_WINDOW_R4 = [
+    "chisq_contingency_cells",
+    "weighted_sample_orders",
+    "lateral_topk_orders",
+    "window_rolling_median",
+    "agg_string_concat_groups",
+    "ntile_decile_stats",
+    "supplier_abc_classification",
+    "orders_seasonality",
+    "events_rfm_segmentation",
+]
+
+# Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
     "llm_ops",
     "events_ops",
@@ -60,7 +139,7 @@ _FAMILY_ORDER = [
 
 def all_queries() -> dict[str, QueryDef]:
     # Import registers everything on first use (order here is irrelevant —
-    # see _FAMILY_ORDER).
+    # see _WINDOW_R3/_WINDOW_R4/_FAMILY_ORDER).
     from . import core_relational  # noqa: F401
     from . import tpch_deep  # noqa: F401
     from . import scalar_functions  # noqa: F401
@@ -70,12 +149,19 @@ def all_queries() -> dict[str, QueryDef]:
     from . import llm_ops  # noqa: F401
     from . import pipeline_ops  # noqa: F401
 
-    rank = {m: i for i, m in enumerate(_FAMILY_ORDER)}
+    pinned = {n: i for i, n in enumerate(_WINDOW_R3 + _WINDOW_R4)}
+    missing = [n for n in pinned if n not in _REGISTRY]
+    if missing:  # a rename/removal must fail loudly, not silently shrink
+        raise RuntimeError(f"window names not in registry: {missing}")
+    fam_rank = {m: i for i, m in enumerate(_FAMILY_ORDER)}
     module_of = {
         name: qd.fn.__module__.rsplit(".", 1)[-1] for name, qd in _REGISTRY.items()
     }
     ordered = sorted(
         _REGISTRY.items(),
-        key=lambda kv: rank.get(module_of[kv[0]], len(_FAMILY_ORDER)),
+        key=lambda kv: (
+            pinned.get(kv[0], len(pinned)),
+            fam_rank.get(module_of[kv[0]], len(_FAMILY_ORDER)),
+        ),
     )
     return dict(ordered)

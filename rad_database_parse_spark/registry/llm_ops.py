@@ -542,19 +542,26 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str):
 
 
 # mapInPandas decode stage — not SQL-expressible (Arrow batch boundary);
-# driver records the weaker rows-only check.
+# driver records the weaker rows-only check. The features array is projected
+# through to_json so every output column is a hashable scalar (the driver's
+# canonicalizer hashes row tuples and cannot digest Python lists — r2 err).
 @register("multimodal_decode_features", None)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str):
     from ..llm.multimodal import decode_media
 
     d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
-    return decode_media(d, payload_col="payload", id_col="doc_id")
+    decoded = decode_media(d, payload_col="payload", id_col="doc_id")
+    return decoded.withColumn("features_json", F.to_json("features")).drop(
+        "features"
+    )
 
 
 # The same decode stage, ORACLE-CHECKED: the deterministic fake decoder's
 # byte statistics (payloads are ASCII text → byte == codepoint) are
 # reproduced in SQL, so the Arrow mapInPandas boundary itself gets a full
-# value-hash gate, not just a rows-only check.
+# value-hash gate, not just a rows-only check. The features array is
+# posexploded to scalar (feat_idx, feat_value) rows — every column hashable,
+# doubles compared as doubles (no JSON float-formatting dependence).
 @register(
     "multimodal_decode_oracle",
     """
@@ -570,16 +577,28 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str):
            CAST(n % 64 + 1 AS INT) AS height,
            CAST(n AS INT) AS duration_ms,
            'deterministic-fake' AS codec,
-           [CAST(checksum % 64 + 1 AS DOUBLE), CAST(n % 64 + 1 AS DOUBLE),
-            CAST(n % 97 AS DOUBLE), CAST(n % 89 AS DOUBLE)] AS features
-    FROM chk
+           f.idx AS feat_idx, f.val AS feat_value
+    FROM chk, LATERAL (VALUES
+           (0, CAST(checksum % 64 + 1 AS DOUBLE)),
+           (1, CAST(n % 64 + 1 AS DOUBLE)),
+           (2, CAST(n % 97 AS DOUBLE)),
+           (3, CAST(n % 89 AS DOUBLE))) AS f(idx, val)
     """,
 )
 def multimodal_decode_oracle(spark: SparkSession, sf_dir: str):
     from ..llm.multimodal import decode_media
 
     d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
-    return decode_media(d, payload_col="payload", id_col="doc_id")
+    decoded = decode_media(d, payload_col="payload", id_col="doc_id")
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "duration_ms",
+        "codec",
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    )
 
 
 # -------------------------------------- embedding-cosine near-dup pairs
