@@ -103,24 +103,33 @@ def pagerank_fixed_point(
     base: int = 150_000,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list where every node has
-    out-degree ≥ 1 (symmetrize first otherwise — dangling mass is dropped).
+    out-degree ≥ 1 (nodes with no out-edges are absent from the edge list's
+    src side; symmetrize first if dangling mass matters).
 
     Ranks are integers at ``scale``; each iteration computes
     rank(v) = base + floor(0.85 · Σ_{u→v} floor(rank(u)/deg(u))) — every
     double op touches exact integers < 2^53, so results are bit-identical
     on any engine and any partitioning (no float-summation-order drift).
-    State per iteration is one (node, rank) row; edges+degrees persist
-    once and serve all iterations. Returns (node, rank_fp)."""
+    Each iteration left-joins the contribution sums against the FULL node
+    set, so a source node with out-edges but no in-edges keeps its rank
+    (= base, zero inbound mass) instead of silently vanishing after round
+    one and dropping its contributions from later rounds. State per
+    iteration is one (node, rank) row; edges+degrees+nodes persist once
+    and serve all iterations. Returns (node, rank_fp)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     edges_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     edges_deg.count()  # materialize once; every iteration reuses it
-    ranks = e.select("src").distinct().select(
-        F.col("src").alias("node"),
-        F.lit(scale).cast("bigint").alias("r"),
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    nodes.count()
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("r"))
     for _ in range(iters):
         contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
             "dst",
@@ -128,14 +137,17 @@ def pagerank_fixed_point(
             .cast("bigint")
             .alias("c"),
         )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(
-                (F.lit(base) + F.floor(F.lit(0.85) * F.sum("c")))
-                .cast("bigint")
-                .alias("r")
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(
+            summed, nodes.node == summed.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.floor(F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0)))
             )
-            .select(F.col("dst").alias("node"), "r")
+            .cast("bigint")
+            .alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_fp"))
 

@@ -838,10 +838,16 @@ def stream_interval_outer_join(spark: SparkSession, sf_dir: str):
     event pair far past the corpus end advances both watermarks so every
     real row flushes from join state (streaming outer joins hold
     tail-of-timeline rows forever otherwise). The sentinel user is
-    filtered from the output."""
+    filtered from the output.
+
+    The replay directory is FIXTURE construction (see
+    streaming/events.py::build_time_ordered_replay — driver-paced by
+    design, absent from any production path); the operator under test is
+    the stream-stream outer interval join itself."""
     import tempfile
 
     from ..streaming.events import (
+        build_time_ordered_replay,
         read_events_stream,
         run_stream_to_memory,
         view_purchase_interval_join,
@@ -849,18 +855,7 @@ def stream_interval_outer_join(spark: SparkSession, sf_dir: str):
 
     e = t(spark, sf_dir, "events")
     replay = tempfile.mkdtemp(prefix="events_ss_outer_") + "/events"
-    bounds = e.agg(
-        F.expr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))").alias("q")
-    ).collect()[0]["q"]
-    prev = None
-    for hi in list(bounds) + [None]:
-        part = e
-        if prev is not None:
-            part = part.filter(F.unix_micros("ts") > prev)
-        if hi is not None:
-            part = part.filter(F.unix_micros("ts") <= hi)
-        part.coalesce(1).write.mode("append").parquet(replay)
-        prev = hi
+    build_time_ordered_replay(e, replay, ts_col="ts", n_slices=4)
     # sentinel view+purchase 10 days past the end: advances both side's
     # watermarks far beyond horizon+delay, flushing all real state
     sentinel = e.agg(F.max("ts").alias("mx")).select(

@@ -278,8 +278,8 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str):
     gated AS (
       SELECT doc_id, lang, n_tokens,
              CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS pass_len,
-             CASE WHEN n_alpha >= 0.6 * GREATEST(n_chars, 1) THEN 1 ELSE 0 END AS pass_alpha,
-             CASE WHEN n_punct <= 0.2 * GREATEST(n_chars, 1) THEN 1 ELSE 0 END AS pass_punct,
+             CASE WHEN 5 * n_alpha >= 3 * GREATEST(n_chars, 1) THEN 1 ELSE 0 END AS pass_alpha,
+             CASE WHEN 5 * n_punct <= GREATEST(n_chars, 1) THEN 1 ELSE 0 END AS pass_punct,
              CASE WHEN n_alpha BETWEEN 2 * n_tokens AND 12 * n_tokens
                   THEN 1 ELSE 0 END AS pass_wordlen
       FROM m)
@@ -321,11 +321,15 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str):
     gated = m.select(
         "lang",
         F.when(F.col("n_tokens").between(5, 100_000), 1).otherwise(0).alias("pass_len"),
+        # ratio gates as integer cross-products (alpha ≥ 60%, punct ≤ 20%):
+        # 5·n_alpha ≥ 3·chars and 5·n_punct ≤ chars touch integers only, so
+        # the docstring's bit-exactness claim holds by construction, not by
+        # both engines happening to evaluate the same double expression.
         F.when(
-            F.col("n_alpha") >= 0.6 * F.greatest(F.col("n_chars"), one), 1
+            5 * F.col("n_alpha") >= 3 * F.greatest(F.col("n_chars"), one), 1
         ).otherwise(0).alias("pass_alpha"),
         F.when(
-            F.col("n_punct") <= 0.2 * F.greatest(F.col("n_chars"), one), 1
+            5 * F.col("n_punct") <= F.greatest(F.col("n_chars"), one), 1
         ).otherwise(0).alias("pass_punct"),
         F.when(
             F.col("n_alpha").between(2 * F.col("n_tokens"), 12 * F.col("n_tokens")),

@@ -35,6 +35,40 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     )
 
 
+def build_time_ordered_replay(
+    df: DataFrame, out_dir: str, ts_col: str = "ts", n_slices: int = 4
+) -> None:
+    """TEST-FIXTURE construction, not a production operator: write a
+    bounded corpus as ``n_slices`` single-file parquet slices in ascending
+    event-time order, so ``read_events_stream`` (maxFilesPerTrigger=1,
+    file source triggers by modification time) replays them as ordered
+    microbatches — the shape stream-stream join equivalence tests need
+    (an out-of-time-order slice would make genuinely-matchable rows late).
+
+    Deliberately driver-paced: the percentile fetch collects exactly
+    ``n_slices - 1`` scalars, and each slice writes through ``coalesce(1)``
+    because one-file-per-slice IS the fixture contract (file == microbatch)
+    and mtime ordering requires the writes to be sequential. On a real
+    cluster the stream source is a landing directory or Kafka topic and
+    this function is not in the execution path at any scale.
+    """
+    qs = [i / n_slices for i in range(1, n_slices)]
+    bounds = df.agg(
+        F.expr(
+            f"percentile(unix_micros({ts_col}), array({','.join(map(str, qs))}))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    prev = None
+    for hi in list(bounds) + [None]:
+        part = df
+        if prev is not None:
+            part = part.filter(F.unix_micros(ts_col) > prev)
+        if hi is not None:
+            part = part.filter(F.unix_micros(ts_col) <= hi)
+        part.coalesce(1).write.mode("append").parquet(out_dir)
+        prev = hi
+
+
 def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -161,7 +195,11 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
     # totals accumulate as integer CENTS in state (the repo's decimal-exact
     # policy): float accumulation would drift with microbatch order, so the
-    # emitted total could differ between replays of the same data.
+    # emitted total could differ between replays of the same data. INPUT
+    # CONTRACT: event values are cent-granular (exact 2-decimal amounts) —
+    # each event is rounded to cents before summing, and the update fn
+    # asserts the per-event rounding residual is negligible so sub-cent
+    # inputs fail fast instead of silently diverging from the float sum.
     state_schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -175,7 +213,15 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().sum())
+            scaled = pdf["value"] * 100
+            rounded = scaled.round()
+            if len(scaled) and (scaled - rounded).abs().max() > 1e-6:
+                raise ValueError(
+                    "stateful_user_totals requires cent-granular values; "
+                    "got a sub-cent amount (see streaming/events.py input "
+                    "contract)"
+                )
+            cents += int(rounded.sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}

@@ -10,19 +10,25 @@ from rad_database_parse_spark.llm.cluster import pagerank_fixed_point
 
 def _python_pagerank(edges, iters, scale, base):
     """Independent reference of the fixed-point rules (same math, no
-    Spark): rank(v) = base + floor(0.85 * sum(floor(rank(u)/deg(u))))."""
+    Spark): rank(v) = base + floor(0.85 * sum(floor(rank(u)/deg(u))))
+    over the FULL node set (src ∪ dst) — a node with no inbound edges
+    keeps rank = base, and its outbound contributions keep flowing."""
     from collections import defaultdict
 
     deg = defaultdict(int)
-    for u, _ in edges:
+    nodes = set()
+    for u, v in edges:
         deg[u] += 1
-    nodes = sorted(deg)
+        nodes.add(u)
+        nodes.add(v)
     rank = {n: scale for n in nodes}
     for _ in range(iters):
         incoming = defaultdict(int)
         for u, v in edges:
             incoming[v] += math.floor(rank[u] / deg[u])
-        rank = {v: base + math.floor(0.85 * s) for v, s in incoming.items()}
+        rank = {
+            v: base + math.floor(0.85 * incoming.get(v, 0)) for v in nodes
+        }
     return rank
 
 
@@ -39,6 +45,24 @@ def test_pagerank_matches_python_reference(spark):
     assert got == want
     # the hub of the star must out-rank its leaves
     assert got[1] > got[2] == got[3]
+
+
+def test_pagerank_keeps_pure_source_nodes(spark):
+    """ADVICE r2: a node with out-edges but no in-edges (node 1 here) must
+    survive every iteration at rank = base and keep feeding its successors
+    — previously it vanished after round 1 and rounds 2+ diverged."""
+    directed = [(1, 2), (2, 3), (3, 2), (2, 4), (4, 2)]
+    df = spark.createDataFrame(directed, ["src", "dst"])
+    got = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(df, iters=5).collect()
+    }
+    want = _python_pagerank(directed, iters=5, scale=1_000_000, base=150_000)
+    assert got == want
+    assert got[1] == 150_000  # pure source: base rank, never dropped
+    # node 2 receives node 1's contribution every round, so it must
+    # out-rank what it would get from 3 and 4 alone
+    assert got[2] > got[3]
 
 
 def test_snapshot_diff_roundtrip(spark, sf_dir):
