@@ -111,7 +111,9 @@ _WINDOW_R3 = [
     "sketch_distinct_users",
 ]
 
-# Round-4 window: the pipeline_ops residue (positions 51-59 this round).
+# Round-4 window: the pipeline_ops residue plus every query REGISTERED from
+# round 3 onward (new queries must be appended here — never left to rest on
+# the local gate alone; positions 51+ this round, 1+ next round).
 _WINDOW_R4 = [
     "chisq_contingency_cells",
     "weighted_sample_orders",
@@ -122,6 +124,9 @@ _WINDOW_R4 = [
     "supplier_abc_classification",
     "orders_seasonality",
     "events_rfm_segmentation",
+    # new in round 3:
+    "docs_repetition_filter",
+    "stateful_sessionizer_stream",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

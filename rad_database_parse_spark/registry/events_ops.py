@@ -886,3 +886,71 @@ def stream_interval_outer_join(spark: SparkSession, sf_dir: str):
     name = f"ss_outer_{_STATEFUL_SEQ[0]}"
     run_stream_to_memory(joined, name, mode="append")
     return spark.sql(f"SELECT * FROM {name}").filter(F.col("p_user") != -1)
+
+
+# --------------------- custom stateful sessionizer (event-time timeout)
+@register(
+    "stateful_sessionizer_stream",
+    f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  >= {SESSION_GAP_US} OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM gaps)
+    SELECT user_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stateful_sessionizer_stream(spark: SparkSession, sf_dir: str):
+    """Custom stateful sessionization (applyInPandasWithState +
+    EVENT-TIME TIMEOUT) driven over a 4-slice time-ordered file replay to
+    FULL batch equivalence: every emitted session — gap-closed sessions
+    mid-stream, open sessions flushed when the watermark passes
+    last_event + gap — must exactly equal the batch gaps-and-islands
+    sessionization (the oracle), timestamps, counts and cent-exact values
+    included. A sentinel far-future event advances the watermark so every
+    real open session's timeout fires (Spark runs the no-data microbatch
+    on watermark advance); the sentinel user is filtered from the output.
+
+    This is the timeout-based state-expiry form the UDF matrix was
+    missing: stateful_user_totals uses NoTimeout (state lives forever),
+    the built-in session_window owns its own close policy — here the
+    close is OURS, which is what per-session derived payloads or
+    mid-session emission policies hang off in a real pipeline."""
+    import tempfile
+
+    from ..streaming.events import (
+        build_time_ordered_replay,
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_sessions,
+    )
+
+    e = t(spark, sf_dir, "events")
+    replay = tempfile.mkdtemp(prefix="events_sess_state_") + "/events"
+    build_time_ordered_replay(e, replay, ts_col="ts", n_slices=4)
+    sentinel = e.agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.expr("mx + INTERVAL 10 DAYS").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(replay)
+    s = read_events_stream(spark, replay)
+    _STATEFUL_SEQ[0] += 1
+    name = f"sess_state_{_STATEFUL_SEQ[0]}"
+    run_stream_to_memory(stateful_sessions(s), name, mode="append")
+    return spark.sql(f"SELECT * FROM {name}").filter(F.col("user_id") != -1)

@@ -928,3 +928,137 @@ def docs_cooccurrence_lift(spark: SparkSession, sf_dir: str):
             ).alias("lift"),
         )
     )
+
+
+# ------------------------------------ within-doc repetition filters
+@register(
+    "docs_repetition_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+      FROM documents WHERE trim(text) <> ''),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents),
+    bic AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS g, COUNT(*) AS c
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2),
+    bia AS (SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bi
+            FROM bic GROUP BY doc_id),
+    tric AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c3.tok AS g,
+             COUNT(*) AS c
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c3
+        ON a.doc_id = c3.doc_id AND c3.pos = a.pos + 2
+      GROUP BY 1, 2),
+    tria AS (SELECT doc_id,
+                    SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
+                    SUM(c) AS n_tri
+             FROM tric GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_bi, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(top_bi, 0) AS BIGINT) AS top_bigram_n,
+           CAST(COALESCE(dup_tri, 0) AS BIGINT) AS dup_trigram_n,
+           CASE WHEN 50 * COALESCE(top_bi, 0) <= 9 * COALESCE(n_bi, 0)
+                THEN 1 ELSE 0 END AS pass_top_bigram,
+           CASE WHEN 4 * COALESCE(dup_tri, 0) <= COALESCE(n_tri, 0)
+                THEN 1 ELSE 0 END AS pass_dup_trigram
+    FROM base b LEFT JOIN bia USING (doc_id) LEFT JOIN tria USING (doc_id)
+    """,
+)
+def docs_repetition_filter(spark: SparkSession, sf_dir: str):
+    """Gopher-style WITHIN-document repetition rules — the standard
+    pretraining-corpus screens the cross-doc dedup tier doesn't cover: a
+    doc dominated by one repeated bigram (top-bigram share > 18%) or by
+    duplicated trigrams (> 25% of trigram instances non-unique) is
+    boilerplate/spam even when globally unique.
+
+    Scale shape: n-grams are built ROW-LOCALLY with zip_with over array
+    slices (JVM codegen, no Python, no self-join — the oracle's pos+1
+    self-join is the cross-engine mirror, not the plan); the only
+    shuffles are the two (doc_id, gram) partial-agg groupBys, and the
+    per-doc rollups ride the same doc_id key. All outputs and gates are
+    integers (gate thresholds as cross-products: 50·top ≤ 9·n ⟺ ≤ 0.18,
+    4·dup ≤ n ⟺ ≤ 0.25), so the report is bit-exact on any engine.
+
+    Reference parity: generalizes the reference's density/validity row
+    screens (tables.py:244-263) from cell-null ratios to token-stream
+    repetition ratios."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.col("toks").alias("toks"),
+    )
+    n = F.col("n_tokens")
+    m2 = F.greatest(n - 1, F.lit(0))
+    m3 = F.greatest(n - 2, F.lit(0))
+    grams = base.select(
+        "doc_id",
+        "n_tokens",
+        F.zip_with(
+            F.slice("toks", F.lit(1), m2),
+            F.slice("toks", F.lit(2), m2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("bi"),
+        F.zip_with(
+            F.zip_with(
+                F.slice("toks", F.lit(1), m3),
+                F.slice("toks", F.lit(2), m3),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice("toks", F.lit(3), m3),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        ).alias("tri"),
+    )
+    bia = (
+        grams.select("doc_id", F.explode("bi").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bi"), F.max("c").alias("top_bi"))
+    )
+    tria = (
+        grams.select("doc_id", F.explode("tri").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_tri"
+            ),
+            F.sum("c").alias("n_tri"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    out = (
+        grams.select("doc_id", "n_tokens")
+        .join(bia, "doc_id", "left")
+        .join(tria, "doc_id", "left")
+    )
+    n_bi = F.coalesce(F.col("n_bi"), z)
+    top_bi = F.coalesce(F.col("top_bi"), z)
+    dup_tri = F.coalesce(F.col("dup_tri"), z)
+    n_tri = F.coalesce(F.col("n_tri"), z)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        n_bi.cast("bigint").alias("n_bigrams"),
+        top_bi.cast("bigint").alias("top_bigram_n"),
+        dup_tri.cast("bigint").alias("dup_trigram_n"),
+        F.when(50 * top_bi <= 9 * n_bi, 1).otherwise(0).alias("pass_top_bigram"),
+        F.when(4 * dup_tri <= n_tri, 1).otherwise(0).alias("pass_dup_trigram"),
+    )

@@ -236,6 +236,116 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CUSTOM stateful sessionizer over applyInPandasWithState with an
+    EVENT-TIME TIMEOUT — the session close a built-in ``session_window``
+    can't customize (e.g. to attach per-session derived payloads or emit
+    mid-session checkpoints). Complements ``sessionized_stream`` (built-in
+    operator) and ``stateful_user_totals`` (NoTimeout running totals): here
+    the OPEN session lives in state and is flushed by the watermark passing
+    ``last_event + gap``, not by new data arriving for the key.
+
+    Semantics match the batch gaps-and-islands sessionization exactly
+    (new session iff gap ≥ 30 min, ties ordered by (ts, event_id)):
+    sessions closed by an observed in-data gap emit immediately; the final
+    open session per user emits when the event-time timeout fires. Spark
+    runs a no-data microbatch when the watermark advances, so a bounded
+    replay flushes completely once a sentinel advances event time past
+    every real session's horizon.
+
+    Value totals accumulate as integer cents in state (same decimal-exact
+    policy and input contract as stateful_user_totals). State per key is
+    ONE open session tuple — bounded regardless of history length, the
+    property that lets this run forever on an unbounded stream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "session_start": [
+                        pd.Timestamp(r[0], unit="us") for r in rows
+                    ],
+                    "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
+                    "n_events": [r[2] for r in rows],
+                    "session_value": [r[3] / 100.0 for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session is final
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield emit([(start_us, last_us, n, cents)])
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        scaled = rows["value"] * 100
+        rounded = scaled.round()
+        if len(scaled) and (scaled - rounded).abs().max() > 1e-6:
+            raise ValueError(
+                "stateful_sessions requires cent-granular values (see "
+                "stateful_user_totals input contract)"
+            )
+        cents_list = rounded.astype("int64").tolist()
+
+        cur = state.get if state.exists else None  # (start, last, n, cents)
+        closed = []
+        for t_us, c in zip(ts_us, cents_list):
+            if cur is None:
+                cur = (t_us, t_us, 1, c)
+            elif t_us - cur[1] >= gap_us:
+                closed.append(cur)
+                cur = (t_us, t_us, 1, c)
+            else:
+                cur = (cur[0], t_us, cur[2] + 1, cur[3] + c)
+        state.update(cur)
+        # event-time timeout must be strictly beyond the current watermark;
+        # an already-expired horizon fires on the next no-data batch
+        horizon_ms = (cur[1] + gap_us) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
+        if closed:
+            yield emit(closed)
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Drive a bounded file-replay stream to completion synchronously.
 
