@@ -110,26 +110,34 @@ def pagerank_fixed_point(
     rank(v) = base + floor(0.85 · Σ_{u→v} floor(rank(u)/deg(u))) — every
     double op touches exact integers < 2^53, so results are bit-identical
     on any engine and any partitioning (no float-summation-order drift).
-    Each iteration left-joins the contribution sums against the FULL node
-    set, so a source node with out-edges but no in-edges keeps its rank
-    (= base, zero inbound mass) instead of silently vanishing after round
-    one and dropping its contributions from later rounds. State per
-    iteration is one (node, rank) row; edges+degrees+nodes persist once
-    and serve all iterations. Returns (node, rank_fp)."""
+
+    Directed-graph correctness without a per-iteration join: a node with
+    out-edges but no in-edges has rank ≡ base every iteration (zero
+    inbound mass), so the zero-in-degree set is computed ONCE, given the
+    constant base rank, and UNIONed onto each iteration's contribution
+    aggregate — sources keep contributing in every round (they used to
+    vanish after round one) while the iteration body stays one join + one
+    groupBy. State per iteration is one (node, rank) row; edges+degrees+
+    sources persist once and serve all iterations. Returns (node,
+    rank_fp) over every node in src ∪ dst."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     edges_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     edges_deg.count()  # materialize once; every iteration reuses it
-    nodes = (
+    sources_base = (
         e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti")
+        .select("node", F.lit(base).cast("bigint").alias("r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes.count()
-    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("r"))
+    sources_base.count()
+    all_nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    ranks = all_nodes.select("node", F.lit(scale).cast("bigint").alias("r"))
     for _ in range(iters):
         contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
             "dst",
@@ -137,17 +145,15 @@ def pagerank_fixed_point(
             .cast("bigint")
             .alias("c"),
         )
-        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(
-            summed, nodes.node == summed.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.floor(F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0)))
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (F.lit(base) + F.floor(F.lit(0.85) * F.sum("c")))
+                .cast("bigint")
+                .alias("r")
             )
-            .cast("bigint")
-            .alias("r"),
+            .select(F.col("dst").alias("node"), "r")
+            .unionByName(sources_base)
         )
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
