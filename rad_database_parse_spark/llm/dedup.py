@@ -211,13 +211,17 @@ def minhash_lsh_candidates(
 
     Plan shape (scale-critical): the corpus is tokenized ONCE; signatures,
     set sizes, band keys, AND the verify-side token arrays all come out of a
-    single groupBy(doc). Verification then computes exact Jaccard per
-    candidate pair with `array_intersect` inside codegen — a row-local
-    operation on two joined arrays — instead of re-exploding candidates
-    against the token table (which is quadratic in bucket size: a skewed
-    LSH bucket of B docs would shuffle B²·|tokens| rows). The per-doc
-    signature table is one row per document and joins to candidates on
-    doc_id (broadcast under AQE when it fits)."""
+    single groupBy(doc). Identical signatures collapse BEFORE banding
+    (lever 1: a hot bucket pairs |signatures|², not |docs|²·bands), and
+    verification runs per CONTENT CLASS — distinct token set — not per doc
+    pair (lever 2: every doc pair drawn from the same two classes shares
+    one exact Jaccard, so the fat token arrays join onto |class pairs|
+    rows instead of millions of doc pairs; the doc-level expansion
+    afterwards moves only (id, id, jaccard) narrow rows, and within-class
+    pairs are Jaccard ≡ 1 with no verification at all). Exact Jaccard per
+    class pair is `array_intersect` inside codegen — row-local on two
+    joined arrays — never a re-explode of candidates against the token
+    table (quadratic in bucket size)."""
     from pyspark import StorageLevel
 
     wide = minhash_signatures_wide(df, text_col, id_col, num_hashes).persist(
@@ -299,44 +303,101 @@ def minhash_lsh_candidates(
             F.col("a.sig_key").alias("sig_a"), F.col("b.sig_key").alias("sig_b")
         )
     )
-    # expansion stays NARROW (two ids per row); the fat token arrays are
-    # attached afterwards via per-doc broadcast joins, so the pair stream
-    # never shuffles wide rows
-    ma = members.select(F.col("sig_key").alias("sig_a"), F.col(id_col).alias("da"))
-    mb = members.select(F.col("sig_key").alias("sig_b"), F.col(id_col).alias("db"))
-    cross = grp_pairs.join(ma, "sig_a").join(mb, "sig_b")
-    # same-signature groups collide in every band by construction
-    within = ma.join(
-        mb.withColumnRenamed("sig_b", "sig_a"), "sig_a"
-    ).filter(F.col("da") < F.col("db"))
-    pairs = cross.select("da", "db").unionByName(within.select("da", "db"))
-    sets_a = members.select(
-        F.col(id_col).alias("da"),
-        F.col("tok_set").alias("set_a"),
-        F.col("sz").alias("sz_a"),
+    # ---- verify per CONTENT CLASS, not per doc pair (the second scale
+    # lever). Near-dup-heavy corpora hold many docs with the IDENTICAL
+    # token set (sf0.1: 5000 docs → 3935 distinct sets, hottest class 248
+    # docs); every doc pair drawn from the same two classes shares one
+    # Jaccard. Verifying doc pairs attaches two fat token arrays to every
+    # candidate (~6M wide shuffled rows at sf0.1); verifying CLASS pairs
+    # shrinks the array-carrying join to |class pairs| rows, and the doc-
+    # level expansion afterwards moves only (id, id, jaccard). Classes are
+    # keyed by the sorted token-set itself (exact — no hash-collision
+    # risk), with min(doc_id) as the compact class id for the narrow joins.
+    # one shuffle builds the class table AND its membership lists; same
+    # token set ⇒ same minhashes ⇒ same sig_key, so each class belongs to
+    # exactly one signature group (first() is deterministic here)
+    cls = (
+        members.withColumn("cset", F.sort_array("tok_set"))
+        .groupBy("cset")
+        .agg(
+            F.min(id_col).alias("cls_id"),
+            F.first("sz").alias("csz"),
+            F.first("sig_key").alias("sig_key"),
+            F.collect_list(id_col).alias("member_ids"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sets_b = members.select(
-        F.col(id_col).alias("db"),
-        F.col("tok_set").alias("set_b"),
-        F.col("sz").alias("sz_b"),
+    cls.count()
+    # doc ↔ class membership (narrow), exploded from the class rows — no
+    # second array-keyed join against the corpus
+    cm = cls.select(
+        "cls_id", F.explode("member_ids").alias(id_col)
     )
-    # Verify with exact token-set Jaccard computed row-locally:
-    # |A∩B| = size(array_intersect) over integer token ids (bijective with
-    # tokens, so the ratio is bit-identical to a token-string count).
-    return (
-        pairs.join(sets_a, "da")
-        .join(sets_b, "db")
+    sig_cls = cls.select("sig_key", "cls_id")
+    ca = sig_cls.select(
+        F.col("sig_key").alias("sig_a"), F.col("cls_id").alias("cls_a")
+    )
+    cb = sig_cls.select(
+        F.col("sig_key").alias("sig_b"), F.col("cls_id").alias("cls_b")
+    )
+    # candidate class pairs: banded sig pairs expanded to their classes,
+    # plus distinct-class pairs inside one signature group (those collide
+    # in every band by construction). Both streams are narrow id pairs.
+    cross_cls = grp_pairs.join(ca, "sig_a").join(cb, "sig_b").select(
+        "cls_a", "cls_b"
+    )
+    within_sig = ca.join(
+        cb.withColumnRenamed("sig_b", "sig_a"), "sig_a"
+    ).filter(F.col("cls_a") < F.col("cls_b")).select("cls_a", "cls_b")
+    cand_cls = cross_cls.unionByName(within_sig).distinct()
+    # Verify with exact token-set Jaccard computed row-locally over the
+    # class table: |A∩B| = size(array_intersect) over integer token ids
+    # (bijective with tokens, so the ratio is bit-identical to a
+    # token-string count). The class table is signature-count-sized —
+    # broadcastable here; at corpus scale these become narrow shuffles on
+    # cls_id, still |classes| not |docs|.
+    info_a = cls.select(
+        F.col("cls_id").alias("cls_a"),
+        F.col("cset").alias("set_a"),
+        F.col("csz").alias("sz_a"),
+    )
+    info_b = cls.select(
+        F.col("cls_id").alias("cls_b"),
+        F.col("cset").alias("set_b"),
+        F.col("csz").alias("sz_b"),
+    )
+    verified_cls = (
+        cand_cls.join(info_a, "cls_a")
+        .join(info_b, "cls_b")
         .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.least("da", "db").alias("id_a"),
-            F.greatest("da", "db").alias("id_b"),
-            "jaccard",
+        .select("cls_a", "cls_b", "jaccard")
+    )
+    # expand verified class pairs to doc pairs — narrow rows only
+    da_m = cm.select(F.col("cls_id").alias("cls_a"), F.col(id_col).alias("da"))
+    db_m = cm.select(F.col("cls_id").alias("cls_b"), F.col(id_col).alias("db"))
+    cross_docs = (
+        verified_cls.join(da_m, "cls_a")
+        .join(db_m, "cls_b")
+        .select("da", "db", "jaccard")
+    )
+    # within-class doc pairs: identical sets, Jaccard exactly sz/sz = 1.0
+    # (same double the per-pair division produced before)
+    within_docs = (
+        da_m.join(
+            db_m.withColumnRenamed("cls_b", "cls_a"), "cls_a"
         )
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", F.lit(1.0).alias("jaccard"))
+    )
+    return cross_docs.unionByName(within_docs).select(
+        F.least("da", "db").alias("id_a"),
+        F.greatest("da", "db").alias("id_b"),
+        "jaccard",
     )
 
 
