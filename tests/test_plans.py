@@ -194,3 +194,28 @@ def test_scd2_pointintime_is_hash_join_with_residual(spark, sf_dir):
     # over fact x versions
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_filter_stays_jvm_side(spark, sf_dir):
+    """docs_repetition_filter builds n-grams row-locally with zip_with:
+    the plan must contain NO Python evaluation and must read only the two
+    columns it uses — the properties that keep it cheap at corpus scale."""
+    from rad_database_parse_spark.registry.llm_ops import docs_repetition_filter
+
+    df = docs_repetition_filter(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert reads_only_columns(df, {"doc_id", "text"})
+
+
+def test_minhash_verify_is_class_level(spark, sf_dir):
+    """The verify join must attach token arrays to class pairs, not doc
+    pairs: the executed plan carries the sorted-set class column (cset)
+    through the verification joins, and no doc-pair-level array_intersect
+    remains (array_intersect appears after the class join only)."""
+    from rad_database_parse_spark.registry.llm_ops import docs_minhash_lsh
+
+    df = docs_minhash_lsh(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "array_intersect" in plan  # exact verify still present
+    assert "sort_array" in plan  # class key construction in-plan
