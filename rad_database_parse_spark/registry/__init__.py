@@ -127,6 +127,7 @@ _WINDOW_R4 = [
     # new in round 3:
     "docs_repetition_filter",
     "stateful_sessionizer_stream",
+    "docs_boilerplate_share",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1062,3 +1062,69 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str):
         F.when(50 * top_bi <= 9 * n_bi, 1).otherwise(0).alias("pass_top_bigram"),
         F.when(4 * dup_tri <= n_tri, 1).otherwise(0).alias("pass_dup_trigram"),
     )
+
+
+# --------------------------- cross-doc boilerplate n-gram share
+@register(
+    "docs_boilerplate_share",
+    f"""
+    WITH {_TOKS_SQL},
+    bp_sh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token, 1) OVER w || ' ' ||
+             lead(token, 2) OVER w AS shingle
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(token, 2) OVER w IS NOT NULL),
+    bp_df AS (SELECT shingle, COUNT(*) AS df FROM bp_sh GROUP BY shingle)
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_shingles,
+           CASE WHEN 2 * SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+                     <= COUNT(*)
+                THEN 1 ELSE 0 END AS pass_boilerplate
+    FROM bp_sh s JOIN bp_df d USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def docs_boilerplate_share(spark: SparkSession, sf_dir: str):
+    """CROSS-document repetition screen — the inter-doc complement of
+    docs_repetition_filter's within-doc rules: for each document, how many
+    of its distinct 3-gram shingles also occur in at least one OTHER
+    document (document frequency ≥ 2 — since per-doc shingles are
+    distinct, corpus df counts documents). A doc whose shingles are
+    mostly corpus-shared is boilerplate (headers, templates, licence
+    text) even when no single near-dup partner exists — the standard
+    pretraining screen between exact/near dedup and quality gating.
+
+    Scale shape: one shingle table (codegen lead() windows, no UDF), one
+    (shingle) groupBy for corpus df with map-side partial aggregation,
+    one join back on the shingle key, one (doc_id) rollup. The join
+    shuffles (shingle, doc_id) narrow pairs — linear in corpus shingle
+    volume, never pairwise. The pass gate is an integer cross-product
+    (2·shared ≤ n ⟺ share ≤ 50%), engine-exact.
+
+    Reference parity: generalizes the reference's idempotent-source skip
+    (main.py:90-92 — skip content already ingested) from file identity to
+    fractional content overlap."""
+    from ..llm.dedup import tokenize, word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = word_shingles(tokenize(d, "text", "doc_id"), "doc_id", n=3)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            shared.cast("bigint").alias("shared_shingles"),
+        )
+        .withColumn(
+            "pass_boilerplate",
+            F.when(
+                2 * F.col("shared_shingles") <= F.col("n_shingles"), 1
+            ).otherwise(0),
+        )
+    )
