@@ -128,6 +128,7 @@ _WINDOW_R4 = [
     "docs_repetition_filter",
     "stateful_sessionizer_stream",
     "docs_boilerplate_share",
+    "emb_scalar_quantize",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

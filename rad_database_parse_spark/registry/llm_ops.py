@@ -1128,3 +1128,57 @@ def docs_boilerplate_share(spark: SparkSession, sf_dir: str):
             ).otherwise(0),
         )
     )
+
+
+# ------------------------------- embedding scalar quantization (int8)
+@register(
+    "emb_scalar_quantize",
+    """
+    WITH comp AS (
+      SELECT vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS val,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings),
+    st AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx
+           FROM comp GROUP BY dim)
+    SELECT vec_id, comp.dim AS dim,
+           CAST(CASE WHEN mx = mn THEN 0
+                     ELSE floor((val - mn) * 255.0 / (mx - mn)) END
+                AS INT) AS q
+    FROM comp JOIN st USING (dim)
+    """,
+)
+def emb_scalar_quantize(spark: SparkSession, sf_dir: str):
+    """Per-dimension scalar quantization of the embedding corpus to int8
+    codes (0..255) — the standard ANN memory-compression step (4× smaller
+    than float32 before any product quantization), applied corpus-wide
+    with per-dimension min/max calibration.
+
+    Scale shape: one explode → one 64-row per-dimension aggregate →
+    broadcast the 64-row stats table back onto the component stream — the
+    quantization itself is a row-local affine map in codegen. At 100 TB
+    the stats aggregate is a partial+final merge of 64 rows per
+    partition; nothing else shuffles.
+
+    Parity shape: float32 components widen to double exactly; both
+    engines evaluate the SAME association (val - mn) * 255.0 / (mx - mn)
+    on identical doubles, and floor() of an identical double is
+    identical, so the codes hash-compare without a rounding policy.
+    Output is posexploded (vec_id, dim, q) scalars — hashable by the
+    driver canonicalizer."""
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    )
+    st = comp.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    q = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.floor((F.col("val") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn")))
+    )
+    return comp.join(F.broadcast(st), "dim").select(
+        "vec_id", "dim", q.cast("int").alias("q")
+    )
