@@ -85,6 +85,14 @@ EXTENDED = [
     "docs_simhash",
 ]
 
+# Round-3 operator additions, tracked as their own family (headline and
+# extended sums stay comparable round-over-round).
+EXTENDED_R3 = [
+    "docs_repetition_filter",
+    "docs_boilerplate_share",
+    "emb_scalar_quantize",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,15 +135,17 @@ def main() -> int:
     timings = run(HEADLINE)
     total = round(sum(timings.values()), 3)
     extended = run(EXTENDED)
+    extended_r3 = run(EXTENDED_R3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, **extended},
+                "queries": {**timings, **extended, **extended_r3},
                 "headline_n": len(HEADLINE),
                 "value_extended": round(sum(extended.values()), 3),
+                "value_extended_r3": round(sum(extended_r3.values()), 3),
                 "sf": sf,
             }
         )
