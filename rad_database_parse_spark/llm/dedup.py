@@ -446,3 +446,86 @@ def simhash_signatures(
         )
         sig = term if sig is None else sig.bitwiseOR(term)
     return contrib.select(id_col, sig.alias("simhash"))
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest-time near-dup dedup: band-join a NEW batch against the
+    EXISTING corpus without ever pairing the corpus with itself — the
+    shape a daily 100 TB ingest actually runs (the corpus's signatures
+    and band keys are computed once per batch here; in production they
+    persist as the dedup index and only the increment side is fresh).
+
+    Candidates are (increment doc × corpus doc) sharing any LSH band;
+    the increment is small relative to the corpus by definition, so its
+    band table broadcasts and the corpus streams through map-side — no
+    corpus self-join, no corpus shuffle beyond its one signature
+    groupBy. Verification is the same exact row-local token-set Jaccard
+    as the self-join operator (for very large increments, the content-
+    class collapse from minhash_lsh_candidates applies unchanged).
+
+    Returns (inc_id, corp_id, jaccard) for every verified pair with
+    jaccard ≥ threshold."""
+    num_bands = num_hashes // band_size
+    band_sig_cols = [
+        F.concat_ws(
+            ",", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        )
+        for b in range(num_bands)
+    ]
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_sig_cols[b].alias("band_sig"))
+            for b in range(num_bands)
+        ]
+    )
+
+    def bands_of(df: DataFrame, out_id: str) -> DataFrame:
+        wide = minhash_signatures_wide(df, text_col, id_col, num_hashes)
+        return wide.select(
+            F.col(id_col).alias(out_id),
+            F.col("tok_set").alias(f"{out_id}_set"),
+            F.col("sz").alias(f"{out_id}_sz"),
+            F.explode(band_structs).alias("bs"),
+        ).select(out_id, f"{out_id}_set", f"{out_id}_sz", "bs.band", "bs.band_sig")
+
+    inc = bands_of(increment, "inc_id")
+    corp = bands_of(corpus, "corp_id")
+    # distinct narrow pairs first; the fat token arrays attach after
+    cand = (
+        F.broadcast(inc.select("inc_id", "band", "band_sig"))
+        .join(corp.select("corp_id", "band", "band_sig"), ["band", "band_sig"])
+        .select("inc_id", "corp_id")
+        .distinct()
+    )
+    inc_info = (
+        bands_of(increment, "inc_id")
+        .select("inc_id", "inc_id_set", "inc_id_sz")
+        .distinct()
+    )
+    corp_info = (
+        bands_of(corpus, "corp_id")
+        .select("corp_id", "corp_id_set", "corp_id_sz")
+        .distinct()
+    )
+    return (
+        cand.join(F.broadcast(inc_info), "inc_id")
+        .join(corp_info, "corp_id")
+        .withColumn(
+            "inter", F.size(F.array_intersect("inc_id_set", "corp_id_set"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("inc_id_sz") + F.col("corp_id_sz") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("inc_id", "corp_id", "jaccard")
+    )

@@ -129,6 +129,7 @@ _WINDOW_R4 = [
     "stateful_sessionizer_stream",
     "docs_boilerplate_share",
     "emb_scalar_quantize",
+    "docs_incremental_neardup",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

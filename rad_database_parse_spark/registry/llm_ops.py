@@ -1182,3 +1182,62 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str):
     return comp.join(F.broadcast(st), "dim").select(
         "vec_id", "dim", q.cast("int").alias("q")
     )
+
+
+# --------------------------- incremental (ingest-time) near-dup dedup
+@register(
+    "docs_incremental_neardup",
+    f"""
+    WITH {_TOKS_SQL},
+    hashes(hash_idx, a, b) AS (VALUES {_HASHES_SQL}),
+    doc_tokens AS (
+      SELECT DISTINCT doc_id, token_id FROM toks),
+    mh AS (
+      SELECT doc_id, hash_idx,
+             MIN((CAST(a AS BIGINT) * token_id + b) % {MERSENNE_P}) AS minhash
+      FROM doc_tokens CROSS JOIN hashes GROUP BY doc_id, hash_idx),
+    bands AS (
+      SELECT doc_id, hash_idx // 4 AS band,
+             string_agg(CAST(hash_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR),
+                        ',' ORDER BY CAST(hash_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))
+               AS band_sig
+      FROM mh GROUP BY doc_id, hash_idx // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS corp_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+    tok_sets AS (SELECT DISTINCT doc_id, token FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok_sets GROUP BY doc_id),
+    inter AS (
+      SELECT inc_id, corp_id, COUNT(*) AS inter
+      FROM cand JOIN tok_sets ta ON ta.doc_id = inc_id
+                JOIN tok_sets tb ON tb.doc_id = corp_id AND tb.token = ta.token
+      GROUP BY inc_id, corp_id)
+    SELECT inc_id, corp_id,
+           inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = inc_id
+               JOIN sizes sb ON sb.doc_id = corp_id
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    """,
+)
+def docs_incremental_neardup(spark: SparkSession, sf_dir: str):
+    """Ingest-time dedup: the 10%% of documents with doc_id % 10 = 0 play
+    the NEW BATCH; the other 90%% are the EXISTING corpus. The increment
+    band-joins against the corpus's LSH index — the corpus never pairs
+    with itself, which is the whole point: a daily ingest at 100 TB
+    re-dedups only increment×corpus, not corpus², and the corpus's
+    signature/band table is the persistent dedup index (recomputed here
+    per run because the gate is stateless; in production it is a bucketed
+    table updated per batch). Operator: llm/dedup.py::
+    minhash_lsh_incremental (broadcast increment bands, verified exact
+    token-set Jaccard)."""
+    from ..llm.dedup import minhash_lsh_incremental
+
+    d = t(spark, sf_dir, "documents")
+    increment = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_incremental(
+        corpus, increment, "text", "doc_id",
+        num_hashes=16, band_size=4, threshold=0.5,
+    )
