@@ -130,6 +130,7 @@ _WINDOW_R4 = [
     "docs_boilerplate_share",
     "emb_scalar_quantize",
     "docs_incremental_neardup",
+    "docs_curation_funnel",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

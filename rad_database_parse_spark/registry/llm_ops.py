@@ -1241,3 +1241,114 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str):
         corpus, increment, "text", "doc_id",
         num_hashes=16, band_size=4, threshold=0.5,
     )
+
+
+# --------------------------------------- corpus curation funnel report
+@register(
+    "docs_curation_funnel",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    cf_edges AS (
+      SELECT id_a AS u, id_b AS v FROM mh_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM mh_pairs),
+    cf_reach(u, v) AS (
+      SELECT u, v FROM cf_edges
+      UNION
+      SELECT r.u, e.v FROM cf_reach r JOIN cf_edges e ON r.v = e.u),
+    cf_comp AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component
+      FROM cf_reach GROUP BY u),
+    cf_canon AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+      FROM documents d LEFT JOIN cf_comp c ON c.node = d.doc_id),
+    cf_gates AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens BETWEEN 5 AND 100000
+                   AND 5 * n_alpha >= 3 * GREATEST(n_chars, 1)
+                   AND 5 * n_punct <= GREATEST(n_chars, 1)
+                   AND n_alpha BETWEEN 2 * n_tokens AND 12 * n_tokens
+                  THEN 1 ELSE 0 END AS pass_quality
+      FROM (SELECT doc_id,
+                   {_NT_SQL} AS n_tokens,
+                   length(text) AS n_chars,
+                   length(text)
+                     - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS n_punct,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                     AS n_alpha
+            FROM documents))
+    SELECT
+      (SELECT COUNT(*) FROM documents) AS n_raw,
+      (SELECT COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+       FROM documents) AS n_exact_unique,
+      CAST((SELECT SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) FROM cf_canon)
+           AS BIGINT) AS n_neardup_canonical,
+      CAST((SELECT SUM(pass_quality) FROM cf_gates) AS BIGINT) AS n_pass_quality,
+      CAST((SELECT SUM(CASE WHEN c.is_canonical AND g.pass_quality = 1
+                            THEN 1 ELSE 0 END)
+            FROM cf_canon c JOIN cf_gates g USING (doc_id)) AS BIGINT)
+        AS n_final_kept
+    """,
+)
+def docs_curation_funnel(spark: SparkSession, sf_dir: str):
+    """The whole curation pipeline as ONE report row — the numbers a data
+    lead reads before shipping a corpus: raw docs → exact-unique texts →
+    near-dup canonical survivors (MinHash-LSH pairs → connected
+    components) → Gopher-gate passers → the final intersection actually
+    kept. Composes four registered operator families in a single lazy
+    plan; every count is an exact integer, so the report hash-compares
+    against the recursive-CTE oracle bit-for-bit.
+
+    Scale shape: the funnel adds nothing beyond its constituents — the
+    dominant cost is the near-dup tier (see docs_minhash_lsh); the gate
+    metrics ride the same documents scan."""
+    from ..llm.cluster import neardup_cluster_assign
+    from ..llm.dedup import minhash_lsh_candidates
+    from ..llm.text import token_count_expr
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=16, band_size=4, threshold=0.5
+    )
+    canon = neardup_cluster_assign(d, pairs, "doc_id")
+
+    txt = F.col("text")
+    n_tokens = token_count_expr(txt)
+    n_chars = F.length(txt)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(F.lower(txt), r"[^a-z]", ""))
+    one = F.lit(1)
+    gates = d.select(
+        "doc_id",
+        F.when(
+            n_tokens.between(5, 100_000)
+            & (5 * n_alpha >= 3 * F.greatest(n_chars, one))
+            & (5 * n_punct <= F.greatest(n_chars, one))
+            & n_alpha.between(2 * n_tokens, 12 * n_tokens),
+            1,
+        )
+        .otherwise(0)
+        .alias("pass_quality"),
+    )
+    norm_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    raw = d.agg(
+        F.count("*").alias("n_raw"),
+        F.countDistinct(norm_hash).alias("n_exact_unique"),
+    )
+    joined = canon.join(gates, "doc_id").agg(
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neardup_canonical"),
+        F.sum("pass_quality").cast("bigint").alias("n_pass_quality"),
+        F.sum(
+            F.when(F.col("is_canonical") & (F.col("pass_quality") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_final_kept"),
+    )
+    return raw.crossJoin(joined)
