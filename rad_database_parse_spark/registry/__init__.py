@@ -131,6 +131,7 @@ _WINDOW_R4 = [
     "emb_scalar_quantize",
     "docs_incremental_neardup",
     "docs_curation_funnel",
+    "schema_evolution_merge",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1033,3 +1033,58 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str):
         F.row_number().over(w_first).alias("rn_nulls_first"),
         F.row_number().over(w_last).alias("rn_nulls_last"),
     )
+
+
+# ------------------------------------ schema evolution (mergeSchema)
+@register(
+    "schema_evolution_merge",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total_price
+    FROM unioned GROUP BY 1
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str):
+    """Schema evolution at the source: two parquet epochs of the same
+    table — the old files WITHOUT a column that later epochs added — read
+    back as one DataFrame via mergeSchema, with the missing column
+    correctly NULL for pre-evolution files. This is the mechanics every
+    long-lived lake table relies on when a column lands mid-history
+    (the alternative is rewriting 100 TB of history for one new field).
+
+    Plan note: mergeSchema pays one footer read per file at planning —
+    fine for a bounded epoch directory; at very large file counts you
+    pin the merged schema explicitly and skip the inference pass."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="schema_evo_") + "/orders"
+    o = t(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", dec("o_totalprice").alias("price")
+    ).write.mode("overwrite").parquet(f"{base}/epoch=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", dec("o_totalprice").alias("price"), "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{base}/epoch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dbl(F.sum("price")).alias("total_price"),
+        )
+    )
