@@ -350,12 +350,14 @@ def minhash_lsh_candidates(
         cb.withColumnRenamed("sig_b", "sig_a"), "sig_a"
     ).filter(F.col("cls_a") < F.col("cls_b")).select("cls_a", "cls_b")
     cand_cls = cross_cls.unionByName(within_sig).distinct()
-    # Verify with exact token-set Jaccard computed row-locally over the
-    # class table: |A∩B| = size(array_intersect) over integer token ids
-    # (bijective with tokens, so the ratio is bit-identical to a
-    # token-string count). The class table is signature-count-sized —
-    # broadcastable here; at corpus scale these become narrow shuffles on
-    # cls_id, still |classes| not |docs|.
+    # Verify with exact token-ID-set Jaccard computed row-locally over the
+    # class table: |A∩B| = size(array_intersect) over integer token ids.
+    # The oracle intersects the SAME md5-derived id sets, so a (rare,
+    # ~V²/2³²) id collision shifts the ratio identically in both engines —
+    # the hash-compare stays bit-exact by construction, not by assuming
+    # the id map is collision-free. The class table is
+    # signature-count-sized — broadcastable here; at corpus scale these
+    # become narrow shuffles on cls_id, still |classes| not |docs|.
     info_a = cls.select(
         F.col("cls_id").alias("cls_a"),
         F.col("cset").alias("set_a"),
@@ -466,13 +468,20 @@ def minhash_lsh_incremental(
     Candidates are (increment doc × corpus doc) sharing any LSH band;
     the increment is small relative to the corpus by definition, so its
     band table broadcasts and the corpus streams through map-side — no
-    corpus self-join, no corpus shuffle beyond its one signature
-    groupBy. Verification is the same exact row-local token-set Jaccard
-    as the self-join operator (for very large increments, the content-
-    class collapse from minhash_lsh_candidates applies unchanged).
+    corpus self-join. Each side's tokenize→signature pipeline runs ONCE:
+    the wide signature tables persist and serve both the band explode and
+    the verify-side (tok_set, sz) lookup, so the corpus pays exactly one
+    scan + one signature groupBy (the pair production persists as the
+    dedup index). Band rows are NARROW (id, band, band_sig) — the fat
+    token arrays never ride an explode. Verification is the same exact
+    row-local token-id-set Jaccard as the self-join operator (for very
+    large increments, the content-class collapse from
+    minhash_lsh_candidates applies unchanged).
 
     Returns (inc_id, corp_id, jaccard) for every verified pair with
     jaccard ≥ threshold."""
+    from pyspark import StorageLevel
+
     num_bands = num_hashes // band_size
     band_sig_cols = [
         F.concat_ws(
@@ -486,45 +495,45 @@ def minhash_lsh_incremental(
             for b in range(num_bands)
         ]
     )
+    wide_i = minhash_signatures_wide(increment, text_col, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wide_c = minhash_signatures_wide(corpus, text_col, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wide_i.count()  # materialize before the multi-reference plan below
+    wide_c.count()
 
-    def bands_of(df: DataFrame, out_id: str) -> DataFrame:
-        wide = minhash_signatures_wide(df, text_col, id_col, num_hashes)
+    def bands_of(wide: DataFrame, out_id: str) -> DataFrame:
         return wide.select(
-            F.col(id_col).alias(out_id),
-            F.col("tok_set").alias(f"{out_id}_set"),
-            F.col("sz").alias(f"{out_id}_sz"),
-            F.explode(band_structs).alias("bs"),
-        ).select(out_id, f"{out_id}_set", f"{out_id}_sz", "bs.band", "bs.band_sig")
+            F.col(id_col).alias(out_id), F.explode(band_structs).alias("bs")
+        ).select(out_id, "bs.band", "bs.band_sig")
 
-    inc = bands_of(increment, "inc_id")
-    corp = bands_of(corpus, "corp_id")
     # distinct narrow pairs first; the fat token arrays attach after
     cand = (
-        F.broadcast(inc.select("inc_id", "band", "band_sig"))
-        .join(corp.select("corp_id", "band", "band_sig"), ["band", "band_sig"])
+        F.broadcast(bands_of(wide_i, "inc_id"))
+        .join(bands_of(wide_c, "corp_id"), ["band", "band_sig"])
         .select("inc_id", "corp_id")
         .distinct()
     )
-    inc_info = (
-        bands_of(increment, "inc_id")
-        .select("inc_id", "inc_id_set", "inc_id_sz")
-        .distinct()
+    inc_info = wide_i.select(
+        F.col(id_col).alias("inc_id"),
+        F.col("tok_set").alias("inc_set"),
+        F.col("sz").alias("inc_sz"),
     )
-    corp_info = (
-        bands_of(corpus, "corp_id")
-        .select("corp_id", "corp_id_set", "corp_id_sz")
-        .distinct()
+    corp_info = wide_c.select(
+        F.col(id_col).alias("corp_id"),
+        F.col("tok_set").alias("corp_set"),
+        F.col("sz").alias("corp_sz"),
     )
     return (
         cand.join(F.broadcast(inc_info), "inc_id")
         .join(corp_info, "corp_id")
-        .withColumn(
-            "inter", F.size(F.array_intersect("inc_id_set", "corp_id_set"))
-        )
+        .withColumn("inter", F.size(F.array_intersect("inc_set", "corp_set")))
         .withColumn(
             "jaccard",
             F.col("inter")
-            / (F.col("inc_id_sz") + F.col("corp_id_sz") - F.col("inter")),
+            / (F.col("inc_sz") + F.col("corp_sz") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("inc_id", "corp_id", "jaccard")

@@ -1068,7 +1068,9 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str):
     pin the merged schema explicitly and skip the inference pass."""
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="schema_evo_") + "/orders"
+    # fixed per-process dir + overwrite mode: repeated gate/bench runs
+    # replace the epochs instead of accumulating mkdtemp copies in /tmp
+    base = f"{tempfile.gettempdir()}/spark_graft_schema_evo/orders"
     o = t(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", dec("o_totalprice").alias("price")

@@ -216,7 +216,7 @@ _MINHASH_PAIR_CTES = f"""
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-    tok_sets AS (SELECT DISTINCT doc_id, token FROM toks),
+    tok_sets AS (SELECT DISTINCT doc_id, token_id AS token FROM toks),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok_sets GROUP BY doc_id),
     inter AS (
       SELECT id_a, id_b, COUNT(*) AS inter
@@ -1207,7 +1207,7 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str):
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_sig = b.band_sig
       WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
-    tok_sets AS (SELECT DISTINCT doc_id, token FROM toks),
+    tok_sets AS (SELECT DISTINCT doc_id, token_id AS token FROM toks),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok_sets GROUP BY doc_id),
     inter AS (
       SELECT inc_id, corp_id, COUNT(*) AS inter

@@ -336,13 +336,21 @@ def stateful_sessions(
         if closed:
             yield emit(closed)
 
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return src.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    # streaming-only by construction: applyInPandasWithState rejects batch
+    # input, and without a real watermark the event-time timeout that
+    # flushes final open sessions would never fire — no batch fallback is
+    # offered (the batch twin is the gaps-and-islands sessionization in
+    # registry/events_ops.py, which is also this operator's oracle)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
