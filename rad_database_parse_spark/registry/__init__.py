@@ -132,6 +132,7 @@ _WINDOW_R4 = [
     "docs_incremental_neardup",
     "docs_curation_funnel",
     "schema_evolution_merge",
+    "dynamic_partition_overwrite",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

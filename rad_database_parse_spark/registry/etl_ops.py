@@ -1090,3 +1090,48 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str):
             dbl(F.sum("price")).alias("total_price"),
         )
     )
+
+
+# --------------------------- dynamic partition overwrite (A18 at scale)
+@register(
+    "dynamic_partition_overwrite",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str):
+    """Partition-scoped mutation — the reference's UPDATE (database.py:
+    35-41) done the way a partitioned lake table actually does it: write
+    the table partitioned by priority, then overwrite ONLY the 1-URGENT
+    partition with updated rows (partitionOverwriteMode=dynamic). The
+    other partitions' files are untouched — a 100 TB table pays for the
+    partitions it changes, not a full rewrite; the read-back proves the
+    untouched partitions still carry their original rows alongside the
+    mutated slice."""
+    import tempfile
+
+    base = f"{tempfile.gettempdir()}/spark_graft_dyn_overwrite/orders"
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", dec("o_totalprice").alias("price"), "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(base)
+    updated = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "price", (F.col("price") * 2).cast("decimal(12,2)")
+    )
+    updated.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("o_orderpriority").parquet(base)
+    return (
+        spark.read.parquet(base)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            dbl(F.sum("price")).alias("total_price"),
+        )
+    )
