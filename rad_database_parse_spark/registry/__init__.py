@@ -48,8 +48,9 @@ def register(name: str, oracle: str | None):
 # suites, stream_interval_outer_join, the two re-check targets
 # (pivot_multi_agg — r1 fail since fixed; multimodal decode pair — r2 err
 # since made hash-friendly), and 13 of the 22 never-checked pipeline_ops.
-# The 9 residual pipeline_ops queries form the round-4 window (positions
-# 51-59); SURVEY §8 carries the full query→round coverage table. The order
+# The 9 residual pipeline_ops queries plus every query ADDED in round 3
+# form the round-4 window (positions 51+ this round, 1+ next); SURVEY §8
+# carries the full query→round coverage table. The order
 # is imposed here by explicit list (not import side-effect order) so an
 # earlier direct import of any registry module cannot shuffle the window.
 _WINDOW_R3 = [
