@@ -134,6 +134,7 @@ _WINDOW_R4 = [
     "docs_curation_funnel",
     "schema_evolution_merge",
     "dynamic_partition_overwrite",
+    "docs_leakage_safe_split",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

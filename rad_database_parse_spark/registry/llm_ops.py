@@ -1352,3 +1352,58 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str):
         .alias("n_final_kept"),
     )
     return raw.crossJoin(joined)
+
+
+# ------------------------------- leakage-safe train/eval split
+@register(
+    "docs_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    ls_edges AS (
+      SELECT id_a AS u, id_b AS v FROM mh_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM mh_pairs),
+    ls_reach(u, v) AS (
+      SELECT u, v FROM ls_edges
+      UNION
+      SELECT r.u, e.v FROM ls_reach r JOIN ls_edges e ON r.v = e.u),
+    ls_comp AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component
+      FROM ls_reach GROUP BY u),
+    ls_assign AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN ls_comp c ON c.node = d.doc_id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6))
+                          AS INT) % 10 = 0
+                THEN 'eval' ELSE 'train' END AS split
+    FROM ls_assign
+    """,
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str):
+    """Train/eval split that CANNOT leak through near-duplicates: the
+    split key is the near-dup CLUSTER id, not the document id, so every
+    member of a duplicate cluster lands on the same side — hashing doc
+    ids directly puts one copy of a near-identical pair in train and its
+    twin in eval, silently inflating every benchmark number (the failure
+    decontamination screens exist to catch; this prevents it upstream).
+
+    Composition: MinHash-LSH verified pairs → connected components →
+    md5-bucket hash of cluster_id (10% eval). The hash is a pure
+    function of the cluster key — deterministic across engines, task
+    retries, and corpus repartitioning, same policy as the sampling
+    family. Singletons are their own cluster, so unique docs split
+    i.i.d. while duplicate groups move atomically."""
+    from ..llm.cluster import neardup_cluster_assign
+    from ..llm.dedup import minhash_lsh_candidates
+    from .sampling_profile import _md5_bucket
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=16, band_size=4, threshold=0.5
+    )
+    assign = neardup_cluster_assign(d, pairs, "doc_id")
+    split = F.when(
+        _md5_bucket(F.col("cluster_id").cast("string"), 10) == 0, "eval"
+    ).otherwise("train")
+    return assign.select("doc_id", "cluster_id", split.alias("split"))
