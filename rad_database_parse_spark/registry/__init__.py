@@ -135,6 +135,7 @@ _WINDOW_R4 = [
     "schema_evolution_merge",
     "dynamic_partition_overwrite",
     "docs_leakage_safe_split",
+    "events_resample_ffill",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -954,3 +954,97 @@ def stateful_sessionizer_stream(spark: SparkSession, sf_dir: str):
     name = f"sess_state_{_STATEFUL_SEQ[0]}"
     run_stream_to_memory(stateful_sessions(s), name, mode="append")
     return spark.sql(f"SELECT * FROM {name}").filter(F.col("user_id") != -1)
+
+
+# --------------------------- resample to hourly grid + forward fill
+@register(
+    "events_resample_ffill",
+    """
+    WITH samp AS (SELECT * FROM events WHERE user_id % 20 = 0),
+    closes AS (
+      SELECT user_id,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(value AS DECIMAL(12,2)) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM samp),
+    last_close AS (SELECT user_id, hour, v FROM closes WHERE rn = 1),
+    bounds AS (
+      SELECT user_id,
+             CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS d0,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS d1
+      FROM samp GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds)
+    SELECT s.user_id, s.hour,
+           CAST(last_value(lc.v IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS close_value,
+           CASE WHEN lc.v IS NULL THEN 0 ELSE 1 END AS is_observed
+    FROM spine s LEFT JOIN last_close lc USING (user_id, hour)
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str):
+    """Irregular events resampled onto a REGULAR per-user hourly grid
+    with forward-fill — the standard time-series preparation (as-of
+    state at every grid point) that feature pipelines and monitoring
+    dashboards run before any model sees the data. Hourly close = value
+    of the LAST event in the hour (ties broken on event_id); silent
+    hours inherit the previous close and are flagged is_observed=0.
+
+    Scale shape: the spine is generated per user from that user's own
+    bounds (sequence() — no calendar table, no global spine × users
+    cross join), the close pick is one window, the fill is one
+    last(ignorenulls) window over the SAME user partitioning — spine
+    join and both windows ride a single user_id shuffle key. A 5%
+    user sample (user_id % 20) bounds spine volume here; production
+    would shard the same plan by user ranges. First grid hour is
+    observed by construction, so the fill never has a leading NULL."""
+    e = t(spark, sf_dir, "events")
+    samp = e.filter(F.col("user_id") % 20 == 0)
+    hour = F.date_trunc("hour", "ts")
+    w_close = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_close = (
+        samp.select(
+            "user_id",
+            hour.alias("hour"),
+            dec("value").alias("v"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_close))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", "v")
+    )
+    bounds = samp.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("d0"),
+        F.date_trunc("hour", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        ),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(last_close, ["user_id", "hour"], "left")
+        .withColumn(
+            "close_value",
+            F.last("v", ignorenulls=True).over(w_fill).cast("double"),
+        )
+        .withColumn(
+            "is_observed", F.when(F.col("v").isNull(), 0).otherwise(1)
+        )
+        .select("user_id", "hour", "close_value", "is_observed")
+    )
