@@ -998,12 +998,13 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str):
 
     Scale shape: the spine is generated per user from that user's own
     bounds (sequence() — no calendar table, no global spine × users
-    cross join), the close pick is one window, the fill is one
-    last(ignorenulls) window over the SAME user partitioning — spine
-    join and both windows ride a single user_id shuffle key. A 5%
-    user sample (user_id % 20) bounds spine volume here; production
-    would shard the same plan by user ranges. First grid hour is
-    observed by construction, so the fill never has a leading NULL."""
+    cross join). The raw events are scanned once; everything after the
+    per-(user, hour) close pick operates on hour-granular rows, so the
+    spine join and the user-partitioned fill window shuffle spine-sized
+    data (hours × users), not event-sized. A 5% user sample
+    (user_id % 20) bounds spine volume here; production would shard the
+    same plan by user ranges. First grid hour is observed by
+    construction, so the fill never has a leading NULL."""
     e = t(spark, sf_dir, "events")
     samp = e.filter(F.col("user_id") % 20 == 0)
     hour = F.date_trunc("hour", "ts")

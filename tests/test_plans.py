@@ -219,3 +219,29 @@ def test_minhash_verify_is_class_level(spark, sf_dir):
     plan = formatted_plan(df)
     assert "array_intersect" in plan  # exact verify still present
     assert "sort_array" in plan  # class key construction in-plan
+
+
+def test_incremental_dedup_broadcasts_increment(spark, sf_dir):
+    """The increment side (new batch) must broadcast into the corpus band
+    join — a corpus shuffle keyed on band signatures would defeat the
+    operator's purpose (ingest pays for the increment, not the corpus)."""
+    from rad_database_parse_spark.registry.llm_ops import (
+        docs_incremental_neardup,
+    )
+
+    df = docs_incremental_neardup(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_resample_ffill_stays_jvm_side(spark, sf_dir):
+    """The resample/ffill grid is pure window + sequence work: no Python
+    evaluation anywhere, and the events scan reads only the columns the
+    grid needs."""
+    from rad_database_parse_spark.registry.events_ops import (
+        events_resample_ffill,
+    )
+
+    df = events_resample_ffill(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert reads_only_columns(df, {"user_id", "ts", "value", "event_id"})
