@@ -86,11 +86,18 @@ EXTENDED = [
 ]
 
 # Round-3 operator additions, tracked as their own family (headline and
-# extended sums stay comparable round-over-round).
+# extended sums stay comparable round-over-round). docs_curation_funnel
+# and docs_leakage_safe_split are deliberately absent: they are
+# compositions of already-benched primitives (minhash + connected
+# components), so benching them would double-count the dominant cost.
 EXTENDED_R3 = [
     "docs_repetition_filter",
     "docs_boilerplate_share",
     "emb_scalar_quantize",
+    "docs_incremental_neardup",
+    "schema_evolution_merge",
+    "dynamic_partition_overwrite",
+    "events_resample_ffill",
 ]
 
 
