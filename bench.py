@@ -101,6 +101,18 @@ EXTENDED_R3 = [
 ]
 
 
+# Round-5 operator additions (registry/round5_ops.py), their own family so
+# prior sums stay comparable.
+EXTENDED_R5 = [
+    "docs_chunk_dedup",
+    "docs_reservoir_sample_per_lang",
+    "events_rolling_wau",
+    "sketch_hll_daily_merge",
+    "zorder_layout_orders",
+    "emb_pq_quantize",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -143,16 +155,18 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     extended = run(EXTENDED)
     extended_r3 = run(EXTENDED_R3)
+    extended_r5 = run(EXTENDED_R5)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, **extended, **extended_r3},
+                "queries": {**timings, **extended, **extended_r3, **extended_r5},
                 "headline_n": len(HEADLINE),
                 "value_extended": round(sum(extended.values()), 3),
                 "value_extended_r3": round(sum(extended_r3.values()), 3),
+                "value_extended_r5": round(sum(extended_r5.values()), 3),
                 "sf": sf,
             }
         )

@@ -29,25 +29,142 @@ TESTDATA_TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Tables whose parquet carries TIMESTAMP(NANOS) columns, which Spark's
-# vectorized reader rejects by default. We read them as long (legacy conf)
-# and convert to micros — matching how micro-resolution engines (and the
-# DuckDB oracle) truncate nanos.
+# Tables whose parquet has carried TIMESTAMP(NANOS) columns in some testdata
+# generations (Spark's vectorized reader rejects nanos by default; the legacy
+# conf reads them as long and we convert to micros). Later generations store
+# the same columns as tz-less micros, which Spark 4 reads as TIMESTAMP_NTZ —
+# normalize_timestamps below folds both shapes to one stable TIMESTAMP type.
 NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+def normalize_timestamps(df: DataFrame, nano_cols: list[str] | None = None) -> DataFrame:
+    """Fold every timestamp representation the testdata has ever shipped to
+    plain TIMESTAMP (session tz is pinned UTC in session.py, so the cast is a
+    pure retype — wall-clock values are preserved and DuckDB-oracle parity
+    holds, DuckDB reading the same parquet as naive-UTC):
+
+    - TIMESTAMP_NTZ (parquet timestamp[us], isAdjustedToUTC=false) → cast.
+      Every ``unix_micros()`` call site rejects NTZ input, so leaving it
+      untouched breaks sessionization/windows/streaming wholesale.
+    - nanos-as-long (parquet timestamp[ns] under the legacy conf) → truncate
+      to micros, matching how micro-resolution engines read nanos.
+    """
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif field.name in (nano_cols or []) and isinstance(
+            field.dataType, T.LongType
+        ):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; Catalyst prunes columns/filters at the scan."""
+    """Read one testdata table; Catalyst prunes columns/filters at the scan.
+    Timestamp columns are normalized to TIMESTAMP whatever physical type the
+    current testdata generation uses (see normalize_timestamps)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     nano_cols = NANO_TS_COLUMNS.get(name, [])
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        for c in nano_cols:
-            if dict(df.dtypes).get(c) == "bigint":
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        return df
-    return spark.read.parquet(path)
+    return normalize_timestamps(spark.read.parquet(path), nano_cols)
+
+
+# Logical schema each testdata table must present AFTER normalization —
+# spark simpleString dtypes. The driver regenerates /root/testdata between
+# rounds and has silently changed physical timestamp types before (nanos →
+# tz-less micros, VERDICT r4); this assertion turns the next drift into ONE
+# loud error at the loader instead of scattered AnalysisExceptions at every
+# call site.
+EXPECTED_SCHEMAS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+def assert_testdata_schema(spark: SparkSession, sf_dir: str) -> None:
+    """Fail loud (one aggregated error) if any testdata table's normalized
+    schema drifts from EXPECTED_SCHEMAS."""
+    problems = []
+    for name, expected in EXPECTED_SCHEMAS.items():
+        got = dict(load_table(spark, sf_dir, name).dtypes)
+        if got != expected:
+            drift = {
+                k: (expected.get(k), got.get(k))
+                for k in set(expected) | set(got)
+                if expected.get(k) != got.get(k)
+            }
+            problems.append(f"{name}: {drift}")
+    if problems:
+        raise AssertionError(
+            "testdata schema drift (expected vs read): " + "; ".join(problems)
+        )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -501,7 +501,7 @@ def minhash_lsh_incremental(
     wide_c = minhash_signatures_wide(corpus, text_col, id_col, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    wide_i.count()  # materialize before the multi-reference plan below
+    n_inc = wide_i.count()  # materialize before the multi-reference plan below
     wide_c.count()
 
     def bands_of(wide: DataFrame, out_id: str) -> DataFrame:
@@ -509,10 +509,18 @@ def minhash_lsh_incremental(
             F.col(id_col).alias(out_id), F.explode(band_structs).alias("bs")
         ).select(out_id, "bs.band", "bs.band_sig")
 
+    # The increment is small relative to the corpus BY CONVENTION, not by
+    # contract — broadcast only while its band table plausibly fits in an
+    # executor (~narrow rows of (id, band, sig)); past that, fall back to
+    # the shuffle band-join, which degrades to slower-but-correct instead
+    # of OOMing the driver on an unexpectedly large batch (ADVICE r3).
+    inc_bands = bands_of(wide_i, "inc_id")
+    if n_inc * num_bands <= 5_000_000:
+        inc_bands = F.broadcast(inc_bands)
+
     # distinct narrow pairs first; the fat token arrays attach after
     cand = (
-        F.broadcast(bands_of(wide_i, "inc_id"))
-        .join(bands_of(wide_c, "corp_id"), ["band", "band_sig"])
+        inc_bands.join(bands_of(wide_c, "corp_id"), ["band", "band_sig"])
         .select("inc_id", "corp_id")
         .distinct()
     )

@@ -138,6 +138,27 @@ _WINDOW_R4 = [
     "events_resample_ffill",
 ]
 
+# Round-5 window: positions 1-19 are _WINDOW_R4 — the rotation that never
+# ran in the zero-turn round 4, so these 19 still have no driver row ever —
+# followed by the six queries broken-or-erred at the last driver check
+# (the five TIMESTAMP_NTZ casualties fixed at the loader this round, plus
+# emb_label_centroids made hash-friendly; stateful_sessionizer_stream is
+# already in the _WINDOW_R4 block). New queries registered in round 5 are
+# appended at the end of this list so they get a driver row immediately.
+_WINDOW_R5 = _WINDOW_R4 + [
+    "sessionize_events",
+    "window_range_frame_5min",
+    "stream_interval_outer_join",
+    "emb_label_centroids",
+    # new in round 5:
+    "docs_chunk_dedup",
+    "docs_reservoir_sample_per_lang",
+    "events_rolling_wau",
+    "sketch_hll_daily_merge",
+    "zorder_layout_orders",
+    "emb_pq_quantize",
+]
+
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
     "llm_ops",
@@ -162,8 +183,18 @@ def all_queries() -> dict[str, QueryDef]:
     from . import events_ops  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import pipeline_ops  # noqa: F401
+    from . import round5_ops  # noqa: F401
 
-    pinned = {n: i for i, n in enumerate(_WINDOW_R3 + _WINDOW_R4)}
+    # round-5 window first (first occurrence wins — R5 re-checks shadow
+    # their old R3 positions), then the prior windows keep their relative
+    # order so positions 24-50 re-confirm already-green queries.
+    seen: set[str] = set()
+    window_order = [
+        n
+        for n in _WINDOW_R5 + _WINDOW_R3 + _WINDOW_R4
+        if not (n in seen or seen.add(n))
+    ]
+    pinned = {n: i for i, n in enumerate(window_order)}
     missing = [n for n in pinned if n not in _REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"window names not in registry: {missing}")

@@ -1066,11 +1066,14 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str):
     Plan note: mergeSchema pays one footer read per file at planning —
     fine for a bounded epoch directory; at very large file counts you
     pin the merged schema explicitly and skip the inference pass."""
+    import os
     import tempfile
 
-    # fixed per-process dir + overwrite mode: repeated gate/bench runs
-    # replace the epochs instead of accumulating mkdtemp copies in /tmp
-    base = f"{tempfile.gettempdir()}/spark_graft_schema_evo/orders"
+    # per-PID dir + overwrite mode: repeated runs in ONE process replace
+    # the epochs instead of accumulating mkdtemp copies, while concurrent
+    # gate + bench processes can no longer corrupt each other's epochs
+    # (ADVICE r3: a shared fixed path raced under parallel runs)
+    base = f"{tempfile.gettempdir()}/spark_graft_schema_evo_{os.getpid()}/orders"
     o = t(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", dec("o_totalprice").alias("price")
@@ -1114,9 +1117,11 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str):
     partitions it changes, not a full rewrite; the read-back proves the
     untouched partitions still carry their original rows alongside the
     mutated slice."""
+    import os
     import tempfile
 
-    base = f"{tempfile.gettempdir()}/spark_graft_dyn_overwrite/orders"
+    # per-PID for the same concurrent-runs reason as schema_evolution_merge
+    base = f"{tempfile.gettempdir()}/spark_graft_dyn_overwrite_{os.getpid()}/orders"
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", dec("o_totalprice").alias("price"), "o_orderpriority"
     )

@@ -373,12 +373,12 @@ CENT_SCALE = 1_000_000  # fixed-point scale: exact integer sums in any engine
       SELECT label, pos, SUM(v_fp) AS s, COUNT(*) AS n
       FROM expl GROUP BY label, pos)
     SELECT label,
-           CAST(MIN(n) AS BIGINT) AS n_vecs,
+           CAST(MIN(n) OVER (PARTITION BY label) AS BIGINT) AS n_vecs,
+           CAST(pos AS BIGINT) AS pos,
            -- floor(x+0.5)/1e6 instead of ROUND(x,6): ROUND's half-way rule
            -- differs between engines; floor on the same IEEE double doesn't
-           list(CAST(floor(s / n + 0.5) AS BIGINT) / {CENT_SCALE}.0
-                ORDER BY pos) AS centroid
-    FROM per_dim GROUP BY label
+           CAST(floor(s / n + 0.5) AS BIGINT) / {CENT_SCALE}.0 AS c
+    FROM per_dim
     """,
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str):
@@ -389,7 +389,13 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str):
     produce identical integers) and sum as BIGINT: float summation order
     varies across partitions, integer summation is exact. The explode is
     N×D rows but purely map-side before one (label, dim) aggregation;
-    map-side partial agg collapses it per partition."""
+    map-side partial agg collapses it per partition.
+
+    The gate output posexplodes the assembled centroid back to
+    (label, n_vecs, pos, c) scalar rows: array<double> is unhashable in
+    the driver canonicalizer (the same limitation the multimodal decode
+    pair hit in r2), and scalar doubles hash exactly here because both
+    engines derive them from identical integers."""
     e = t(spark, sf_dir, "embeddings")
     expl = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
@@ -425,6 +431,13 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str):
             "n_vecs",
             F.transform(F.col("pairs"), lambda p: p.c).alias("centroid"),
         )
+        .select(
+            "label",
+            "n_vecs",
+            F.posexplode("centroid").alias("pos", "c"),
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .select("label", "n_vecs", "pos", "c")
     )
 
 

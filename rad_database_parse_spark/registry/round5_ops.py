@@ -1,0 +1,363 @@
+"""Round-5 operators: sub-document chunk dedup, per-stratum reservoir
+sampling, rolling weekly-active-users, re-aggregatable HLL sketches,
+Z-order layout clustering, and product quantization.
+
+Each extends the training-data-pipeline surface (SURVEY §2C) along the
+axes a 100 TB ingest needs: dedup below document granularity, reproducible
+eval sampling, time-windowed distincts that don't rescan history, sketch
+merge instead of raw-data reshuffle, scan-pruning data layout, and
+compressed vector codes for ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import t
+
+CHUNK_TOKENS = 20
+
+
+# ----------------------------------------------- sub-document chunk dedup
+@register(
+    "docs_chunk_dedup",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(CAST(ceil(len(string_split(text, ' ')) / {CHUNK_TOKENS}.0)
+                          AS BIGINT)),
+               j -> md5(array_to_string(
+                      string_split(text, ' ')[j * {CHUNK_TOKENS} + 1 :
+                                              j * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                      ' ')))) AS chunk_hash
+      FROM documents),
+    freq AS (
+      SELECT chunk_hash, COUNT(*) AS cnt FROM chunks GROUP BY chunk_hash)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks
+    FROM chunks c JOIN freq f USING (chunk_hash)
+    GROUP BY c.doc_id
+    """,
+)
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str):
+    """Sub-document exact dedup (the boilerplate-paragraph killer): split
+    each document into fixed-size token chunks, hash each chunk, count how
+    many of a document's chunks recur ANYWHERE in the corpus. Chunks travel
+    as md5 hashes only — the chunk text never shuffles, so the exchange is
+    (doc_id, hash) narrow rows; the global frequency table is one hash
+    groupBy with map-side partial agg. At 100 TB this is the same two-pass
+    shape as document-level exact dedup (llm/dedup.py:67), just keyed one
+    granularity down. Reference analogue: the continuation/duplicate-slice
+    handling (main.py:210-253) works at whole-table granularity; this is
+    the corpus-scale generalization."""
+    d = t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(
+                      sequence(0, int(ceil(size(split(text, ' ')) / {CHUNK_TOKENS}.0)) - 1),
+                      j -> md5(array_join(
+                             slice(split(text, ' '), j * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}),
+                             ' ')))"""
+            )
+        ).alias("chunk_hash"),
+    )
+    freq = chunks.groupBy("chunk_hash").agg(F.count("*").alias("cnt"))
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+    )
+
+
+# ------------------------------------- deterministic per-stratum reservoir
+RESERVOIR_K = 20
+
+
+@register(
+    "docs_reservoir_sample_per_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+    WHERE rn <= {RESERVOIR_K}
+    """,
+)
+def docs_reservoir_sample_per_lang(spark: SparkSession, sf_dir: str):
+    """Fixed-size per-stratum sample (k docs per language) — the eval-split
+    primitive. Ordering by a key hash instead of rand() makes the reservoir
+    a pure function of the data: identical on any engine, any retry, any
+    partitioning (same policy as sampling_profile.py). One shuffle on the
+    stratum key; the per-stratum top-k is a bounded window. For heavily
+    skewed strata at 100 TB the same hash order works under a two-level
+    top-k (per-partition k, then global k) — which is exactly what AQE-
+    planned window top-k degenerates to."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("doc_id", "lang")
+    )
+
+
+# ------------------------------------------------ rolling weekly actives
+@register(
+    "events_rolling_wau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT ud.user_id) AS wau
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str):
+    """Rolling 7-day distinct users per day. COUNT(DISTINCT) can't ride a
+    window frame, so the classic shape is: collapse the fact table to
+    distinct (user, day) FIRST (the only pass over event volume), then
+    range-join the tiny day spine against day-level rows. At 100 TB the
+    expensive input shrinks ~10^4× before the range join ever runs, and the
+    spine side is broadcast — the join never shuffles the big side again."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    days = ud.select("d").distinct().select(F.col("d").alias("day"))
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        # string day: Spark hands the driver datetime.date objects, DuckDB
+        # datetime64 — same instant, different carrier; a fixed-format
+        # string compares identically (established date-output policy)
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+    )
+
+
+# --------------------------------------- mergeable HLL sketches + gate
+@register(
+    "sketch_hll_daily_merge",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_hll_daily_merge(spark: SparkSession, sf_dir: str):
+    """Re-aggregatable distinct sketches — the 100 TB pattern where daily
+    HLL sketches persist and ANY rollup (weekly, monthly, all-time) is a
+    sketch merge instead of a rescan of raw events. Built-in Datasketches
+    HLL: per-(event_type, day) sketches, merged per event_type, estimated.
+    The gate emits the EXACT distinct plus a within-5% flag computed from
+    the estimate (same tolerance-flag pattern as agg_approx_quantile_check)
+    so the oracle stays deterministic while the sketch path is genuinely
+    exercised."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.when(
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users"),
+                1,
+            )
+            .otherwise(0)
+            .alias("within_5pct"),
+        )
+    )
+
+
+# ------------------------------------------------- Z-order layout buckets
+def _zvalue_sql(x: str, y: str, bits: int = 5) -> str:
+    """Bit-interleave two `bits`-wide ints — identical >>/<</& arithmetic
+    in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_ZX = "(o_custkey & 31)"
+_ZY = "(day(o_orderdate) & 31)"
+
+
+@register(
+    "zorder_layout_orders",
+    f"""
+    WITH z AS (
+      SELECT o_orderkey, {_ZX} AS zx, {_ZY} AS zy,
+             {_zvalue_sql(_ZX, _ZY)} AS zval
+      FROM orders)
+    SELECT zval >> 6 AS z_bucket,
+           COUNT(*) AS n,
+           MIN(zx) AS min_x, MAX(zx) AS max_x,
+           MIN(zy) AS min_y, MAX(zy) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_layout_orders(spark: SparkSession, sf_dir: str):
+    """Z-order (Morton) layout clustering: interleave the bits of two scan
+    dimensions so ONE sort key gives files narrow min/max ranges in BOTH
+    dimensions — what lake formats' OPTIMIZE ZORDER does so that per-file
+    column stats prune scans on either predicate. The operator range-
+    partitions + sorts by zval (the actual layout write); the gate output
+    is the per-bucket bounds table, which IS the pruning evidence: every
+    bucket spans ≤¼ of each dimension's domain instead of all of it."""
+    o = t(spark, sf_dir, "orders")
+    z = o.select(
+        "o_orderkey",
+        F.expr(_ZX).alias("zx"),
+        F.expr(_ZY).alias("zy"),
+        F.expr(_zvalue_sql(_ZX, _ZY)).alias("zval"),
+    )
+    # the layout move itself: cluster rows by zval so contiguous files
+    # carry contiguous z-ranges (repartitionByRange + in-partition sort)
+    clustered = z.repartitionByRange(8, "zval").sortWithinPartitions("zval")
+    return (
+        clustered.groupBy(F.shiftright("zval", 6).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zx").alias("min_x"),
+            F.max("zx").alias("max_x"),
+            F.min("zy").alias("min_y"),
+            F.max("zy").alias("max_y"),
+        )
+    )
+
+
+# ---------------------------------------------- product quantization (PQ)
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8  # 64-dim embeddings → 8 subvectors of 8 dims
+PQ_CODES = 16
+PQ_DIST_SCALE = 1_000_000_000  # fixed-point: argmin compares exact ints
+
+
+@register(
+    "emb_pq_quantize",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS code, embedding AS cv FROM embeddings
+      WHERE vec_id < {PQ_CODES}),
+    dists AS (
+      SELECT e.vec_id, s.range AS subspace, c.code,
+             CAST(floor(list_sum(list_transform(range({PQ_SUBDIM}),
+               j -> (CAST(e.embedding[s.range * {PQ_SUBDIM} + j + 1] AS DOUBLE)
+                     - CAST(c.cv[s.range * {PQ_SUBDIM} + j + 1] AS DOUBLE))
+                    * (CAST(e.embedding[s.range * {PQ_SUBDIM} + j + 1] AS DOUBLE)
+                       - CAST(c.cv[s.range * {PQ_SUBDIM} + j + 1] AS DOUBLE))))
+               * {PQ_DIST_SCALE} + 0.5) AS BIGINT) AS d_fp
+      FROM embeddings e
+      CROSS JOIN range({PQ_SUBSPACES}) s
+      CROSS JOIN cents c)
+    SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code FROM (
+      SELECT vec_id, subspace, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY d_fp, code) AS rn
+      FROM dists)
+    WHERE rn = 1
+    """,
+)
+def emb_pq_quantize(spark: SparkSession, sf_dir: str):
+    """Product quantization: each 64-dim embedding compresses to 8 one-byte
+    codes — each subvector snaps to its nearest entry in a per-subspace
+    codebook. The ANN memory move: 256 bytes of float32 become 8 bytes, and
+    distance evaluation becomes 8 table lookups. Codebooks here are
+    deterministic seed vectors (vec_id < 16, the same provenance trick as
+    the IVF centroids in llm/similarity.py) so the SQL oracle reproduces
+    identical codes; production k-means changes only the codebook table.
+
+    Scale shape: the codebook is 16 rows — broadcast; the subvector explode
+    is 8× narrow rows, map-side only; the argmin is a bounded window per
+    (vec_id, subspace). Distances compare as fixed-point BIGINTs (floor
+    (d*1e9+0.5), in-order fold both engines) so ties and float drift can't
+    flip the argmin across engines."""
+    e = t(spark, sf_dir, "embeddings")
+    sub = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias(
+            "subspace"
+        ),
+        F.col("embedding"),
+    ).select(
+        "vec_id",
+        "subspace",
+        F.expr(
+            f"slice(embedding, subspace * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+        ).alias("subvec"),
+    )
+    cents = (
+        e.filter(F.col("vec_id") < PQ_CODES)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias(
+                "subspace"
+            ),
+            F.col("embedding"),
+        )
+        .select(
+            "code",
+            "subspace",
+            F.expr(
+                f"slice(embedding, subspace * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+            ).alias("centvec"),
+        )
+    )
+    d_fp = F.floor(
+        F.aggregate(
+            F.zip_with(
+                "subvec",
+                "centvec",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * PQ_DIST_SCALE
+        + F.lit(0.5)
+    ).cast("bigint")
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d_fp", "code")
+    return (
+        sub.join(F.broadcast(cents), "subspace")
+        .withColumn("d_fp", d_fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("subspace").cast("bigint").alias("subspace"), "code")
+    )

@@ -48,10 +48,23 @@ def build_time_ordered_replay(
     Deliberately driver-paced: the percentile fetch collects exactly
     ``n_slices - 1`` scalars, and each slice writes through ``coalesce(1)``
     because one-file-per-slice IS the fixture contract (file == microbatch)
-    and mtime ordering requires the writes to be sequential. On a real
-    cluster the stream source is a landing directory or Kafka topic and
-    this function is not in the execution path at any scale.
+    and mtime ordering requires the writes to be sequential. Each slice's
+    files get an EXPLICIT strictly-increasing mtime after the write — on a
+    fast filesystem two sequential writes can land in the same mtime
+    granule and tie-break arbitrarily, which would replay slices out of
+    order. On a real cluster the stream source is a landing directory or
+    Kafka topic and this function is not in the execution path at any
+    scale.
     """
+    import os as _os
+    import pathlib
+    import time
+
+    from ..catalog.io import normalize_timestamps
+
+    # testdata generations differ in timestamp physical type; fold to
+    # TIMESTAMP so the unix_micros slicing below never sees TIMESTAMP_NTZ
+    df = normalize_timestamps(df)
     qs = [i / n_slices for i in range(1, n_slices)]
     bounds = df.agg(
         F.expr(
@@ -59,13 +72,21 @@ def build_time_ordered_replay(
         ).alias("q")
     ).collect()[0]["q"]
     prev = None
-    for hi in list(bounds) + [None]:
+    stamped: set = set()
+    base_mtime = time.time()
+    for i, hi in enumerate(list(bounds) + [None]):
         part = df
         if prev is not None:
             part = part.filter(F.unix_micros(ts_col) > prev)
         if hi is not None:
             part = part.filter(F.unix_micros(ts_col) <= hi)
         part.coalesce(1).write.mode("append").parquet(out_dir)
+        # stamp this slice's new files one second apart so the file
+        # source's mtime ordering is deterministic, never a tie
+        for p in sorted(pathlib.Path(out_dir).glob("*.parquet")):
+            if p not in stamped:
+                _os.utime(p, (base_mtime + i, base_mtime + i))
+                stamped.add(p)
         prev = hi
 
 
@@ -307,7 +328,11 @@ def stateful_sessions(
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
-        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        # datetime64[us] first: int64-viewing a datetime column yields the
+        # epoch in whatever unit the column carries (ns under classic
+        # pandas, us under Arrow-backed frames) — an unconditional //1000
+        # would silently mis-scale micros-typed input
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64").tolist()
         scaled = rows["value"] * 100
         rounded = scaled.round()
         if len(scaled) and (scaled - rounded).abs().max() > 1e-6:
@@ -317,6 +342,17 @@ def stateful_sessions(
             )
         cents_list = rounded.astype("int64").tolist()
 
+        # INPUT CONTRACT: microbatches arrive in per-key event-time order
+        # (rows within a batch are sorted above; ACROSS batches the ordered
+        # replay fixture guarantees it, and on a real stream a late row that
+        # lands after its session's successor batch cannot be re-sorted from
+        # one-open-session state — use the built-in session_window operator
+        # when genuine late data must be merged). A late row inside the open
+        # session's span is folded in WITHOUT regressing session_end; a late
+        # row older than (open_start - gap) would belong to an already-
+        # emitted session and is counted into the open one — the documented
+        # degradation under contract violation, never a crash or a
+        # session_end that moves backwards.
         cur = state.get if state.exists else None  # (start, last, n, cents)
         closed = []
         for t_us, c in zip(ts_us, cents_list):
@@ -326,7 +362,12 @@ def stateful_sessions(
                 closed.append(cur)
                 cur = (t_us, t_us, 1, c)
             else:
-                cur = (cur[0], t_us, cur[2] + 1, cur[3] + c)
+                cur = (
+                    min(cur[0], t_us),
+                    max(cur[1], t_us),
+                    cur[2] + 1,
+                    cur[3] + c,
+                )
         state.update(cur)
         # event-time timeout must be strictly beyond the current watermark;
         # an already-expired horizon fires on the next no-data batch

@@ -22,17 +22,23 @@ words = st.text(
 )
 
 
+# deadline=None on the pure-Python properties too: under the full suite
+# Spark saturates all 32 cores and a per-example wall-clock deadline turns
+# CPU contention into a flaky failure (VERDICT r4 item 3)
+@settings(deadline=None)
 @given(words, words)
 def test_partial_ratio_bounds(a, b):
     r = _partial_ratio(a, b)
     assert 0 <= r <= 100
 
 
+@settings(deadline=None)
 @given(words.filter(lambda s: len(s) > 0), words)
 def test_partial_ratio_substring_is_100(a, pad):
     assert _partial_ratio(a, pad + a + pad) == 100
 
 
+@settings(deadline=None)
 @given(words, words)
 def test_levenshtein_symmetry_and_triangle_zero(a, b):
     assert _levenshtein(a, b) == _levenshtein(b, a)
@@ -40,6 +46,7 @@ def test_levenshtein_symmetry_and_triangle_zero(a, b):
     assert _levenshtein(a, b) <= max(len(a), len(b))
 
 
+@settings(deadline=None)
 @given(st.lists(words, min_size=1, max_size=12), st.integers(0, 100))
 def test_header_mapping_threshold_monotone(headers, thr):
     """Raising the threshold can only SHRINK the accepted mapping, and every

@@ -1,21 +1,39 @@
-"""Driver-window canary: the first 50 registered queries ARE the round-3
-correctness window, in the pinned order, and positions 51-59 are the
-round-4 residue. An import reorder or a family re-registration must not be
-able to silently re-run an already-green window (VERDICT r2 item 7).
+"""Driver-window canary: the first 50 registered queries are the round-5
+correctness window — _WINDOW_R4's 19 never-driver-checked queries, the
+broken-now re-checks, then the r3 window padding out the rest. An import
+reorder or a family re-registration must not be able to silently re-run an
+already-green window (VERDICT r2 item 7).
 """
 
-from rad_database_parse_spark.registry import _WINDOW_R3, _WINDOW_R4, all_queries
+from rad_database_parse_spark.registry import (
+    _WINDOW_R3,
+    _WINDOW_R4,
+    _WINDOW_R5,
+    all_queries,
+)
 
 
-def test_first_50_is_the_r3_window():
+def _expected_order():
+    seen = set()
+    return [
+        n
+        for n in _WINDOW_R5 + _WINDOW_R3 + _WINDOW_R4
+        if not (n in seen or seen.add(n))
+    ]
+
+
+def test_r5_window_leads():
     names = list(all_queries())
-    assert len(_WINDOW_R3) == 50
-    assert names[:50] == _WINDOW_R3
+    # the 19 never-checked R4 queries occupy positions 1-19, the broken-now
+    # re-checks follow immediately — all inside the driver's 50-query window
+    assert names[: len(_WINDOW_R5)] == _WINDOW_R5
+    assert len(_WINDOW_R5) <= 50
 
 
-def test_positions_51_59_are_the_r4_residue():
+def test_full_pinned_order_holds():
     names = list(all_queries())
-    assert names[50 : 50 + len(_WINDOW_R4)] == _WINDOW_R4
+    expected = _expected_order()
+    assert names[: len(expected)] == expected
 
 
 def test_window_is_immune_to_direct_module_imports():
@@ -24,11 +42,11 @@ def test_window_is_immune_to_direct_module_imports():
     import rad_database_parse_spark.registry.core_relational  # noqa: F401
     import rad_database_parse_spark.registry.llm_ops  # noqa: F401
 
-    assert list(all_queries())[:50] == _WINDOW_R3
+    assert list(all_queries())[: len(_WINDOW_R5)] == _WINDOW_R5
 
 
 def test_every_window_name_unique_and_registered():
-    names = _WINDOW_R3 + _WINDOW_R4
-    assert len(set(names)) == len(names)
+    for window in (_WINDOW_R3, _WINDOW_R4, _WINDOW_R5):
+        assert len(set(window)) == len(window)
     registered = set(all_queries())
-    assert set(names) <= registered
+    assert set(_WINDOW_R3 + _WINDOW_R4 + _WINDOW_R5) <= registered
