@@ -884,7 +884,16 @@ def stream_interval_outer_join(spark: SparkSession, sf_dir: str):
     )
     _STATEFUL_SEQ[0] += 1
     name = f"ss_outer_{_STATEFUL_SEQ[0]}"
-    run_stream_to_memory(joined, name, mode="append")
+    # second sentinel after the first drain: the watermark-gated unmatched
+    # emissions land in a real, awaited batch (see run_stream_to_memory)
+    run_stream_to_memory(
+        joined,
+        name,
+        mode="append",
+        flush=lambda: sentinel.withColumn(
+            "ts", F.expr("ts + INTERVAL 1 DAY")
+        ).coalesce(1).write.mode("append").parquet(replay),
+    )
     return spark.sql(f"SELECT * FROM {name}").filter(F.col("p_user") != -1)
 
 
@@ -952,7 +961,18 @@ def stateful_sessionizer_stream(spark: SparkSession, sf_dir: str):
     s = read_events_stream(spark, replay)
     _STATEFUL_SEQ[0] += 1
     name = f"sess_state_{_STATEFUL_SEQ[0]}"
-    run_stream_to_memory(stateful_sessions(s), name, mode="append")
+    # second sentinel after the first drain: every real user's open-session
+    # event-time timeout fires inside a real, awaited batch (see
+    # run_stream_to_memory — without it the flush races processAllAvailable
+    # and the final session per user is nondeterministically dropped)
+    run_stream_to_memory(
+        stateful_sessions(s),
+        name,
+        mode="append",
+        flush=lambda: sentinel.withColumn(
+            "ts", F.expr("ts + INTERVAL 1 DAY")
+        ).coalesce(1).write.mode("append").parquet(replay),
+    )
     return spark.sql(f"SELECT * FROM {name}").filter(F.col("user_id") != -1)
 
 

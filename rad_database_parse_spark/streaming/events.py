@@ -73,6 +73,13 @@ def build_time_ordered_replay(
     ).collect()[0]["q"]
     prev = None
     stamped: set = set()
+    # Slice stamps live strictly in the PAST (base - n_slices + i): ascending
+    # across slices, and guaranteed OLDER than anything a caller appends
+    # afterward with a natural mtime (e.g. a watermark sentinel). Stamping
+    # FORWARD from now (base + i) is subtly wrong: a warm JVM finishes the
+    # whole build in under a second, so a later natural write lands BETWEEN
+    # the stamps, replays mid-stream, and its far-future event time makes
+    # every remaining slice late — silently dropped rows.
     base_mtime = time.time()
     for i, hi in enumerate(list(bounds) + [None]):
         part = df
@@ -83,9 +90,10 @@ def build_time_ordered_replay(
         part.coalesce(1).write.mode("append").parquet(out_dir)
         # stamp this slice's new files one second apart so the file
         # source's mtime ordering is deterministic, never a tie
+        t_slice = base_mtime - n_slices + i
         for p in sorted(pathlib.Path(out_dir).glob("*.parquet")):
             if p not in stamped:
-                _os.utime(p, (base_mtime + i, base_mtime + i))
+                _os.utime(p, (t_slice, t_slice))
                 stamped.add(p)
         prev = hi
 
@@ -395,13 +403,29 @@ def stateful_sessions(
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
+def run_stream_to_memory(
+    df: DataFrame,
+    name: str,
+    mode: str = "append",
+    flush=None,
+) -> None:
     """Drive a bounded file-replay stream to completion synchronously.
 
     ``mode`` is the writeStream output mode — each caller knows its own plan
     shape (aggregations → complete, applyInPandasWithState update flows →
     update, stateless/watermark-final → append), so it is passed explicitly
-    rather than sniffed from private plan APIs."""
+    rather than sniffed from private plan APIs.
+
+    ``flush`` (optional zero-arg callable) closes the watermark-flush race:
+    ``processAllAvailable`` only guarantees SOURCE data is processed — the
+    emissions that depend on the advanced watermark (streaming outer-join
+    unmatched rows, event-time-timeout state flushes) happen in a follow-up
+    no-data microbatch that can commit AFTER processAllAvailable returns,
+    nondeterministically dropping the final rows. A caller whose query holds
+    watermark-gated state passes ``flush`` to append one more benign
+    far-future row to the source; the second processAllAvailable then waits
+    on a REAL batch that runs entirely at the advanced watermark, making the
+    flush part of a commit we provably wait for."""
     q = (
         df.writeStream.outputMode(mode)
         .format("memory")
@@ -409,4 +433,7 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None
         .start()
     )
     q.processAllAvailable()
+    if flush is not None:
+        flush()
+        q.processAllAvailable()
     q.stop()
