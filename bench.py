@@ -110,6 +110,9 @@ EXTENDED_R5 = [
     "sketch_hll_daily_merge",
     "zorder_layout_orders",
     "emb_pq_quantize",
+    "bloom_prune_semijoin",
+    "dq_expectations_report",
+    "docs_vocab_coverage",
 ]
 
 
@@ -151,6 +154,23 @@ def main() -> int:
             timings[name] = round(best, 3)
         return timings
 
+    # Machine-speed calibration: a fixed data-independent CPU-bound job
+    # (hash+sum over 2^27 rows, all 32 threads), min-of-2. Round-over-round
+    # BENCH files come from different VMs with up to ~1.5x speed spread
+    # (r2→r3 measured 1.3x, r3→r5 1.45x median over identical code);
+    # dividing query times by `calib_sec` puts rounds on one scale.
+    calib = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(1 << 27).selectExpr(
+            "sum(xxhash64(id) % 1000000) AS s"  # bounded: no ANSI long overflow
+        ).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        c = time.perf_counter() - t0
+        calib = c if calib is None else min(calib, c)
+        spark._jvm.System.gc()
+
     timings = run(HEADLINE)
     total = round(sum(timings.values()), 3)
     extended = run(EXTENDED)
@@ -167,6 +187,7 @@ def main() -> int:
                 "value_extended": round(sum(extended.values()), 3),
                 "value_extended_r3": round(sum(extended_r3.values()), 3),
                 "value_extended_r5": round(sum(extended_r5.values()), 3),
+                "calib_sec": round(calib, 3),
                 "sf": sf,
             }
         )

@@ -176,7 +176,17 @@ def ivf_cosine_topk(
     cent_id — work is |Q|·(corpus/nlist)·nprobe instead of |Q|·|corpus|.
     Centroids here are deterministic seed vectors (picked by id) so an SQL
     oracle reproduces the exact same lists; production would k-means them,
-    which changes only the centroid table's provenance, not the plan."""
+    which changes only the centroid table's provenance, not the plan.
+
+    Perf note (r5, closing the r3 "+44% drift" flag): the executed plan was
+    re-inspected — both broadcasts are intact (BroadcastNestedLoopJoin for
+    the centroid assign, BroadcastHashJoin BuildRight for the probe join;
+    the only exchanges are the two window partitionings the ranks require).
+    The r3 bench number (1.77s vs r2's 1.23s) was VM speed spread, not a
+    re-plan: the r5 VM measures 1.45x slower than r3's median-over-identical-
+    code, yet IVF timed 1.81s there — i.e. ~1.25s in r3-machine terms, right
+    at the r2 figure. bench.py now emits `calib_sec` so future rounds can
+    normalize before flagging drift."""
     inv = ivf_assign(corpus, centroids, 1, id_col, vec_col, round_digits).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

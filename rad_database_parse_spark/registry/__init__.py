@@ -157,6 +157,9 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "sketch_hll_daily_merge",
     "zorder_layout_orders",
     "emb_pq_quantize",
+    "bloom_prune_semijoin",
+    "dq_expectations_report",
+    "docs_vocab_coverage",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -361,3 +361,266 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str):
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("subspace").cast("bigint").alias("subspace"), "code")
     )
+
+
+# ------------------------------------------ bloom-prune + verify semi-join
+# Bitset geometry: small enough to broadcast as one array row, large enough
+# that the sf0.01 dim (~300 keys × 3 probes) stays far from saturation.
+BLOOM_BITS = 8192
+BLOOM_SEEDS = (1, 2, 3)
+
+
+def _bloom_positions(key):
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(s)), F.lit(BLOOM_BITS))
+            for s in BLOOM_SEEDS
+        ]
+    )
+
+
+@register(
+    "bloom_prune_semijoin",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def bloom_prune_semijoin(spark: SparkSession, sf_dir: str):
+    """Semi-join accelerated by an explicit Bloom-filter prefilter: the dim
+    side (customers in one segment) folds its keys into an 8192-bit / 3-hash
+    Bloom bitset — materialized as one sorted position array, bytes in size
+    regardless of fact volume — which broadcasts to the fact scan and drops
+    non-member rows map-side BEFORE any shuffle. A final exact left-semi
+    join removes the false positives, so the result equals the plain
+    semi-join (the oracle) bit-for-bit.
+
+    This is the hand-rolled form of Spark's runtime row-level bloom join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled): at 100 TB the dim is
+    too big to broadcast as rows, the semi-join must shuffle — and the
+    bloom pass is what keeps ~(1 - selectivity) of the fact table out of
+    that shuffle. Positions use xxhash64 (JVM codegen, no Python)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = dim.select(
+        F.explode(_bloom_positions(F.col("c_custkey"))).alias("pos")
+    ).agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
+    pruned = (
+        orders.crossJoin(F.broadcast(bloom))
+        .filter(
+            F.size(
+                F.array_except(_bloom_positions(F.col("o_custkey")), F.col("bloom"))
+            )
+            == 0
+        )
+        .drop("bloom")
+    )
+    return (
+        pruned.join(dim, pruned.o_custkey == dim.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# -------------------------------------------- data-quality expectations
+@register(
+    "dq_expectations_report",
+    """
+    SELECT * FROM (
+      SELECT 'orders_fk_customer' AS expectation,
+             (SELECT COUNT(*) FROM orders) AS checked,
+             (SELECT COUNT(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS violations
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      UNION ALL
+      SELECT 'orders_pk_unique',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+      UNION ALL
+      SELECT 'lineitem_quantity_range',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_quantity < 1 OR l_quantity > 50)
+      UNION ALL
+      SELECT 'customer_acctbal_not_null',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer WHERE c_acctbal IS NULL)
+      UNION ALL
+      SELECT 'documents_lang_known',
+             (SELECT COUNT(*) FROM documents),
+             (SELECT COUNT(*) FROM documents
+              WHERE lang IS NULL OR lang = ''))
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str):
+    """Declarative data-quality gate over the warehouse: each expectation
+    (FK integrity, PK uniqueness, value ranges, not-null, domain membership)
+    emits one (expectation, checked, violations) row — the report a
+    pipeline's circuit breaker reads before promoting a batch.
+
+    Scale shapes, per check: FK integrity is a LEFT ANTI join (the probe
+    side shuffles once on the key, or broadcasts when the parent is small —
+    Catalyst's choice); PK uniqueness and every scalar predicate are
+    single-pass aggregates with map-side partials. Nothing collects; the
+    report is 6 rows regardless of input volume. Reference analogue: the
+    NOT NULL / FK constraints implicit in its schema (schema.py:14-60) —
+    here they are measured instead of assumed."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    docs = t(spark, sf_dir, "documents")
+
+    def report(name: str, checked, violations):
+        return checked.crossJoin(violations).select(
+            F.lit(name).alias("expectation"),
+            F.col("checked"),
+            F.col("violations"),
+        )
+
+    def n(df, alias="checked"):
+        return df.agg(F.count("*").alias(alias))
+
+    fk_orders = report(
+        "orders_fk_customer",
+        n(orders),
+        n(
+            orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "left_anti"
+            ),
+            "violations",
+        ),
+    )
+    fk_lineitem = report(
+        "lineitem_fk_orders",
+        n(lineitem),
+        n(
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ),
+            "violations",
+        ),
+    )
+    pk_orders = report(
+        "orders_pk_unique",
+        n(orders),
+        orders.agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("violations")
+        ),
+    )
+    qty_range = report(
+        "lineitem_quantity_range",
+        n(lineitem),
+        n(
+            lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+            "violations",
+        ),
+    )
+    acctbal = report(
+        "customer_acctbal_not_null",
+        n(cust),
+        n(cust.filter(F.col("c_acctbal").isNull()), "violations"),
+    )
+    lang_known = report(
+        "documents_lang_known",
+        n(docs),
+        n(
+            docs.filter(F.col("lang").isNull() | (F.col("lang") == "")),
+            "violations",
+        ),
+    )
+    return (
+        fk_orders.unionByName(fk_lineitem)
+        .unionByName(pk_orders)
+        .unionByName(qty_range)
+        .unionByName(acctbal)
+        .unionByName(lang_known)
+    )
+
+
+# ---------------------------------------------- vocabulary coverage (OOV)
+TOP_VOCAB = 500
+
+
+@register(
+    "docs_vocab_coverage",
+    f"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    toks AS (SELECT * FROM toks0 WHERE token != ''),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token, TRUE AS in_vocab
+      FROM freq ORDER BY cnt DESC, token LIMIT {TOP_VOCAB})
+    SELECT toks.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.in_vocab IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN vocab.in_vocab IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab USING (token)
+    GROUP BY toks.doc_id
+    """,
+)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str):
+    """Per-document out-of-vocabulary rate against the corpus top-N
+    vocabulary — the tokenizer-fit / cross-domain-shift screen a training
+    pipeline runs before committing a corpus to an expensive BPE train.
+
+    Two passes, both scale-safe: (1) token frequencies are one hash groupBy
+    over (token) narrow rows, and the top-N is TakeOrderedAndProject —
+    per-partition top-N then a driver merge of N-row heaps, never a global
+    sort; (2) the N-term vocabulary (bytes) broadcasts back to the token
+    stream for a map-side membership probe, and the per-doc rate is one
+    groupBy(doc_id) with map-side partials. Tokenization matches the
+    registry's shared whitespace policy (_TOKS_SQL in llm_ops.py) so every
+    doc-level operator agrees on token identity. The rank order
+    (count desc, token asc) is a total order, so top-N is deterministic on
+    any engine and any partitioning."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(TOP_VOCAB)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(top), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
