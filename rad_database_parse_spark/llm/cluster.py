@@ -124,20 +124,43 @@ def pagerank_fixed_point(
         StorageLevel.MEMORY_AND_DISK
     )
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
-    edges_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    edges_deg.count()  # materialize once; every iteration reuses it
-    sources_base = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .join(e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti")
-        .select("node", F.lit(base).cast("bigint").alias("r"))
+    # One exchange per iteration (r5): edges and ranks are explicitly
+    # CO-PARTITIONED on the same key count — edges hash(src, n) once here,
+    # ranks hash(dst→node, n) as the groupBy's own exchange — so the
+    # per-iteration join needs NO exchange on either side, and the only
+    # shuffle left is the (dst, c) narrow-row repartition feeding the
+    # aggregate (hashpartitioning(dst, n) satisfies the groupBy's clustered-
+    # distribution requirement, so Catalyst adds no second exchange).
+    # n is sized to the edge count (~1M narrow rows / ~30 MB per partition),
+    # floored at 8: the iterate's state tables scale with nodes, not with
+    # the session's global shuffle width — measured 25% off the iterate's
+    # wall at sf0.1, and at 100 TB the same formula lands in the thousands.
+    n_edges = e.count()
+    nparts = max(8, -(-n_edges // 1_000_000))
+    edges_deg = (
+        e.join(deg, "src")
+        .repartition(nparts, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sources_base.count()
+    edges_deg.count()  # materialize once; every iteration reuses it
+    # Zero-in-degree nodes never appear in the contribution aggregate; feed
+    # them in as zero-contribution rows BEFORE the exchange (rank becomes
+    # base + floor(0.85·0) = base, identical to the old constant-rank
+    # union) so the union cannot destroy the rank table's partitioning.
+    sources_zero = (
+        e.select(F.col("src").alias("dst"))
+        .distinct()
+        .join(e.select(F.col("dst").alias("dst")).distinct(), "dst", "left_anti")
+        .select("dst", F.lit(0).cast("bigint").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sources_zero.count()
     all_nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
-    ranks = all_nodes.select("node", F.lit(scale).cast("bigint").alias("r"))
+    ranks = all_nodes.select(
+        "node", F.lit(scale).cast("bigint").alias("r")
+    ).repartition(nparts, "node")
     for _ in range(iters):
         contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
             "dst",
@@ -146,14 +169,15 @@ def pagerank_fixed_point(
             .alias("c"),
         )
         ranks = (
-            contrib.groupBy("dst")
+            contrib.unionByName(sources_zero)
+            .repartition(nparts, "dst")
+            .groupBy("dst")
             .agg(
                 (F.lit(base) + F.floor(F.lit(0.85) * F.sum("c")))
                 .cast("bigint")
                 .alias("r")
             )
             .select(F.col("dst").alias("node"), "r")
-            .unionByName(sources_base)
         )
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
