@@ -113,6 +113,7 @@ EXTENDED_R5 = [
     "bloom_prune_semijoin",
     "dq_expectations_report",
     "docs_vocab_coverage",
+    "interval_bin_join_events",
 ]
 
 

@@ -160,6 +160,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "bloom_prune_semijoin",
     "dq_expectations_report",
     "docs_vocab_coverage",
+    "interval_bin_join_events",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

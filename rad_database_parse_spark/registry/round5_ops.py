@@ -624,3 +624,73 @@ def docs_vocab_coverage(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+# ------------------------------------------- binned interval join (no key)
+IBJ_THRESHOLD = 250.0
+IBJ_WINDOW_US = 3_600_000_000  # +/- 1 hour
+
+
+@register(
+    "interval_bin_join_events",
+    f"""
+    SELECT h.event_id AS anchor_id,
+           COUNT(*) AS n_nearby,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS val_nearby
+    FROM (SELECT * FROM events WHERE value >= {IBJ_THRESHOLD}) h
+    JOIN events e
+      ON e.event_id != h.event_id
+     AND abs(epoch_us(e.ts) - epoch_us(h.ts)) <= {IBJ_WINDOW_US}
+    GROUP BY h.event_id
+    """,
+)
+def interval_bin_join_events(spark: SparkSession, sf_dir: str):
+    """Time-proximity join with NO equi key — every event within ±1 h of a
+    high-value anchor event, across all users — executed as a BINNED
+    equi-join instead of the O(|anchors|·|events|) nested loop the theta
+    condition would naively plan (the strategy behind range-join binning in
+    Databricks/DuckDB's IEJoin family).
+
+    Both sides bucket time into window-width bins: a match within ±W can
+    only live in the probe's own bin or an adjacent one, so anchors explode
+    into 3 bin keys (bounded blow-up), the join becomes a hash equi-join on
+    the bin, and the exact |Δt| ≤ W predicate filters candidates inside
+    each bucket. Each true pair matches exactly once (the event's single
+    bin equals exactly one of the anchor's three), so no dedup pass is
+    needed. At 100 TB both sides shuffle ONCE on the bin key — narrow rows,
+    uniform by construction since the bin is time — versus a broadcast
+    nested loop that stops being possible the moment anchors outgrow one
+    executor. range_band_join_orders (pipeline_ops.py) keeps the NLJ form
+    for the tiny-dim case; this is the both-sides-large form."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    ev = e.select(
+        "event_id",
+        "value",
+        us.alias("t_us"),
+        F.floor(us / IBJ_WINDOW_US).alias("bin"),
+    )
+    anchors = (
+        ev.filter(F.col("value") >= IBJ_THRESHOLD)
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("t_us").alias("a_us"),
+            F.explode(
+                F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+            ).alias("bin"),
+        )
+    )
+    return (
+        ev.join(anchors, "bin")
+        .filter(
+            (F.col("event_id") != F.col("anchor_id"))
+            & (F.abs(F.col("t_us") - F.col("a_us")) <= IBJ_WINDOW_US)
+        )
+        .groupBy("anchor_id")
+        .agg(
+            F.count("*").alias("n_nearby"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("val_nearby"),
+        )
+    )
