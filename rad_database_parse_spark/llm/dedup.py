@@ -209,6 +209,12 @@ def minhash_lsh_candidates(
     verified exact Jaccard ≥ threshold. The shuffle-heavy all-pairs compare
     collapses to joins on (band, band_signature).
 
+    Output volume, measured (r5), for the bench narrative: the synthetic
+    corpus is near-dup-heavy, so verified pairs grow ~quadratically with
+    clique sizes — 61,116 pairs at sf0.01 and 5,962,013 at sf0.1. Both
+    previously-cited figures were correct at their own SF; the pair VOLUME
+    is the inherent cost driver of this query at bench scale, not any join.
+
     Plan shape (scale-critical): the corpus is tokenized ONCE; signatures,
     set sizes, band keys, AND the verify-side token arrays all come out of a
     single groupBy(doc). Identical signatures collapse BEFORE banding
