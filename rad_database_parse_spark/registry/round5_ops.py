@@ -401,25 +401,39 @@ def bloom_prune_semijoin(spark: SparkSession, sf_dir: str):
     semi-join (the oracle) bit-for-bit.
 
     This is the hand-rolled form of Spark's runtime row-level bloom join
-    (spark.sql.optimizer.runtime.bloomFilter.enabled): at 100 TB the dim is
-    too big to broadcast as rows, the semi-join must shuffle — and the
-    bloom pass is what keeps ~(1 - selectivity) of the fact table out of
-    that shuffle. Positions use xxhash64 (JVM codegen, no Python)."""
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), including its
+    two-job shape: job 1 folds the dim keys into the bitset (bytes out —
+    bounded by the bitset geometry, never by dim cardinality) exactly like
+    the runtime filter's build-side subquery; job 2 evaluates membership
+    as a LITERAL predicate on the fact scan, so the prune is guaranteed
+    map-side below the semi-join's exchange — expressing the bitset as a
+    joined column instead lets Catalyst push the semi-join underneath it
+    (verified: it does), silently discarding the prune-before-shuffle
+    property. At 100 TB the dim is too big to broadcast as rows, the
+    semi-join must shuffle — and the bloom predicate is what keeps
+    ~(1 - selectivity) of the fact table out of that exchange. Positions
+    use xxhash64 (JVM codegen, no Python); the driver collect is ≤
+    BLOOM_BITS ints (~bytes), the same bounded build-side fetch the
+    runtime filter performs."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    bloom = dim.select(
-        F.explode(_bloom_positions(F.col("c_custkey"))).alias("pos")
-    ).agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
-    pruned = (
-        orders.crossJoin(F.broadcast(bloom))
-        .filter(
-            F.size(
-                F.array_except(_bloom_positions(F.col("o_custkey")), F.col("bloom"))
-            )
-            == 0
+    bloom_positions = sorted(
+        r["pos"]
+        for r in dim.select(
+            F.explode(_bloom_positions(F.col("c_custkey"))).alias("pos")
         )
-        .drop("bloom")
+        .distinct()
+        .collect()
+    )
+    pruned = orders.filter(
+        F.size(
+            F.array_except(
+                _bloom_positions(F.col("o_custkey")),
+                F.lit(bloom_positions).cast("array<bigint>"),
+            )
+        )
+        == 0
     )
     return (
         pruned.join(dim, pruned.o_custkey == dim.c_custkey, "left_semi")

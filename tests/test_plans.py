@@ -245,3 +245,44 @@ def test_resample_ffill_stays_jvm_side(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert reads_only_columns(df, {"user_id", "ts", "value", "event_id"})
+
+
+def test_interval_bin_join_is_equi_not_nlj(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5_ops import (
+        interval_bin_join_events,
+    )
+
+    df = interval_bin_join_events(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the theta condition must ride a hash equi-join on the time bin —
+    # never the quadratic nested loop the raw |Δt| predicate would plan
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan
+
+
+def test_bloom_prune_filters_before_semijoin(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5_ops import (
+        bloom_prune_semijoin,
+    )
+
+    df = bloom_prune_semijoin(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the bitset rides a broadcast (one array row), and the membership
+    # probe must sit BELOW the exact semi-join: the array_except filter
+    # appears in the semi-join's probe-side subtree, pruning map-side
+    # before any exchange the semi-join needs
+    assert "BroadcastExchange" in plan
+    semi = plan[plan.index("LeftSemi"):]
+    assert "array_except" in semi
+
+
+def test_vocab_topn_is_take_ordered(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5_ops import (
+        docs_vocab_coverage,
+    )
+
+    df = docs_vocab_coverage(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the top-N vocabulary must be TakeOrderedAndProject (per-partition
+    # N-row heaps), never a global Sort of the full frequency table
+    assert "TakeOrderedAndProject" in plan
