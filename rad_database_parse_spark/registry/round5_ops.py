@@ -394,7 +394,7 @@ def _bloom_positions(key):
 def bloom_prune_semijoin(spark: SparkSession, sf_dir: str):
     """Semi-join accelerated by an explicit Bloom-filter prefilter: the dim
     side (customers in one segment) folds its keys into an 8192-bit / 3-hash
-    Bloom bitset — materialized as one sorted position array, bytes in size
+    Bloom bitset — materialized as 128 packed 64-bit words, bytes in size
     regardless of fact volume — which broadcasts to the fact scan and drops
     non-member rows map-side BEFORE any shuffle. A final exact left-semi
     join removes the false positives, so the result equals the plain
@@ -418,23 +418,38 @@ def bloom_prune_semijoin(spark: SparkSession, sf_dir: str):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    bloom_positions = sorted(
+    bloom_positions = [
         r["pos"]
         for r in dim.select(
             F.explode(_bloom_positions(F.col("c_custkey"))).alias("pos")
         )
         .distinct()
         .collect()
+    ]
+    # Pack the bitset into 64-bit words (BLOOM_BITS/64 longs): membership
+    # is then 3 constant-time bit tests per row. A flat position-array
+    # literal probed with array_except re-builds its hash set PER ROW —
+    # measured 6.8s vs <1s for the whole query at sf0.1.
+    words = [0] * (BLOOM_BITS // 64)
+    for pos in bloom_positions:
+        words[pos // 64] |= 1 << (pos % 64)
+    # LongType is signed: wrap the high bit into two's complement
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    # SQL text form: the DataFrame shiftright() only takes a literal shift
+    # count, while the SQL function accepts a column expression. The seed
+    # literals are plain ints, so xxhash64(key, s) here hashes the same
+    # bytes as _bloom_positions' F.lit(s) build side.
+    arr = "cast(array({}) as array<bigint>)".format(
+        ",".join(str(w) for w in words)
     )
-    pruned = orders.filter(
-        F.size(
-            F.array_except(
-                _bloom_positions(F.col("o_custkey")),
-                F.lit(bloom_positions).cast("array<bigint>"),
-            )
+    tests = []
+    for s in BLOOM_SEEDS:
+        p = f"pmod(xxhash64(o_custkey, {s}), {BLOOM_BITS})"
+        tests.append(
+            f"((shiftright(element_at({arr}, cast({p} / 64 AS INT) + 1),"
+            f" cast({p} % 64 AS INT)) & 1) = 1)"
         )
-        == 0
-    )
+    pruned = orders.filter(F.expr(" AND ".join(tests)))
     return (
         pruned.join(dim, pruned.o_custkey == dim.c_custkey, "left_semi")
         .groupBy("o_orderpriority")

@@ -267,13 +267,12 @@ def test_bloom_prune_filters_before_semijoin(spark, sf_dir):
 
     df = bloom_prune_semijoin(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the bitset rides a broadcast (one array row), and the membership
-    # probe must sit BELOW the exact semi-join: the array_except filter
+    # the bitset is a literal packed-word array, and the membership probe
+    # (3 constant-time bit tests) must sit BELOW the exact semi-join: it
     # appears in the semi-join's probe-side subtree, pruning map-side
     # before any exchange the semi-join needs
-    assert "BroadcastExchange" in plan
     semi = plan[plan.index("LeftSemi"):]
-    assert "array_except" in semi
+    assert "shiftright" in semi
 
 
 def test_vocab_topn_is_take_ordered(spark, sf_dir):
