@@ -114,6 +114,7 @@ EXTENDED_R5 = [
     "dq_expectations_report",
     "docs_vocab_coverage",
     "interval_bin_join_events",
+    "docs_setsim_prefix_join",
 ]
 
 

@@ -161,6 +161,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "dq_expectations_report",
     "docs_vocab_coverage",
     "interval_bin_join_events",
+    "docs_setsim_prefix_join",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -723,3 +723,182 @@ def interval_bin_join_events(spark: SparkSession, sf_dir: str):
             .alias("val_nearby"),
         )
     )
+
+
+# ----------------------------- exact set-similarity join (prefix filter)
+SETSIM_T = 0.8
+
+
+@register(
+    "docs_setsim_prefix_join",
+    f"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    toks AS (SELECT DISTINCT doc_id, token FROM toks0 WHERE token != ''),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {SETSIM_T}
+    """,
+)
+def docs_setsim_prefix_join(spark: SparkSession, sf_dir: str):
+    """EXACT set-similarity self-join (token-set Jaccard ≥ t) via PREFIX
+    FILTERING (the ppjoin/AllPairs family) — the deterministic complement
+    to MinHash-LSH: zero false negatives by construction, no probabilistic
+    recall, the right tool when the dedup decision must be reproducible.
+
+    The quadratic all-pairs square never materializes. Tokens get one
+    canonical global order — ascending corpus frequency, ties by token —
+    so each document's RAREST tokens come first; if jaccard(A,B) ≥ t then
+    |A∩B| ≥ ceil(t·|A|), hence A and B must share a token inside their
+    first |s| − ceil(t·|s|) + 1 tokens (the prefix-filter guarantee).
+    Candidates come from an equi-join on PREFIX tokens only — rare by
+    construction, so buckets are small where the naive token join
+    explodes on stopwords — plus the |B| ∈ [t·|A|, |A|/t] length filter,
+    all before any verification. Verify is row-local: array_intersect on
+    the two sorted full-token arrays in codegen, jaccard from exact
+    integer sizes.
+
+    Verification runs per CONTENT CLASS (distinct token set), the same
+    second lever as llm/dedup.py's minhash verify: on this near-dup-heavy
+    corpus the verified output is ~clique-quadratic in DOC pairs, and
+    attaching two fat token arrays to every doc pair measured 82 s at
+    sf0.1 — collapsing to classes first (identical canonical array means
+    one class row) verifies each class pair once, emits within-class
+    pairs as Jaccard = 1 with no arrays at all, and expands verified
+    class pairs back to docs as narrow (id, id, jaccard) rows.
+
+    At 100 TB: the frequency table is one hash groupBy; per-doc sorted
+    arrays are one groupBy(doc); classes are one groupBy on the array;
+    candidates shuffle on single prefix tokens whose buckets the
+    rare-first order keeps bounded; the class arrays move once per
+    surviving class-pair side, never per doc pair."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    ordered = (
+        toks.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cnt", "token"))
+            ).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(arr, x -> x.token)").alias("tokens"),
+            F.size("arr").alias("sz"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    cls = (
+        ordered.groupBy("tokens")
+        .agg(
+            F.min("doc_id").alias("cls_id"),
+            F.first("sz").alias("sz"),
+            F.collect_list("doc_id").alias("member_ids"),
+            F.count("*").alias("grp_n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cls.count()  # referenced four times below; materialize once
+    prefix = cls.select(
+        "cls_id",
+        "sz",
+        F.explode(
+            F.expr(
+                f"slice(tokens, 1, size(tokens)"
+                f" - cast(ceil({SETSIM_T}d * size(tokens)) as int) + 1)"
+            )
+        ).alias("ptok"),
+    )
+    a = prefix.select(
+        F.col("cls_id").alias("cls_a"), F.col("sz").alias("sza"), "ptok"
+    )
+    b = prefix.select(
+        F.col("cls_id").alias("cls_b"), F.col("sz").alias("szb"), "ptok"
+    )
+    cand = (
+        a.join(b, "ptok")
+        .filter(
+            (F.col("cls_a") < F.col("cls_b"))
+            & (F.col("szb") >= F.ceil(F.lit(SETSIM_T) * F.col("sza")))
+            & (F.col("sza") >= F.ceil(F.lit(SETSIM_T) * F.col("szb")))
+        )
+        .select("cls_a", "cls_b")
+        .distinct()
+    )
+    ta = cls.select(
+        F.col("cls_id").alias("cls_a"),
+        F.col("tokens").alias("tok_a"),
+        F.col("sz").alias("sza"),
+    )
+    tb = cls.select(
+        F.col("cls_id").alias("cls_b"),
+        F.col("tokens").alias("tok_b"),
+        F.col("sz").alias("szb"),
+    )
+    verified = (
+        cand.join(ta, "cls_a")
+        .join(tb, "cls_b")
+        .withColumn("i", F.size(F.array_intersect("tok_a", "tok_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")).cast("double"),
+                6,
+            ),
+        )
+        .filter(
+            F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")).cast("double")
+            >= SETSIM_T
+        )
+        .select("cls_a", "cls_b", "jaccard")
+    )
+    cm = cls.select("cls_id", F.explode("member_ids").alias("doc_id"))
+    cross = (
+        verified.join(
+            cm.select(F.col("cls_id").alias("cls_a"), F.col("doc_id").alias("da")),
+            "cls_a",
+        )
+        .join(
+            cm.select(F.col("cls_id").alias("cls_b"), F.col("doc_id").alias("db")),
+            "cls_b",
+        )
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        cls.filter(F.col("grp_n") > 1)
+        .select(F.explode("member_ids").alias("da"), "member_ids")
+        .select("da", F.explode("member_ids").alias("db"))
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
