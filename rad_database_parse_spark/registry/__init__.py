@@ -162,6 +162,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "docs_vocab_coverage",
     "interval_bin_join_events",
     "docs_setsim_prefix_join",
+    "stream_foreachbatch_upsert",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -902,3 +902,70 @@ def docs_setsim_prefix_join(spark: SparkSession, sf_dir: str):
         )
     )
     return cross.unionByName(within)
+
+
+# ------------------------------- streaming CDC upsert via foreachBatch
+@register(
+    "stream_foreachbatch_upsert",
+    """
+    SELECT user_id, CAST(last_value AS DOUBLE) AS last_value FROM (
+      SELECT user_id, value AS last_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str):
+    """Streaming UPSERT sink — the foreachBatch CDC-merge pattern every
+    lakehouse pipeline runs: each micro-batch's per-user latest row merges
+    into a keyed parquet state table (read prev + union + argmax +
+    overwrite), so the sink holds exactly one current row per user at
+    every commit. Driven over the 4-slice time-ordered replay; the final
+    state must equal the batch argmax over all events (the oracle).
+
+    The merge is ASSOCIATIVE and COMMUTATIVE (argmax by the total order
+    ts, event_id), so the final state is independent of how the stream
+    was sliced into batches — that, not luck, is what makes the replay
+    deterministic, and it is the property a production upsert key needs
+    anyway for out-of-order arrivals. State alternates between two dirs
+    (write next, never overwrite the dir being read — the lakehouse
+    table-format trick, minus the manifest). At 100 TB the state table is
+    one row per key and the merge is one keyed shuffle per batch; table
+    formats (Delta/Iceberg MERGE) do the same with file-level pruning.
+    Argmax rides max(struct(ts, event_id, value)) — lexicographic struct
+    comparison, no window over the state table."""
+    import os
+    import tempfile
+
+    from ..streaming.events import build_time_ordered_replay, read_events_stream
+
+    e = t(spark, sf_dir, "events")
+    replay = tempfile.mkdtemp(prefix="events_upsert_") + "/events"
+    build_time_ordered_replay(e, replay, ts_col="ts", n_slices=4)
+    state_root = tempfile.mkdtemp(prefix="events_upsert_state_")
+    last_dir: list[str | None] = [None]
+
+    def merge_batch(batch, batch_id: int):
+        cur = batch.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("s")
+        )
+        if last_dir[0] is not None:
+            prev = batch.sparkSession.read.parquet(last_dir[0])
+            cur = cur.unionByName(prev).groupBy("user_id").agg(
+                F.max("s").alias("s")
+            )
+        nxt = os.path.join(state_root, f"state_{batch_id % 2}")
+        cur.write.mode("overwrite").parquet(nxt)
+        last_dir[0] = nxt
+
+    q = (
+        read_events_stream(spark, replay)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(state_root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(last_dir[0]).select(
+        "user_id", F.col("s.value").alias("last_value")
+    )
