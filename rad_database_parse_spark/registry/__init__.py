@@ -163,6 +163,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "interval_bin_join_events",
     "docs_setsim_prefix_join",
     "stream_foreachbatch_upsert",
+    "events_twap_per_user",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -969,3 +969,57 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(last_dir[0]).select(
         "user_id", F.col("s.value").alias("last_value")
     )
+
+
+# ---------------------------------------- time-weighted average (TWAP)
+@register(
+    "events_twap_per_user",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(12,2)) AS v,
+             LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           ROUND(CAST(SUM(v * dur_us) AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE), 6) AS twap
+    FROM iv WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_twap_per_user(spark: SparkSession, sf_dir: str):
+    """Time-weighted average value per user — the metering/billing/finance
+    aggregate where each observation holds until the next one replaces it,
+    so its weight is the interval it was in force (piecewise-constant
+    integral / total time). A plain AVG over-counts bursts; TWAP is the
+    right statistic for sampled gauges.
+
+    One shuffle on user_id serves both the LEAD window and the final
+    groupBy (same-key partitioning reused — the sessionize discipline).
+    Parity: durations are exact integer micros, values exact DECIMAL, the
+    weighted sum is decimal·bigint — both engines aggregate identical
+    integers and divide once in double at the end (float-parity policy).
+    The last observation per user has no successor and drops out, exactly
+    the open interval a billing cutoff would exclude."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = e.select(
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("v") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+    )
