@@ -164,6 +164,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "docs_setsim_prefix_join",
     "stream_foreachbatch_upsert",
     "events_twap_per_user",
+    "array_hof_suite",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1023,3 +1023,75 @@ def events_twap_per_user(spark: SparkSession, sf_dir: str):
             ).alias("twap"),
         )
     )
+
+
+# ------------------------------------ array higher-order-function suite
+@register(
+    "array_hof_suite",
+    """
+    WITH g AS (
+      SELECT l_orderkey,
+             list(CAST(l_quantity AS DECIMAL(12,2))
+                  ORDER BY l_linenumber, CAST(l_quantity AS DECIMAL(12,2)))
+               AS a
+      FROM lineitem WHERE l_orderkey % 20 = 0
+      GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           len(a) AS n_items,
+           CAST(list_aggregate(a, 'sum') AS DOUBLE) AS qsum,
+           len(list_filter(a, x -> x > 25)) AS n_high,
+           CAST(list_aggregate(list_reverse(list_sort(a))[1:3], 'sum')
+                AS DOUBLE) AS top3,
+           CAST(a[1] + list_reverse(a)[1] AS DOUBLE) AS wrap0
+    FROM g
+    """,
+)
+def array_hof_suite(spark: SparkSession, sf_dir: str):
+    """Higher-order array functions as one gated suite: transform /
+    filter / aggregate (fold) / zip_with / reverse / slice / sort over a
+    per-order quantity vector, each pinned to DuckDB's list_* twins. HOF
+    lambdas run INSIDE codegen — this is the JVM-side alternative to a
+    Python UDF for per-row vector math, the same machinery the embedding
+    ops lean on (llm/similarity.py cosine = zip_with + aggregate).
+
+    Parity notes, each a real cross-engine trap: collect_list order is
+    nondeterministic, so elements collect as (linenumber, qty) structs and
+    array_sort imposes the order the oracle's list(... ORDER BY) declares
+    — with the quantity as tie-break, because l_linenumber is NOT unique
+    within an order in this testdata and an under-specified sort is
+    nondeterministic in both engines;
+    the fold accumulator is DECIMAL so sums are exact (the float-parity
+    policy applied inside a lambda); doubles only appear at the output
+    cast."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").cast("decimal(12,2)").alias("q"),
+                )
+            )
+        ).alias("s")
+    )
+    return g.select(
+        "l_orderkey",
+        F.expr("size(s)").alias("n_items"),
+        F.expr(
+            "cast(aggregate(transform(s, x -> x.q),"
+            " cast(0 as decimal(18,2)),"
+            " (acc, x) -> cast(acc + x as decimal(18,2))) as double)"
+        ).alias("qsum"),
+        F.expr("size(filter(transform(s, x -> x.q), x -> x > 25))")
+        .cast("bigint")
+        .alias("n_high"),
+        F.expr(
+            "cast(aggregate(slice(reverse(array_sort(transform(s, x -> x.q))), 1, 3),"
+            " cast(0 as decimal(18,2)),"
+            " (acc, x) -> cast(acc + x as decimal(18,2))) as double)"
+        ).alias("top3"),
+        F.expr(
+            "cast(element_at(zip_with(transform(s, x -> x.q),"
+            " reverse(transform(s, x -> x.q)), (x, y) -> x + y), 1) as double)"
+        ).alias("wrap0"),
+    )
