@@ -165,6 +165,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "stream_foreachbatch_upsert",
     "events_twap_per_user",
     "array_hof_suite",
+    "part_triangle_counts",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1095,3 +1095,63 @@ def array_hof_suite(spark: SparkSession, sf_dir: str):
             " reverse(transform(s, x -> x.q)), (x, y) -> x + y), 1) as double)"
         ).alias("wrap0"),
     )
+
+
+# ----------------------------------------- triangle counting (graph)
+@register(
+    "part_triangle_counts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             regexp_extract(p_name, '^[^ ]+ [^ ]+') AS blk,
+             length(p_name) AS ln
+      FROM part),
+    e AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+           AND abs(a.ln - b.ln) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT node, COUNT(*) AS n_tri FROM (
+      SELECT unnest([x, y, z]) AS node FROM tri)
+    GROUP BY node
+    """,
+)
+def part_triangle_counts(spark: SparkSession, sf_dir: str):
+    """Per-node triangle participation over the part-name similarity graph
+    (edges = verified near-dup pairs from part_name_neardup) — the graph
+    statistic behind clustering coefficients and dense-cluster screens,
+    completing the graph tier (connected components → PageRank →
+    triangles).
+
+    The distributed shape is the sorted-edge convention: every edge is
+    stored once as (u < v), a wedge is e1(u,v) ⋈ e2(v,w) — so u < v < w
+    and each triangle is enumerated exactly once, no 6× duplication to
+    dedup — and the closing edge check is a second equi-join back on the
+    edge list. Both joins shuffle on single vertex keys; the per-node
+    rollup explodes each triangle into its 3 corners as narrow rows. At
+    100 TB the known refinement is degree-ordering (orient each edge from
+    lower- to higher-degree endpoint) to cap wedge counts at hub nodes —
+    the convention here is id-ordering, the same plan shape with a cheaper
+    orientation key."""
+    from .pipeline_ops import part_name_neardup
+
+    e = part_name_neardup(spark, sf_dir).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
