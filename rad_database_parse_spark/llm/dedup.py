@@ -557,3 +557,135 @@ def minhash_lsh_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("inc_id", "corp_id", "jaccard")
     )
+
+
+def setsim_prefix_join(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact set-similarity self-join (whitespace-token Jaccard >= threshold)
+    via prefix filtering with class-collapsed verification — the core behind
+    the registry's docs_setsim_prefix_join; see that docstring for the full
+    plan-shape analysis. Returns (id_a, id_b, jaccard), id_a < id_b, every
+    pair exact — zero false negatives by the prefix-filter guarantee."""
+    toks = (
+        df.select(
+            id_col,
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    ordered = (
+        toks.join(F.broadcast(freq), "token")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cnt", "token"))
+            ).alias("arr")
+        )
+        .select(
+            id_col,
+            F.expr("transform(arr, x -> x.token)").alias("tokens"),
+            F.size("arr").alias("sz"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    cls = (
+        ordered.groupBy("tokens")
+        .agg(
+            F.min(id_col).alias("cls_id"),
+            F.first("sz").alias("sz"),
+            F.collect_list(id_col).alias("member_ids"),
+            F.count("*").alias("grp_n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cls.count()  # referenced four times below; materialize once
+    prefix = cls.select(
+        "cls_id",
+        "sz",
+        F.explode(
+            F.expr(
+                f"slice(tokens, 1, size(tokens)"
+                f" - cast(ceil({threshold}d * size(tokens)) as int) + 1)"
+            )
+        ).alias("ptok"),
+    )
+    a = prefix.select(
+        F.col("cls_id").alias("cls_a"), F.col("sz").alias("sza"), "ptok"
+    )
+    b = prefix.select(
+        F.col("cls_id").alias("cls_b"), F.col("sz").alias("szb"), "ptok"
+    )
+    cand = (
+        a.join(b, "ptok")
+        .filter(
+            (F.col("cls_a") < F.col("cls_b"))
+            & (F.col("szb") >= F.ceil(F.lit(threshold) * F.col("sza")))
+            & (F.col("sza") >= F.ceil(F.lit(threshold) * F.col("szb")))
+        )
+        .select("cls_a", "cls_b")
+        .distinct()
+    )
+    ta = cls.select(
+        F.col("cls_id").alias("cls_a"),
+        F.col("tokens").alias("tok_a"),
+        F.col("sz").alias("sza"),
+    )
+    tb = cls.select(
+        F.col("cls_id").alias("cls_b"),
+        F.col("tokens").alias("tok_b"),
+        F.col("sz").alias("szb"),
+    )
+    verified = (
+        cand.join(ta, "cls_a")
+        .join(tb, "cls_b")
+        .withColumn("i", F.size(F.array_intersect("tok_a", "tok_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")).cast("double"),
+                6,
+            ),
+        )
+        .filter(
+            F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")).cast("double")
+            >= threshold
+        )
+        .select("cls_a", "cls_b", "jaccard")
+    )
+    cm = cls.select("cls_id", F.explode("member_ids").alias(id_col))
+    cross = (
+        verified.join(
+            cm.select(F.col("cls_id").alias("cls_a"), F.col(id_col).alias("da")),
+            "cls_a",
+        )
+        .join(
+            cm.select(F.col("cls_id").alias("cls_b"), F.col(id_col).alias("db")),
+            "cls_b",
+        )
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        cls.filter(F.col("grp_n") > 1)
+        .select(F.explode("member_ids").alias("da"), "member_ids")
+        .select("da", F.explode("member_ids").alias("db"))
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)

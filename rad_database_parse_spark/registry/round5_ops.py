@@ -782,126 +782,11 @@ def docs_setsim_prefix_join(spark: SparkSession, sf_dir: str):
     candidates shuffle on single prefix tokens whose buckets the
     rare-first order keeps bounded; the class arrays move once per
     surviving class-pair side, never per doc pair."""
-    d = t(spark, sf_dir, "documents")
-    toks = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .distinct()
-    )
-    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    ordered = (
-        toks.join(F.broadcast(freq), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("cnt", "token"))
-            ).alias("arr")
-        )
-        .select(
-            "doc_id",
-            F.expr("transform(arr, x -> x.token)").alias("tokens"),
-            F.size("arr").alias("sz"),
-        )
-    )
-    from pyspark import StorageLevel
+    from ..llm.dedup import setsim_prefix_join
 
-    cls = (
-        ordered.groupBy("tokens")
-        .agg(
-            F.min("doc_id").alias("cls_id"),
-            F.first("sz").alias("sz"),
-            F.collect_list("doc_id").alias("member_ids"),
-            F.count("*").alias("grp_n"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return setsim_prefix_join(
+        t(spark, sf_dir, "documents"), "text", "doc_id", SETSIM_T
     )
-    cls.count()  # referenced four times below; materialize once
-    prefix = cls.select(
-        "cls_id",
-        "sz",
-        F.explode(
-            F.expr(
-                f"slice(tokens, 1, size(tokens)"
-                f" - cast(ceil({SETSIM_T}d * size(tokens)) as int) + 1)"
-            )
-        ).alias("ptok"),
-    )
-    a = prefix.select(
-        F.col("cls_id").alias("cls_a"), F.col("sz").alias("sza"), "ptok"
-    )
-    b = prefix.select(
-        F.col("cls_id").alias("cls_b"), F.col("sz").alias("szb"), "ptok"
-    )
-    cand = (
-        a.join(b, "ptok")
-        .filter(
-            (F.col("cls_a") < F.col("cls_b"))
-            & (F.col("szb") >= F.ceil(F.lit(SETSIM_T) * F.col("sza")))
-            & (F.col("sza") >= F.ceil(F.lit(SETSIM_T) * F.col("szb")))
-        )
-        .select("cls_a", "cls_b")
-        .distinct()
-    )
-    ta = cls.select(
-        F.col("cls_id").alias("cls_a"),
-        F.col("tokens").alias("tok_a"),
-        F.col("sz").alias("sza"),
-    )
-    tb = cls.select(
-        F.col("cls_id").alias("cls_b"),
-        F.col("tokens").alias("tok_b"),
-        F.col("sz").alias("szb"),
-    )
-    verified = (
-        cand.join(ta, "cls_a")
-        .join(tb, "cls_b")
-        .withColumn("i", F.size(F.array_intersect("tok_a", "tok_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")).cast("double"),
-                6,
-            ),
-        )
-        .filter(
-            F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")).cast("double")
-            >= SETSIM_T
-        )
-        .select("cls_a", "cls_b", "jaccard")
-    )
-    cm = cls.select("cls_id", F.explode("member_ids").alias("doc_id"))
-    cross = (
-        verified.join(
-            cm.select(F.col("cls_id").alias("cls_a"), F.col("doc_id").alias("da")),
-            "cls_a",
-        )
-        .join(
-            cm.select(F.col("cls_id").alias("cls_b"), F.col("doc_id").alias("db")),
-            "cls_b",
-        )
-        .select(
-            F.least("da", "db").alias("id_a"),
-            F.greatest("da", "db").alias("id_b"),
-            "jaccard",
-        )
-    )
-    within = (
-        cls.filter(F.col("grp_n") > 1)
-        .select(F.explode("member_ids").alias("da"), "member_ids")
-        .select("da", F.explode("member_ids").alias("db"))
-        .filter(F.col("da") < F.col("db"))
-        .select(
-            F.col("da").alias("id_a"),
-            F.col("db").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 # ------------------------------- streaming CDC upsert via foreachBatch

@@ -143,3 +143,85 @@ def test_connected_components_matches_union_find(spark_session_holder, edges):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_setsim_prefix_join_matches_bruteforce(spark_session_holder, docs):
+    """Prefix filtering must have ZERO false negatives (and, with the exact
+    verify, zero false positives): the Spark pipeline over random tiny
+    corpora equals brute-force Jaccard over Python sets."""
+    from rad_database_parse_spark.llm.dedup import setsim_prefix_join
+
+    spark = spark_session_holder
+    t = 0.8
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim_prefix_join(df, "text", "doc_id", t).collect()
+    }
+    sets = {i: set(w) for i, w in enumerate(docs)}
+    expected = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                jac = inter / len(sets[i] | sets[j])
+                if jac >= t:
+                    expected[(i, j)] = round(jac, 6)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.sets(st.integers(0, 10_000), min_size=1, max_size=200),
+    st.sets(st.integers(0, 10_000), min_size=1, max_size=200),
+)
+def test_bloom_bitset_has_no_false_negatives(spark_session_holder, dim, probe):
+    """The packed-word Bloom predicate may only drop true NON-members:
+    every probe key present in the dim set must pass all three bit tests
+    (false positives are fine — the exact semi-join removes them)."""
+    from pyspark.sql import functions as F
+
+    from rad_database_parse_spark.registry.round5_ops import (
+        BLOOM_BITS,
+        BLOOM_SEEDS,
+        _bloom_positions,
+    )
+
+    spark = spark_session_holder
+    dim_df = spark.createDataFrame([(k,) for k in dim], ["k"])
+    positions = {
+        r["pos"]
+        for r in dim_df.select(
+            F.explode(_bloom_positions(F.col("k"))).alias("pos")
+        ).collect()
+    }
+    words = [0] * (BLOOM_BITS // 64)
+    for pos in positions:
+        words[pos // 64] |= 1 << (pos % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    arr = "cast(array({}) as array<bigint>)".format(",".join(map(str, words)))
+    tests = []
+    for s in BLOOM_SEEDS:
+        p = f"pmod(xxhash64(k, {s}), {BLOOM_BITS})"
+        tests.append(
+            f"((shiftright(element_at({arr}, cast({p} / 64 AS INT) + 1),"
+            f" cast({p} % 64 AS INT)) & 1) = 1)"
+        )
+    probe_df = spark.createDataFrame([(k,) for k in probe], ["k"])
+    kept = {r.k for r in probe_df.filter(F.expr(" AND ".join(tests))).collect()}
+    assert (probe & dim) <= kept
