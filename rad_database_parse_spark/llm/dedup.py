@@ -689,3 +689,136 @@ def setsim_prefix_join(
         )
     )
     return cross.unionByName(within)
+
+
+def containment_prefix_join(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment self-join: every ordered pair (A, B)
+    with |A∩B| / |A| >= threshold over distinct whitespace-token sets —
+    the screen for a small document living inside a larger one (template
+    + payload, quote + commentary), which symmetric Jaccard structurally
+    misses as |B| grows.
+
+    Same two levers as setsim_prefix_join, adapted to the directed bound:
+    if |A∩B| >= ceil(t·|A|), A must share one of its first
+    |A| − ceil(t·|A|) + 1 rare-first tokens with B — so only A's short
+    prefix explodes, joined against the full token index of the B side
+    (bucket sizes bounded by the rarity of A's prefix tokens), plus the
+    necessary-size filter |B| >= ceil(t·|A|). Verification is per content
+    class with array_intersect; within-class ordered pairs are containment
+    ≡ 1 with no arrays. Returns (id_a, id_b, containment), id_a != id_b,
+    directed: id_a is the contained side."""
+    from pyspark import StorageLevel
+
+    toks = (
+        df.select(
+            id_col,
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    ordered = (
+        toks.join(F.broadcast(freq), "token")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("cnt", "token"))).alias("arr")
+        )
+        .select(
+            id_col,
+            F.expr("transform(arr, x -> x.token)").alias("tokens"),
+            F.size("arr").alias("sz"),
+        )
+    )
+    cls = (
+        ordered.groupBy("tokens")
+        .agg(
+            F.min(id_col).alias("cls_id"),
+            F.first("sz").alias("sz"),
+            F.collect_list(id_col).alias("member_ids"),
+            F.count("*").alias("grp_n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cls.count()
+    a_prefix = cls.select(
+        F.col("cls_id").alias("cls_a"),
+        F.col("sz").alias("sza"),
+        F.explode(
+            F.expr(
+                f"slice(tokens, 1, size(tokens)"
+                f" - cast(ceil({threshold}d * size(tokens)) as int) + 1)"
+            )
+        ).alias("token"),
+    )
+    b_all = cls.select(
+        F.col("cls_id").alias("cls_b"),
+        F.col("sz").alias("szb"),
+        F.explode("tokens").alias("token"),
+    )
+    cand = (
+        a_prefix.join(b_all, "token")
+        .filter(
+            (F.col("cls_a") != F.col("cls_b"))
+            & (F.col("szb") >= F.ceil(F.lit(threshold) * F.col("sza")))
+        )
+        .select("cls_a", "cls_b")
+        .distinct()
+    )
+    ta = cls.select(
+        F.col("cls_id").alias("cls_a"),
+        F.col("tokens").alias("tok_a"),
+        F.col("sz").alias("sza"),
+    )
+    tb = cls.select(
+        F.col("cls_id").alias("cls_b"),
+        F.col("tokens").alias("tok_b"),
+    )
+    verified = (
+        cand.join(ta, "cls_a")
+        .join(tb, "cls_b")
+        .withColumn("i", F.size(F.array_intersect("tok_a", "tok_b")))
+        .filter(F.col("i") / F.col("sza").cast("double") >= threshold)
+        .select(
+            "cls_a",
+            "cls_b",
+            F.round(F.col("i") / F.col("sza").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+    cm = cls.select("cls_id", F.explode("member_ids").alias(id_col))
+    cross = (
+        verified.join(
+            cm.select(F.col("cls_id").alias("cls_a"), F.col(id_col).alias("da")),
+            "cls_a",
+        )
+        .join(
+            cm.select(F.col("cls_id").alias("cls_b"), F.col(id_col).alias("db")),
+            "cls_b",
+        )
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            "containment",
+        )
+    )
+    within = (
+        cls.filter(F.col("grp_n") > 1)
+        .select(F.explode("member_ids").alias("da"), "member_ids")
+        .select("da", F.explode("member_ids").alias("db"))
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within)

@@ -166,6 +166,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "events_twap_per_user",
     "array_hof_suite",
     "part_triangle_counts",
+    "docs_containment_join",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

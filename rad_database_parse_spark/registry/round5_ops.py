@@ -1040,3 +1040,41 @@ def part_triangle_counts(spark: SparkSession, sf_dir: str):
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
+
+
+# ---------------------------- asymmetric containment join (directed)
+CONTAIN_T = 0.9
+
+
+@register(
+    "docs_containment_join",
+    f"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    toks AS (SELECT DISTINCT doc_id, token FROM toks0 WHERE token != ''),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id != b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(i / CAST(sa.sz AS DOUBLE), 6) AS containment
+    FROM inter JOIN sz sa ON sa.doc_id = id_a
+    WHERE i / CAST(sa.sz AS DOUBLE) >= {CONTAIN_T}
+    """,
+)
+def docs_containment_join(spark: SparkSession, sf_dir: str):
+    """Directed containment screen (|A∩B|/|A| ≥ 0.9): the curation pass
+    that catches a small document living INSIDE a larger one — template +
+    payload, quote + commentary — which symmetric Jaccard structurally
+    misses as the big side grows. Implementation and scale analysis:
+    llm/dedup.py::containment_prefix_join (A's rare-first prefix explodes
+    against the full token index of the B side; class-collapsed verify;
+    the same prefix-filter guarantee, adapted to the directed bound)."""
+    from ..llm.dedup import containment_prefix_join
+
+    return containment_prefix_join(
+        t(spark, sf_dir, "documents"), "text", "doc_id", CONTAIN_T
+    )

@@ -225,3 +225,42 @@ def test_bloom_bitset_has_no_false_negatives(spark_session_holder, dim, probe):
     probe_df = spark.createDataFrame([(k,) for k in probe], ["k"])
     kept = {r.k for r in probe_df.filter(F.expr(" AND ".join(tests))).collect()}
     assert (probe & dim) <= kept
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_containment_join_matches_bruteforce(spark_session_holder, docs):
+    """Directed containment (|A∩B|/|A| >= t) must equal brute force over
+    Python sets — the prefix bound and the necessary-size filter may drop
+    only true negatives."""
+    from rad_database_parse_spark.llm.dedup import containment_prefix_join
+
+    spark = spark_session_holder
+    t = 0.9
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_prefix_join(df, "text", "doc_id", t).collect()
+    }
+    sets = {i: set(w) for i, w in enumerate(docs)}
+    expected = {}
+    for i in sets:
+        for j in sets:
+            if i != j:
+                c = len(sets[i] & sets[j]) / len(sets[i])
+                if c >= t:
+                    expected[(i, j)] = round(c, 6)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9
