@@ -1,12 +1,19 @@
-"""Round-5 operators: sub-document chunk dedup, per-stratum reservoir
+"""Round-5 operators (16): sub-document chunk dedup, per-stratum reservoir
 sampling, rolling weekly-active-users, re-aggregatable HLL sketches,
-Z-order layout clustering, and product quantization.
+Z-order layout clustering, product quantization, Bloom-bitset prefiltered
+semi-join, data-quality expectations report, vocabulary-coverage (OOV)
+scoring, binned interval join, exact set-similarity join via prefix
+filtering, streaming CDC upsert (foreachBatch), time-weighted average,
+array higher-order-function suite, sorted-edge triangle counting, and
+directed containment join.
 
 Each extends the training-data-pipeline surface (SURVEY §2C) along the
-axes a 100 TB ingest needs: dedup below document granularity, reproducible
-eval sampling, time-windowed distincts that don't rescan history, sketch
-merge instead of raw-data reshuffle, scan-pruning data layout, and
-compressed vector codes for ANN."""
+axes a 100 TB ingest needs: dedup below document granularity (and exact /
+directed similarity joins when the decision must be reproducible),
+reproducible eval sampling, time-windowed distincts that don't rescan
+history, sketch merge instead of raw-data reshuffle, scan-pruning data
+layout, compressed vector codes for ANN, map-side join pruning, data
+promotion gates, and the lakehouse streaming-merge sink."""
 
 from __future__ import annotations
 
