@@ -167,6 +167,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "array_hof_suite",
     "part_triangle_counts",
     "docs_containment_join",
+    "emb_truncated_topk_recall",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

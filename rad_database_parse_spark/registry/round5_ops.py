@@ -1085,3 +1085,94 @@ def docs_containment_join(spark: SparkSession, sf_dir: str):
     return containment_prefix_join(
         t(spark, sf_dir, "documents"), "text", "doc_id", CONTAIN_T
     )
+
+
+# -------------------------- truncated-embedding (Matryoshka) recall
+TRUNC_DIMS = 32
+TRUNC_K = 5
+
+
+@register(
+    "emb_truncated_topk_recall",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+    full_rank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))), 6) DESC,
+               neighbor_id) AS rank
+      FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+    full_topk AS (SELECT query_id, neighbor_id FROM full_rank
+                  WHERE rank <= {TRUNC_K}),
+    tq AS (SELECT query_id, qv[1:{TRUNC_DIMS}] AS qv FROM q),
+    tc AS (SELECT neighbor_id, cv[1:{TRUNC_DIMS}] AS cv FROM c),
+    trunc_rank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))), 6) DESC,
+               neighbor_id) AS rank
+      FROM tc CROSS JOIN tq WHERE query_id != neighbor_id),
+    trunc_topk AS (SELECT query_id, neighbor_id, 1 AS hit FROM trunc_rank
+                   WHERE rank <= {TRUNC_K})
+    SELECT f.query_id,
+           CAST(SUM(COALESCE(t.hit, 0)) AS BIGINT) AS n_overlap,
+           ROUND(SUM(COALESCE(t.hit, 0)) / CAST({TRUNC_K} AS DOUBLE), 6)
+             AS recall
+    FROM full_topk f LEFT JOIN trunc_topk t
+      USING (query_id, neighbor_id)
+    GROUP BY f.query_id
+    """,
+)
+def emb_truncated_topk_recall(spark: SparkSession, sf_dir: str):
+    """Recall@k of truncated-dimension retrieval against full-dimension
+    ground truth — the evaluation behind Matryoshka-style embeddings and
+    every dimension-reduction decision an ANN index makes: keep the first
+    {TRUNC_DIMS} of 64 dims (half the memory and FLOPs) and measure how
+    much of the exact top-{TRUNC_K} survives, per query.
+
+    Both retrievals are the established exact-cosine plan (queries
+    broadcast, corpus streams once through codegen, rounded-sim +
+    neighbor-id total order so both engines rank identically); the
+    truncated side just slices the vector BEFORE the dot product, which
+    cuts the per-pair cost proportionally — at 100 TB this pass is the
+    cheap screen that decides whether the short prefix is good enough to
+    serve from. The overlap join moves only (query, neighbor) narrow
+    rows."""
+    from ..llm.similarity import brute_force_cosine_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    full = brute_force_cosine_topk(q, e, k=TRUNC_K).select(
+        "query_id", "neighbor_id"
+    )
+    sl = F.expr(f"slice(embedding, 1, {TRUNC_DIMS})")
+    tq = q.select("vec_id", sl.alias("embedding"))
+    tc = e.select("vec_id", sl.alias("embedding"))
+    trunc = brute_force_cosine_topk(tq, tc, k=TRUNC_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        full.join(trunc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(float(TRUNC_K)), 6).alias(
+                "recall"
+            ),
+        )
+    )
