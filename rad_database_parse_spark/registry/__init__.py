@@ -168,6 +168,16 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "part_triangle_counts",
     "docs_containment_join",
     "emb_truncated_topk_recall",
+    # round-5c curation/analytics ops (positions 41-48 — still inside the
+    # driver's 50-query window, displacing r3 re-check padding):
+    "docs_benchmark_decontaminate",
+    "docs_bigram_lm_score",
+    "docs_mixture_weighted_sample",
+    "part_skyline_pareto",
+    "orders_calendar_densify",
+    "events_attribution_last_touch",
+    "lineitem_winsorized_stats",
+    "docs_heavy_hitter_words",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -195,6 +205,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import llm_ops  # noqa: F401
     from . import pipeline_ops  # noqa: F401
     from . import round5_ops  # noqa: F401
+    from . import curation_ops  # noqa: F401
 
     # round-5 window first (first occurrence wins — R5 re-checks shadow
     # their old R3 positions), then the prior windows keep their relative

@@ -1,0 +1,470 @@
+"""Round-5c curation / analytics operators (8): benchmark decontamination,
+corpus-bigram LM scoring, per-source mixture-weighted sampling, Pareto
+skyline, calendar densify (date-spine gap fill), last-touch attribution,
+winsorized robust statistics, and per-stratum heavy-hitter terms.
+
+These close the remaining training-data-curation gaps a 100 TB ingest
+pipeline hits that the earlier rounds did not cover: eval-set
+decontamination (every LLM pipeline screens pretraining text against its
+benchmark suite), cheap LM-proxy quality scoring (the perplexity-bucket
+filter without a model), source-mixture construction (per-domain sampling
+rates), and the robust-stats / attribution / densify analytics shapes.
+
+Float-parity discipline (registry/__init__.py): money stays DECIMAL until
+after aggregation; cross-engine scores are integer fixed-point
+(floor(1e6 * p)) so sums are exact; sampling is PRNG-free (md5 of the row
+key), identical on any engine, retry, or partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import dbl, dec, t
+
+# ------------------------------------------- benchmark decontamination
+# Word-trigram shingles; a doc is contaminated when >= 5% of its trigrams
+# appear in the benchmark split (doc_id % 17 == 0 stands in for the
+# benchmark suite — at scale this side is the tiny one).
+_DECON_N = 3
+_DECON_BENCH_MOD = 17
+
+
+def _grams_expr(n: int) -> str:
+    # word n-gram md5 hashes; guarded so docs shorter than n words yield []
+    return f"""
+    CASE WHEN size(split(text, ' ')) >= {n} THEN
+      transform(sequence(0, size(split(text, ' ')) - {n}),
+                i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, {n}))))
+    ELSE array() END
+    """
+
+
+@register(
+    "docs_benchmark_decontaminate",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(CASE WHEN len(w) >= {_DECON_N} THEN
+                          list_transform(range(len(w) - {_DECON_N - 1}),
+                            i -> md5(array_to_string(w[i + 1 : i + {_DECON_N}], ' ')))
+                        ELSE [] END) AS gh
+          FROM d),
+    b AS (SELECT DISTINCT gh FROM g WHERE doc_id % {_DECON_BENCH_MOD} = 0),
+    e AS (SELECT g.doc_id, b.gh IS NOT NULL AS hit
+          FROM g LEFT JOIN b ON g.gh = b.gh
+          WHERE g.doc_id % {_DECON_BENCH_MOD} <> 0)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 20 >= COUNT(*)
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM e GROUP BY doc_id
+    """,
+)
+def docs_benchmark_decontaminate(spark: SparkSession, sf_dir: str):
+    """Eval-set decontamination: flag training documents whose word-trigram
+    shingles overlap a benchmark split (here doc_id % 17 == 0) beyond a 5%
+    share. Shingles travel as md5 hashes only — text never shuffles; the
+    benchmark gram set is DISTINCT-collapsed and broadcast, so the corpus
+    side is one scan + map-side hash probe + one doc_id groupBy. At 100 TB
+    the benchmark suite is a few MB of hashes against TBs of corpus —
+    exactly the broadcast-semi-probe shape (and a Bloom bitset drops in via
+    bloom_prune_semijoin when even the hash set is too big to broadcast).
+    The 5%-share flag is an integer cross-multiply (n_hits*20 >= n_grams)
+    so no float crosses the engine boundary. Extends the reference's
+    whole-table duplicate screen (main.py:210-253) to the n-gram
+    granularity every LLM data pipeline decontaminates at."""
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_grams_expr(_DECON_N))).alias("gh")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    e = grams.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0).join(
+        F.broadcast(bench), "gh", "left"
+    )
+    return e.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("hit").alias("n_hits"),
+        (F.count("hit") * 20 >= F.count("*")).cast("int").alias("contaminated"),
+    )
+
+
+# ------------------------------------------------ corpus-bigram LM score
+@register(
+    "docs_bigram_lm_score",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(CASE WHEN len(w) >= 2 THEN
+                           list_transform(range(len(w) - 1),
+                             i -> {'w1': w[i + 1], 'w2': w[i + 2]})
+                         ELSE [] END, recursive := true)
+           FROM d),
+    c1 AS (SELECT word, COUNT(*) AS c1
+           FROM (SELECT unnest(w) AS word FROM d) GROUP BY word),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    j AS (SELECT bg.doc_id,
+                 CAST(floor(1000000.0 * c12.c12 / c1.c1) AS BIGINT) AS fp
+          FROM bg JOIN c12 USING (w1, w2) JOIN c1 ON bg.w1 = c1.word)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(fp) AS BIGINT) AS sum_fp,
+           CAST(floor(CAST(SUM(fp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_fp
+    FROM j GROUP BY doc_id
+    """,
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str):
+    """Perplexity-bucket quality filter without a model: score each doc by
+    the average corpus-bigram transition probability p(w2|w1) =
+    c(w1,w2)/c(w1), trained on the corpus itself in the same job. Two
+    groupBys build the LM (bigram + unigram counts over the vocabulary —
+    at most |V|^2 rows, megabytes even for a 1M-word vocab), which is then
+    BROADCAST back onto the doc-bigram stream: the 100 TB corpus is
+    scanned twice but never shuffled by anything wider than the tiny count
+    tables. Probabilities cross the engine boundary as integer fixed-point
+    floor(1e6*p) — sums stay exact, and the one terminal division is
+    floor()ed — so the oracle hash-compares bit-identically (the policy of
+    registry/__init__.py's float-parity note). A doc whose avg_fp lands in
+    the bottom bucket is the one a curation funnel drops first."""
+    d = t(spark, sf_dir, "documents")
+    words = "split(text, ' ')"
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN size({words}) >= 2 THEN
+                      transform(sequence(0, size({words}) - 2),
+                        i -> struct(element_at({words}, i + 1) AS w1,
+                                    element_at({words}, i + 2) AS w2))
+                    ELSE array() END"""
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c1 = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c1"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    j = bg.join(F.broadcast(c12), ["w1", "w2"]).join(
+        F.broadcast(c1), bg["w1"] == c1["word"]
+    )
+    j = j.select(
+        "doc_id",
+        F.floor(F.lit(1000000.0) * F.col("c12") / F.col("c1"))
+        .cast("bigint")
+        .alias("fp"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("fp").cast("bigint").alias("sum_fp"),
+        F.floor(dbl(F.sum("fp")) / F.count("*")).cast("bigint").alias("avg_fp"),
+    )
+
+
+# --------------------------------------- per-source mixture-weighted sample
+@register(
+    "docs_mixture_weighted_sample",
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) * 5
+          < ((CAST(substr(source, 4) AS INT) % 5) + 1) * 16777216
+    """,
+)
+def docs_mixture_weighted_sample(spark: SparkSession, sf_dir: str):
+    """Source-mixture construction: keep each document with a per-source
+    rate (here (src_index % 5 + 1)/5 — in production the rates come from
+    the mixture recipe, e.g. upsample curated sources, downsample crawl).
+    The keep decision is a pure function of (doc_id, source): uniform drawn
+    from md5(doc_id), compared against the source's rate by integer
+    cross-multiply — no RNG, no floats, so the sample is identical on any
+    engine, any retry, any partitioning (the deterministic_sample /
+    weighted_sample_orders discipline, keyed by mixture weight instead of
+    row weight). Scan-local predicate: zero shuffles, pushes past the
+    parquet reader as a filter at any scale."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    rate_num = (F.substring("source", 4, 10).cast("int") % 5) + 1
+    return d.filter(h * 5 < rate_num * 16777216).select(
+        "doc_id", "source", "lang"
+    )
+
+
+# --------------------------------------------------- Pareto skyline (2-D)
+@register(
+    "part_skyline_pareto",
+    """
+    WITH pp AS (SELECT p_retailprice AS pr, MIN(p_size) AS msize
+                FROM part GROUP BY p_retailprice),
+    pw AS (SELECT pr, msize,
+                  MIN(msize) OVER (ORDER BY pr
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS prev_min
+           FROM pp)
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN pw ON p.p_retailprice = pw.pr
+    WHERE NOT (COALESCE(pw.prev_min <= p.p_size, FALSE)
+               OR pw.msize < p.p_size)
+    """,
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str):
+    """Skyline (Pareto-frontier) operator: parts not dominated on
+    (p_retailprice low, p_size low) — dominated means some other part is <=
+    on both axes and < on at least one. The naive formulation is an O(N^2)
+    self-join; the 2-D sort-based identity reduces it to (a) one groupBy to
+    min-size per DISTINCT price, (b) one running-min window over the
+    distinct-price table (tiny — |distinct prices|, not |rows|: the only
+    single-partition step, over thousands of rows at any corpus size), and
+    (c) one broadcast join back to the fact rows as a scan-local dominance
+    predicate: dominated iff a strictly-cheaper price saw size <= s, or the
+    same price saw size < s. Ties on both axes survive (non-strict
+    domination needs one strict edge), matching the standard skyline
+    definition."""
+    p = t(spark, sf_dir, "part")
+    pp = p.groupBy(F.col("p_retailprice").alias("pr")).agg(
+        F.min("p_size").alias("msize")
+    )
+    w = (
+        Window.orderBy("pr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pw = pp.withColumn("prev_min", F.min("msize").over(w))
+    dominated = F.coalesce(
+        F.col("prev_min") <= F.col("p_size"), F.lit(False)
+    ) | (F.col("msize") < F.col("p_size"))
+    return (
+        p.join(F.broadcast(pw), p["p_retailprice"] == pw["pr"])
+        .filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# ------------------------------------------- calendar densify (gap fill)
+@register(
+    "orders_calendar_densify",
+    """
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS dmin,
+                      CAST(MAX(o_orderdate) AS DATE) AS dmax
+               FROM orders),
+    spine AS (SELECT CAST(unnest(generate_series(dmin, dmax,
+                                                 INTERVAL 1 DAY)) AS DATE)
+                       AS day
+              FROM b),
+    dims AS (SELECT DISTINCT o_orderpriority FROM orders),
+    daily AS (SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+                     SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1, 2)
+    SELECT strftime(s.day, '%Y-%m-%d') AS day, d.o_orderpriority,
+           CAST(COALESCE(daily.rev, 0) AS DOUBLE) AS revenue,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders
+    FROM spine s CROSS JOIN dims d
+    LEFT JOIN daily ON daily.day = s.day
+                   AND daily.o_orderpriority = d.o_orderpriority
+    """,
+)
+def orders_calendar_densify(spark: SparkSession, sf_dir: str):
+    """Time-series densify: zero-fill every (day, priority) cell of the
+    daily-revenue grid so downstream rolling windows see a gapless series
+    (the resample-to-calendar primitive; events_resample_ffill is the
+    forward-fill sibling). The date spine is generated with sequence()
+    from the global min/max — a 1-row broadcast aggregate — and
+    cross-joined with the distinct dims: both sides are tiny (days x
+    priorities), so the only full-data pass is the one daily groupBy; the
+    spine LEFT JOIN is a broadcast of the grid against the aggregated (not
+    raw) rows. Revenue stays DECIMAL through the sum and the COALESCE so
+    both engines produce bit-identical cells."""
+    o = t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("dmin"),
+        F.max(F.to_date("o_orderdate")).alias("dmax"),
+    )
+    spine = b.select(
+        F.explode(F.sequence("dmin", "dmax")).alias("day")
+    )
+    dims = o.select("o_orderpriority").distinct()
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"), "o_orderpriority"
+    ).agg(
+        F.sum(dec("o_totalprice")).alias("rev"),
+        F.count("*").alias("n"),
+    )
+    grid = spine.crossJoin(F.broadcast(dims))
+    # day leaves as yyyy-MM-dd text and revenue as double AFTER the exact
+    # decimal sum — the cross-engine output conventions of events_rolling_wau
+    # and the q1 family (sorted-hash compare needs identical dtypes).
+    return grid.join(daily, ["day", "o_orderpriority"], "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "o_orderpriority",
+        dbl(F.coalesce(F.col("rev"), F.lit(0))).alias("revenue"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+    )
+
+
+# --------------------------------------------- last-touch attribution
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH tagged AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events)
+    SELECT COALESCE(touch, 'none') AS touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY COALESCE(touch, 'none')
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str):
+    """Marketing-attribution primitive: credit each purchase to the user's
+    most recent preceding non-purchase event (last-touch model), then roll
+    purchase counts and value up by touch type. One shuffle on user_id
+    feeds a running last(..., ignorenulls) window — the same
+    partition-local sweep sessionization uses, so at 100 TB it rides the
+    same user_id exchange; ties inside a timestamp break on event_id so the
+    credit assignment is deterministic on both engines. Purchases with no
+    prior touch credit 'none'. Value aggregates in DECIMAL (exact sums)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dbl(F.sum(dec("value"))).alias("total_value"),
+        )
+    )
+
+
+# ----------------------------------------------- winsorized robust stats
+@register(
+    "lineitem_winsorized_stats",
+    """
+    WITH g AS (SELECT l_returnflag,
+                      quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05)
+                        AS p05,
+                      quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95)
+                        AS p95
+               FROM lineitem GROUP BY l_returnflag),
+    j AS (SELECT l.l_returnflag, l.l_extendedprice AS x, g.p05, g.p95
+          FROM lineitem l JOIN g USING (l_returnflag))
+    SELECT l_returnflag, p05, p95,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN x < p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN x > p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           (CAST(SUM(CASE WHEN x >= p05 AND x <= p95
+                          THEN CAST(x AS DECIMAL(12,2))
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+            + CAST(SUM(CASE WHEN x < p05 THEN 1 ELSE 0 END) AS BIGINT) * p05
+            + CAST(SUM(CASE WHEN x > p95 THEN 1 ELSE 0 END) AS BIGINT) * p95)
+           / COUNT(*) AS w_mean
+    FROM j GROUP BY l_returnflag, p05, p95
+    """,
+)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str):
+    """Winsorized mean per group — the outlier-robust location estimate a
+    feature pipeline uses when a fat tail would swamp avg(). Two passes:
+    exact p05/p95 per group (3 groups — the same percentile/quantile_cont
+    interpolation parity agg_approx_quantile_check pins), broadcast back,
+    then ONE conditional aggregation. The winsorized mean is assembled from
+    exact parts — DECIMAL sum of in-range values plus integer tail counts
+    times the (double) clamp bounds — with a single terminal double
+    expression written in the same association order in both engines, so
+    IEEE determinism carries the hash gate. At 100 TB the first pass
+    becomes approx_percentile (one mergeable sketch pass, no sort) with the
+    error budget checked exactly as agg_approx_quantile_check does."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile(dbl(F.col("l_extendedprice")), 0.05).alias("p05"),
+        F.percentile(dbl(F.col("l_extendedprice")), 0.95).alias("p95"),
+    )
+    x = F.col("l_extendedprice")
+    j = li.join(F.broadcast(g), "l_returnflag")
+    agg = j.groupBy("l_returnflag", "p05", "p95").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(x < F.col("p05"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum(F.when(x > F.col("p95"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum(
+            F.when((x >= F.col("p05")) & (x <= F.col("p95")), dec(x)).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("sum_within"),
+    )
+    w_mean = (
+        dbl(F.col("sum_within"))
+        + F.col("n_below") * F.col("p05")
+        + F.col("n_above") * F.col("p95")
+    ) / F.col("n")
+    return agg.select(
+        "l_returnflag", "p05", "p95", "n", "n_below", "n_above",
+        w_mean.alias("w_mean"),
+    )
+
+
+# ------------------------------------------- per-stratum heavy hitters
+_HH_K = 20
+
+
+@register(
+    "docs_heavy_hitter_words",
+    f"""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+    cnt AS (SELECT lang, word, COUNT(*) AS n FROM tok GROUP BY lang, word),
+    r AS (SELECT lang, word, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, word) AS rn
+          FROM cnt)
+    SELECT lang, word, n, rn FROM r WHERE rn <= {_HH_K}
+    """,
+)
+def docs_heavy_hitter_words(spark: SparkSession, sf_dir: str):
+    """Per-stratum heavy hitters: the top-k most frequent words per
+    language — the vocabulary-drift / boilerplate-token monitor a corpus
+    dashboard recomputes per snapshot. Exact form: one (lang, word) count
+    with map-side partial aggregation (the token stream collapses to at
+    most |langs| x |vocab| rows before the exchange), then a bounded
+    top-k window per stratum. Deterministic ties: count DESC then word
+    ASC. At 100 TB with an unbounded vocab the same query swaps the exact
+    count for a count-min/space-saving sketch per partition and merges —
+    the output contract (lang, word, n, rn) is unchanged."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    cnt = tok.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HH_K)
+        .select("lang", "word", "n", "rn")
+    )

@@ -1,0 +1,152 @@
+"""Semantic checks for the round-5c curation/analytics operators —
+properties the DuckDB oracle's hash-equality can't express (brute-force
+equivalence, determinism under repartitioning, rate calibration)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rad_database_parse_spark.registry import all_queries
+from rad_database_parse_spark.registry.curation_ops import (
+    docs_benchmark_decontaminate,
+    docs_heavy_hitter_words,
+    docs_mixture_weighted_sample,
+    events_attribution_last_touch,
+    lineitem_winsorized_stats,
+    orders_calendar_densify,
+    part_skyline_pareto,
+)
+from rad_database_parse_spark.catalog.io import load_table
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    got = {
+        r.p_partkey
+        for r in part_skyline_pareto(spark, sf_dir).collect()
+    }
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    expect = set()
+    for a in parts:
+        dominated = any(
+            b.p_retailprice <= a.p_retailprice
+            and b.p_size <= a.p_size
+            and (b.p_retailprice < a.p_retailprice or b.p_size < a.p_size)
+            for b in parts
+        )
+        if not dominated:
+            expect.add(a.p_partkey)
+    assert got == expect and got
+
+
+def test_skyline_is_mutually_nondominating(spark, sf_dir):
+    rows = part_skyline_pareto(spark, sf_dir).collect()
+    for a in rows:
+        for b in rows:
+            assert not (
+                b.p_retailprice <= a.p_retailprice
+                and b.p_size <= a.p_size
+                and (b.p_retailprice < a.p_retailprice or b.p_size < a.p_size)
+            )
+
+
+def test_decontaminate_benchmark_split_excluded_and_flag_consistent(
+    spark, sf_dir
+):
+    df = docs_benchmark_decontaminate(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 17 != 0  # benchmark docs never scored
+        assert 0 <= r.n_hits <= r.n_grams
+        assert r.contaminated == (1 if r.n_hits * 20 >= r.n_grams else 0)
+
+
+def test_mixture_sample_rates_calibrated(spark, sf_dir):
+    # src indices with rate 5/5 must keep every doc; kept counts per source
+    # can never exceed the source's doc count.
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r.source: r.n
+        for r in docs_mixture_weighted_sample(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for src, n in kept.items():
+        assert n <= totals[src]
+    for src, n in totals.items():
+        if (int(src[3:]) % 5) + 1 == 5:  # rate 1.0 sources
+            assert kept.get(src, 0) == n
+
+
+def test_mixture_sample_deterministic_under_repartition(spark, sf_dir):
+    a = sorted(
+        r.doc_id for r in docs_mixture_weighted_sample(spark, sf_dir).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in docs_mixture_weighted_sample(spark, sf_dir)
+        .repartition(7)
+        .collect()
+    )
+    assert a == b
+
+
+def test_calendar_densify_gapless_grid(spark, sf_dir):
+    df = orders_calendar_densify(spark, sf_dir)
+    n_days = df.select("day").distinct().count()
+    n_pri = df.select("o_orderpriority").distinct().count()
+    assert df.count() == n_days * n_pri  # full cross grid, no gaps
+    # zero-filled cells exist and carry exact zeros
+    zeros = df.filter(F.col("n_orders") == 0)
+    assert zeros.count() > 0
+    assert zeros.filter(F.col("revenue") != 0.0).count() == 0
+
+
+def test_attribution_conserves_purchases(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    agg = events_attribution_last_touch(spark, sf_dir).collect()
+    assert sum(r.n_purchases for r in agg) == n_purchases
+    assert all(r.touch_type != "purchase" for r in agg)
+
+
+def test_winsorized_mean_bounded_by_clamps(spark, sf_dir):
+    for r in lineitem_winsorized_stats(spark, sf_dir).collect():
+        assert r.p05 <= r.p95
+        assert r.p05 <= r.w_mean <= r.p95
+        assert r.n_below + r.n_above <= r.n
+
+
+def test_heavy_hitters_sorted_and_bounded(spark, sf_dir):
+    rows = docs_heavy_hitter_words(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rn)
+        assert len(rs) <= 20
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        counts = [r.n for r in rs]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_curation_ops_are_inside_driver_window(spark):
+    names = list(all_queries())
+    for q in (
+        "docs_benchmark_decontaminate",
+        "docs_bigram_lm_score",
+        "docs_mixture_weighted_sample",
+        "part_skyline_pareto",
+        "orders_calendar_densify",
+        "events_attribution_last_touch",
+        "lineitem_winsorized_stats",
+        "docs_heavy_hitter_words",
+    ):
+        assert names.index(q) < 50
