@@ -170,14 +170,14 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "emb_truncated_topk_recall",
     # round-5c curation/analytics ops (positions 41-48 — still inside the
     # driver's 50-query window, displacing r3 re-check padding):
-    "docs_benchmark_decontaminate",
+    "docs_cross_source_overlap",
     "docs_bigram_lm_score",
     "docs_mixture_weighted_sample",
     "part_skyline_pareto",
     "orders_calendar_densify",
     "events_attribution_last_touch",
     "lineitem_winsorized_stats",
-    "docs_heavy_hitter_words",
+    "events_cms_heavy_hitters",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

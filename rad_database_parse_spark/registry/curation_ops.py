@@ -1,14 +1,16 @@
-"""Round-5c curation / analytics operators (8): benchmark decontamination,
-corpus-bigram LM scoring, per-source mixture-weighted sampling, Pareto
-skyline, calendar densify (date-spine gap fill), last-touch attribution,
-winsorized robust statistics, and per-stratum heavy-hitter terms.
+"""Round-5c curation / analytics operators (8): cross-source duplication
+matrix, corpus-bigram LM scoring, per-source mixture-weighted sampling,
+Pareto skyline, calendar densify (date-spine gap fill), last-touch
+attribution, winsorized robust statistics, and count-min-sketch heavy
+hitters.
 
 These close the remaining training-data-curation gaps a 100 TB ingest
-pipeline hits that the earlier rounds did not cover: eval-set
-decontamination (every LLM pipeline screens pretraining text against its
-benchmark suite), cheap LM-proxy quality scoring (the perplexity-bucket
-filter without a model), source-mixture construction (per-domain sampling
-rates), and the robust-stats / attribution / densify analytics shapes.
+pipeline hits that the earlier rounds did not cover: source-provenance
+overlap (which crawls mirror each other — the input to priority dedup),
+cheap LM-proxy quality scoring (the perplexity-bucket filter without a
+model), source-mixture construction (per-domain sampling rates), a
+fixed-memory mergeable frequency sketch, and the robust-stats /
+attribution / densify / skyline analytics shapes.
 
 Float-parity discipline (registry/__init__.py): money stays DECIMAL until
 after aggregation; cross-engine scores are integer fixed-point
@@ -24,76 +26,71 @@ from pyspark.sql import functions as F
 from . import register
 from ._util import dbl, dec, t
 
-# ------------------------------------------- benchmark decontamination
-# Word-trigram shingles; a doc is contaminated when >= 5% of its trigrams
-# appear in the benchmark split (doc_id % 17 == 0 stands in for the
-# benchmark suite — at scale this side is the tiny one).
-_DECON_N = 3
-_DECON_BENCH_MOD = 17
-
-
-def _grams_expr(n: int) -> str:
-    # word n-gram md5 hashes; guarded so docs shorter than n words yield []
-    return f"""
-    CASE WHEN size(split(text, ' ')) >= {n} THEN
-      transform(sequence(0, size(split(text, ' ')) - {n}),
-                i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, {n}))))
-    ELSE array() END
-    """
+# ------------------------------------- cross-source duplication matrix
+# Word-5-gram shingles; output is the (source_a, source_b) overlap matrix —
+# "which crawls duplicate each other", the provenance report that drives
+# source-priority dedup ordering.
+_XSRC_N = 5
 
 
 @register(
-    "docs_benchmark_decontaminate",
+    "docs_cross_source_overlap",
     f"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    g AS (SELECT doc_id,
-                 unnest(CASE WHEN len(w) >= {_DECON_N} THEN
-                          list_transform(range(len(w) - {_DECON_N - 1}),
-                            i -> md5(array_to_string(w[i + 1 : i + {_DECON_N}], ' ')))
+    WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT DISTINCT source,
+                 unnest(CASE WHEN len(w) >= {_XSRC_N} THEN
+                          list_transform(range(len(w) - {_XSRC_N - 1}),
+                            i -> md5(array_to_string(w[i + 1 : i + {_XSRC_N}], ' ')))
                         ELSE [] END) AS gh
-          FROM d),
-    b AS (SELECT DISTINCT gh FROM g WHERE doc_id % {_DECON_BENCH_MOD} = 0),
-    e AS (SELECT g.doc_id, b.gh IS NOT NULL AS hit
-          FROM g LEFT JOIN b ON g.gh = b.gh
-          WHERE g.doc_id % {_DECON_BENCH_MOD} <> 0)
-    SELECT doc_id,
-           COUNT(*) AS n_grams,
-           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           CAST(CASE WHEN SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 20 >= COUNT(*)
-                THEN 1 ELSE 0 END AS INT) AS contaminated
-    FROM e GROUP BY doc_id
+          FROM d)
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS n_shared_grams
+    FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+    GROUP BY a.source, b.source
     """,
 )
-def docs_benchmark_decontaminate(spark: SparkSession, sf_dir: str):
-    """Eval-set decontamination: flag training documents whose word-trigram
-    shingles overlap a benchmark split (here doc_id % 17 == 0) beyond a 5%
-    share. Shingles travel as md5 hashes only — text never shuffles; the
-    benchmark gram set is DISTINCT-collapsed and broadcast, so the corpus
-    side is one scan + map-side hash probe + one doc_id groupBy. At 100 TB
-    the benchmark suite is a few MB of hashes against TBs of corpus —
-    exactly the broadcast-semi-probe shape (and a Bloom bitset drops in via
-    bloom_prune_semijoin when even the hash set is too big to broadcast).
-    The 5%-share flag is an integer cross-multiply (n_hits*20 >= n_grams)
-    so no float crosses the engine boundary. Extends the reference's
-    whole-table duplicate screen (main.py:210-253) to the n-gram
-    granularity every LLM data pipeline decontaminates at."""
+def docs_cross_source_overlap(spark: SparkSession, sf_dir: str):
+    """Cross-source duplication matrix: for every pair of ingest sources,
+    how many distinct word-5-gram shingles they share — the provenance
+    overlap report that tells a curation pipeline which crawls mirror each
+    other (and therefore which source to keep in priority dedup). Shingles
+    travel as md5 hashes; after the (gh, source) DISTINCT the per-gram
+    width is bounded by |sources| (20 here, a few thousand at worst in
+    production), so collapsing each gram to its sorted source-set and
+    exploding ordered pairs is a bounded-width operation NO MATTER how many
+    billions of documents share the gram — the corpus never self-joins at
+    row granularity (contrast the naive gram self-join, which is quadratic
+    in per-gram doc frequency). One (gh, source) distinct + one gh groupBy
+    + one pair groupBy; output is |sources|^2/2 rows at any scale."""
     d = t(spark, sf_dir, "documents")
     grams = d.select(
-        "doc_id", F.explode(F.expr(_grams_expr(_DECON_N))).alias("gh")
+        "source",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN size(split(text, ' ')) >= {_XSRC_N} THEN
+                      transform(sequence(0, size(split(text, ' ')) - {_XSRC_N}),
+                        i -> md5(concat_ws(' ',
+                               slice(split(text, ' '), i + 1, {_XSRC_N}))))
+                    ELSE array() END"""
+            )
+        ).alias("gh"),
+    ).distinct()
+    srcs = (
+        grams.groupBy("gh")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
     )
-    bench = (
-        grams.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
-        .select("gh")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    e = grams.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0).join(
-        F.broadcast(bench), "gh", "left"
-    )
-    return e.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        F.count("hit").alias("n_hits"),
-        (F.count("hit") * 20 >= F.count("*")).cast("int").alias("contaminated"),
+    pairs = srcs.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(srcs, (a, i) ->
+                     transform(slice(srcs, i + 2, size(srcs)),
+                               b -> struct(a AS src_a, b AS src_b))))"""
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_shared_grams")
     )
 
 
@@ -432,39 +429,91 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str):
     )
 
 
-# ------------------------------------------- per-stratum heavy hitters
-_HH_K = 20
+# -------------------------------------- count-min-sketch heavy hitters
+# d=4 hash rows x w=64 buckets; fixed-size mergeable frequency sketch with
+# the exact count alongside so the one-sided error bound is checked in-gate
+# (the approx_percentile-vs-exact harness pattern of agg_approx_quantile_check).
+_CMS_D = 4
+_CMS_W = 64
+_CMS_K = 25
+
+
+def _cms_bucket_sql(j: str, key: str) -> str:
+    # DuckDB bucket definition: first 24 md5 bits of "j:key", mod w
+    return (
+        f"CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || "
+        f"CAST({key} AS VARCHAR)), 1, 6)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_bucket_spark(j: str, key: str) -> str:
+    # same 24 md5 bits in Spark SQL dialect (conv hex->dec)
+    return (
+        f"CAST(conv(substr(md5(concat(CAST({j} AS STRING), ':', "
+        f"CAST({key} AS STRING))), 1, 6), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
 
 
 @register(
-    "docs_heavy_hitter_words",
+    "events_cms_heavy_hitters",
     f"""
-    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word
-                 FROM documents),
-    cnt AS (SELECT lang, word, COUNT(*) AS n FROM tok GROUP BY lang, word),
-    r AS (SELECT lang, word, n,
-                 ROW_NUMBER() OVER (PARTITION BY lang
-                                    ORDER BY n DESC, word) AS rn
-          FROM cnt)
-    SELECT lang, word, n, rn FROM r WHERE rn <= {_HH_K}
+    WITH rows_j AS (SELECT user_id, unnest(range({_CMS_D})) AS j FROM events),
+    cells AS (SELECT j, {_cms_bucket_sql('j', 'user_id')} AS bucket,
+                     COUNT(*) AS c
+              FROM rows_j GROUP BY j, bucket),
+    truth AS (SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id),
+    probes AS (SELECT t.user_id, t.true_n, cells.c
+               FROM truth t
+               CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) u
+               JOIN cells ON cells.j = u.j
+                 AND cells.bucket = {_cms_bucket_sql('u.j', 't.user_id')}),
+    est AS (SELECT user_id, MIN(true_n) AS true_n, MIN(c) AS est
+            FROM probes GROUP BY user_id),
+    ranked AS (SELECT user_id, est, true_n,
+                      CAST(est >= true_n AS INT) AS est_ge_true,
+                      ROW_NUMBER() OVER (ORDER BY est DESC, user_id) AS rn
+               FROM est)
+    SELECT user_id, est, true_n, est_ge_true, rn
+    FROM ranked WHERE rn <= {_CMS_K}
     """,
 )
-def docs_heavy_hitter_words(spark: SparkSession, sf_dir: str):
-    """Per-stratum heavy hitters: the top-k most frequent words per
-    language — the vocabulary-drift / boilerplate-token monitor a corpus
-    dashboard recomputes per snapshot. Exact form: one (lang, word) count
-    with map-side partial aggregation (the token stream collapses to at
-    most |langs| x |vocab| rows before the exchange), then a bounded
-    top-k window per stratum. Deterministic ties: count DESC then word
-    ASC. At 100 TB with an unbounded vocab the same query swaps the exact
-    count for a count-min/space-saving sketch per partition and merges —
-    the output contract (lang, word, n, rn) is unchanged."""
-    d = t(spark, sf_dir, "documents")
-    tok = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
-    cnt = tok.groupBy("lang", "word").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str):
+    """Heavy hitters via count-min sketch: estimate per-user event counts
+    from a fixed d x w = 4 x 64 counter grid (md5-derived bucket hashes, so
+    both engines build the identical sketch), rank users by estimate, and
+    carry the exact count beside it — the oracle pins est >= true_n (the
+    CMS one-sided error guarantee) into the hash gate, the same
+    sketch-vs-exact harness agg_approx_quantile_check uses. Why it matters
+    at 100 TB: the sketch is FIXED memory regardless of key cardinality and
+    merges by cell-wise addition — per-partition sketches combine map-side,
+    so the frequency pass over billions of keys never shuffles raw keys,
+    only 256 counters; the exact groupBy here exists purely to verify the
+    estimate. Deterministic ranking: estimate DESC, user_id ASC."""
+    e = t(spark, sf_dir, "events")
+    bucket = _cms_bucket_spark("j", "user_id")
+    cells = (
+        e.select("user_id", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j"))
+        .selectExpr("j", f"{bucket} AS bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    truth = e.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    probes = (
+        truth.select(
+            "user_id",
+            "true_n",
+            F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j"),
+        )
+        .selectExpr("user_id", "true_n", "j", f"{bucket} AS bucket")
+        .join(F.broadcast(cells), ["j", "bucket"])
+    )
+    est = probes.groupBy("user_id").agg(
+        F.min("true_n").alias("true_n"), F.min("c").alias("est")
+    )
+    w = Window.orderBy(F.desc("est"), F.asc("user_id"))
     return (
-        cnt.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _HH_K)
-        .select("lang", "word", "n", "rn")
+        est.withColumn("est_ge_true", (F.col("est") >= F.col("true_n")).cast("int"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CMS_K)
+        .select("user_id", "est", "true_n", "est_ge_true", "rn")
     )

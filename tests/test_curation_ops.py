@@ -8,10 +8,10 @@ import pyspark.sql.functions as F
 
 from rad_database_parse_spark.registry import all_queries
 from rad_database_parse_spark.registry.curation_ops import (
-    docs_benchmark_decontaminate,
-    docs_heavy_hitter_words,
+    docs_cross_source_overlap,
     docs_mixture_weighted_sample,
     events_attribution_last_touch,
+    events_cms_heavy_hitters,
     lineitem_winsorized_stats,
     orders_calendar_densify,
     part_skyline_pareto,
@@ -51,16 +51,26 @@ def test_skyline_is_mutually_nondominating(spark, sf_dir):
             )
 
 
-def test_decontaminate_benchmark_split_excluded_and_flag_consistent(
-    spark, sf_dir
-):
-    df = docs_benchmark_decontaminate(spark, sf_dir)
-    rows = df.collect()
-    assert rows
-    for r in rows:
-        assert r.doc_id % 17 != 0  # benchmark docs never scored
-        assert 0 <= r.n_hits <= r.n_grams
-        assert r.contaminated == (1 if r.n_hits * 20 >= r.n_grams else 0)
+def test_cross_source_overlap_matches_bruteforce(spark, sf_dir):
+    rows = docs_cross_source_overlap(spark, sf_dir).collect()
+    got = {(r.src_a, r.src_b): r.n_shared_grams for r in rows}
+    # brute force: distinct (source, 5-gram) pairs, count shared per pair
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    by_src: dict[str, set] = {}
+    for d in docs:
+        w = d.text.split(" ")
+        grams = {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+        by_src.setdefault(d.source, set()).update(grams)
+    expect = {}
+    srcs = sorted(by_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            n = len(by_src[a] & by_src[b])
+            if n:
+                expect[(a, b)] = n
+    assert got == expect
+    for (a, b) in got:
+        assert a < b  # ordered pairs only, no mirrored duplicates
 
 
 def test_mixture_sample_rates_calibrated(spark, sf_dir):
@@ -124,29 +134,37 @@ def test_winsorized_mean_bounded_by_clamps(spark, sf_dir):
         assert r.n_below + r.n_above <= r.n
 
 
-def test_heavy_hitters_sorted_and_bounded(spark, sf_dir):
-    rows = docs_heavy_hitter_words(spark, sf_dir).collect()
-    by_lang: dict[str, list] = {}
+def test_cms_overestimates_and_ranks_deterministically(spark, sf_dir):
+    rows = sorted(
+        events_cms_heavy_hitters(spark, sf_dir).collect(), key=lambda r: r.rn
+    )
+    assert rows and len(rows) <= 25
+    ests = [r.est for r in rows]
+    assert ests == sorted(ests, reverse=True)
+    truth = {
+        r.user_id: r.true_n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "true_n")
+        .collect()
+    }
     for r in rows:
-        by_lang.setdefault(r.lang, []).append(r)
-    for lang, rs in by_lang.items():
-        rs.sort(key=lambda r: r.rn)
-        assert len(rs) <= 20
-        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
-        counts = [r.n for r in rs]
-        assert counts == sorted(counts, reverse=True)
+        assert r.est_ge_true == 1
+        assert r.est >= r.true_n  # CMS never underestimates
+        assert r.true_n == truth[r.user_id]
 
 
 def test_curation_ops_are_inside_driver_window(spark):
     names = list(all_queries())
     for q in (
-        "docs_benchmark_decontaminate",
+        "docs_cross_source_overlap",
         "docs_bigram_lm_score",
         "docs_mixture_weighted_sample",
         "part_skyline_pareto",
         "orders_calendar_densify",
         "events_attribution_last_touch",
         "lineitem_winsorized_stats",
-        "docs_heavy_hitter_words",
+        "events_cms_heavy_hitters",
     ):
         assert names.index(q) < 50
