@@ -172,7 +172,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
     # driver's 50-query window, displacing r3 re-check padding):
     "docs_cross_source_overlap",
     "docs_bigram_lm_score",
-    "docs_mixture_weighted_sample",
+    "docs_inverted_index_segments",
     "part_skyline_pareto",
     "orders_calendar_densify",
     "events_attribution_last_touch",

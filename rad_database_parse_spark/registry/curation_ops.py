@@ -1,14 +1,13 @@
 """Round-5c curation / analytics operators (8): cross-source duplication
-matrix, corpus-bigram LM scoring, per-source mixture-weighted sampling,
-Pareto skyline, calendar densify (date-spine gap fill), last-touch
-attribution, winsorized robust statistics, and count-min-sketch heavy
-hitters.
+matrix, corpus-bigram LM scoring, segmented inverted-index build, Pareto
+skyline, calendar densify (date-spine gap fill), last-touch attribution,
+winsorized robust statistics, and count-min-sketch heavy hitters.
 
 These close the remaining training-data-curation gaps a 100 TB ingest
 pipeline hits that the earlier rounds did not cover: source-provenance
 overlap (which crawls mirror each other — the input to priority dedup),
 cheap LM-proxy quality scoring (the perplexity-bucket filter without a
-model), source-mixture construction (per-domain sampling rates), a
+model), the retrieval-side index build (segment-sharded posting lists), a
 fixed-memory mergeable frequency sketch, and the robust-stats /
 attribution / densify / skyline analytics shapes.
 
@@ -167,34 +166,71 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str):
     )
 
 
-# --------------------------------------- per-source mixture-weighted sample
+# ------------------------------------ segmented inverted-index build
+# Posting lists sharded by doc_id segment: per-(token, segment) cells are
+# bounded at _IDX_SEG ids regardless of token frequency, so the build never
+# materializes an unbounded collect_list.
+_IDX_SEG = 256
+
+
 @register(
-    "docs_mixture_weighted_sample",
-    """
-    SELECT doc_id, source, lang
-    FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) * 5
-          < ((CAST(substr(source, 4) AS INT) % 5) + 1) * 16777216
+    "docs_inverted_index_segments",
+    f"""
+    WITH tok AS (SELECT DISTINCT doc_id,
+                        unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    seg AS (SELECT token, doc_id // {_IDX_SEG} AS seg, doc_id FROM tok),
+    cells AS (SELECT token, seg,
+                     COUNT(*) AS seg_n,
+                     md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS seg_md5
+              FROM seg GROUP BY token, seg)
+    SELECT token, seg, seg_n,
+           CAST(SUM(seg_n) OVER (PARTITION BY token) AS BIGINT) AS df,
+           seg_md5
+    FROM cells
     """,
 )
-def docs_mixture_weighted_sample(spark: SparkSession, sf_dir: str):
-    """Source-mixture construction: keep each document with a per-source
-    rate (here (src_index % 5 + 1)/5 — in production the rates come from
-    the mixture recipe, e.g. upsample curated sources, downsample crawl).
-    The keep decision is a pure function of (doc_id, source): uniform drawn
-    from md5(doc_id), compared against the source's rate by integer
-    cross-multiply — no RNG, no floats, so the sample is identical on any
-    engine, any retry, any partitioning (the deterministic_sample /
-    weighted_sample_orders discipline, keyed by mixture weight instead of
-    row weight). Scan-local predicate: zero shuffles, pushes past the
-    parquet reader as a filter at any scale."""
+def docs_inverted_index_segments(spark: SparkSession, sf_dir: str):
+    """Distributed inverted-index build, the retrieval-side primitive a
+    corpus engine feeds to BM25/search: per (token, doc_id-segment) cell,
+    the sorted posting list (carried as an md5 of the comma-joined ids — a
+    full-content integrity gate without shipping arrays), the segment
+    posting count, and the token's global document frequency via a window
+    sum over its segments. Sharding postings by doc_id // 256 is the load-
+    bearing scale decision: a stop-word token at 100 TB has billions of
+    postings, so a naive groupBy(token) + collect_list OOMs one reducer —
+    segment cells are bounded at 256 ids each, the (token, seg) groupBy
+    skew-splits the hot token across reducers, and readers merge segments
+    in seg order (they are already doc_id-disjoint and internally sorted).
+    The df window per token runs over segment counts, not postings."""
     d = t(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
-    ).cast("long")
-    rate_num = (F.substring("source", 4, 10).cast("int") % 5) + 1
-    return d.filter(h * 5 < rate_num * 16777216).select(
-        "doc_id", "source", "lang"
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    cells = (
+        tok.withColumn("seg", F.floor(F.col("doc_id") / _IDX_SEG))
+        .groupBy("token", "seg")
+        .agg(
+            F.count("*").alias("seg_n"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(sort_array(collect_list(doc_id)),"
+                        " x -> cast(x AS STRING))"
+                    ),
+                    ",",
+                )
+            ).alias("seg_md5"),
+        )
+    )
+    w = Window.partitionBy("token")
+    return cells.select(
+        "token",
+        "seg",
+        "seg_n",
+        F.sum("seg_n").over(w).cast("bigint").alias("df"),
+        "seg_md5",
     )
 
 

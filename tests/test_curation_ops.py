@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from rad_database_parse_spark.registry import all_queries
 from rad_database_parse_spark.registry.curation_ops import (
     docs_cross_source_overlap,
-    docs_mixture_weighted_sample,
+    docs_inverted_index_segments,
     events_attribution_last_touch,
     events_cms_heavy_hitters,
     lineitem_winsorized_stats,
@@ -73,39 +73,30 @@ def test_cross_source_overlap_matches_bruteforce(spark, sf_dir):
         assert a < b  # ordered pairs only, no mirrored duplicates
 
 
-def test_mixture_sample_rates_calibrated(spark, sf_dir):
-    # src indices with rate 5/5 must keep every doc; kept counts per source
-    # can never exceed the source's doc count.
-    docs = load_table(spark, sf_dir, "documents")
-    totals = {
-        r.source: r.n
-        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
-    }
-    kept = {
-        r.source: r.n
-        for r in docs_mixture_weighted_sample(spark, sf_dir)
-        .groupBy("source")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    for src, n in kept.items():
-        assert n <= totals[src]
-    for src, n in totals.items():
-        if (int(src[3:]) % 5) + 1 == 5:  # rate 1.0 sources
-            assert kept.get(src, 0) == n
+def test_inverted_index_cells_bounded_and_df_consistent(spark, sf_dir):
+    import hashlib
 
-
-def test_mixture_sample_deterministic_under_repartition(spark, sf_dir):
-    a = sorted(
-        r.doc_id for r in docs_mixture_weighted_sample(spark, sf_dir).collect()
+    rows = docs_inverted_index_segments(spark, sf_dir).collect()
+    assert rows
+    df_by_token: dict[str, set] = {}
+    for r in rows:
+        assert 1 <= r.seg_n <= 256  # segment cells are bounded
+        df_by_token.setdefault(r.token, set()).add((r.seg, r.seg_n, r.df))
+    for token, cells in df_by_token.items():
+        dfs = {d for _, _, d in cells}
+        assert len(dfs) == 1  # df constant across a token's segments
+        assert dfs.pop() == sum(n for _, n, _ in cells)
+    # spot-check one posting hash against a recomputed list
+    docs = load_table(spark, sf_dir, "documents").collect()
+    token = rows[0].token
+    seg = rows[0].seg
+    ids = sorted(
+        d.doc_id
+        for d in docs
+        if token in set(d.text.split(" ")) and d.doc_id // 256 == seg
     )
-    b = sorted(
-        r.doc_id
-        for r in docs_mixture_weighted_sample(spark, sf_dir)
-        .repartition(7)
-        .collect()
-    )
-    assert a == b
+    expect = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+    assert rows[0].seg_md5 == expect and len(ids) == rows[0].seg_n
 
 
 def test_calendar_densify_gapless_grid(spark, sf_dir):
@@ -160,7 +151,7 @@ def test_curation_ops_are_inside_driver_window(spark):
     for q in (
         "docs_cross_source_overlap",
         "docs_bigram_lm_score",
-        "docs_mixture_weighted_sample",
+        "docs_inverted_index_segments",
         "part_skyline_pareto",
         "orders_calendar_densify",
         "events_attribution_last_touch",
