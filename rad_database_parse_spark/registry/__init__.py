@@ -178,6 +178,8 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "events_attribution_last_touch",
     "lineitem_winsorized_stats",
     "events_cms_heavy_hitters",
+    "events_ewma_smoothing",
+    "nation_supplier_hhi",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1,7 +1,8 @@
-"""Round-5c curation / analytics operators (8): cross-source duplication
+"""Round-5c curation / analytics operators (10): cross-source duplication
 matrix, corpus-bigram LM scoring, segmented inverted-index build, Pareto
 skyline, calendar densify (date-spine gap fill), last-touch attribution,
-winsorized robust statistics, and count-min-sketch heavy hitters.
+winsorized robust statistics, count-min-sketch heavy hitters, exact
+power-of-two EWMA smoothing, and the Herfindahl concentration index.
 
 These close the remaining training-data-curation gaps a 100 TB ingest
 pipeline hits that the earlier rounds did not cover: source-provenance
@@ -552,4 +553,148 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _CMS_K)
         .select("user_id", "est", "true_n", "est_ge_true", "rn")
+    )
+
+
+# ------------------------------------------ EWMA time-series smoothing
+# alpha = 1/2 over a 10-event horizon: weights are powers of two, so the
+# weighted sum is exact integer arithmetic until one terminal division.
+_EWMA_H = 10
+
+
+@register(
+    "events_ewma_smoothing",
+    f"""
+    WITH v AS (SELECT event_id, user_id, ts,
+                      CAST(round(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+    fr AS (SELECT event_id, user_id,
+                  list(cents) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN {_EWMA_H - 1} PRECEDING
+                                             AND CURRENT ROW) AS arr
+           FROM v)
+    SELECT event_id, user_id,
+           CAST(len(arr) AS INT) AS n_win,
+           CAST(list_sum(list_transform(arr, (x, i) -> x * (1 << (i - 1))))
+                AS DOUBLE)
+           / CAST(100 * ((1 << len(arr)) - 1) AS DOUBLE) AS ewma
+    FROM fr
+    """,
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str):
+    """Exponentially-weighted moving average (alpha=1/2) of each user's
+    value series over a 10-event horizon — the time-series smoothing
+    primitive (anomaly baselines, rate limiting, trend features) missing
+    from plain SQL windows because EWMA is recursive. The half-life trick
+    makes it exact: alpha=1/2 means weights are powers of two, so the
+    windowed weighted sum folds as INTEGER arithmetic (values as cents,
+    weight doubling per step) and only one terminal double division exists
+    — bit-identical on any engine, unlike a pow()-based EWMA (pow is not
+    correctly-rounded libm territory, excluded by the parity policy). One
+    user_id shuffle; the per-row fold touches at most 10 elements, so the
+    window state is O(horizon) regardless of series length."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_H - 1), 0)
+    )
+    fr = e.select(
+        "event_id",
+        "user_id",
+        F.collect_list(
+            F.round(F.col("value") * 100, 0).cast("bigint")
+        ).over(w).alias("arr"),
+    )
+    return fr.select(
+        "event_id",
+        "user_id",
+        F.size("arr").alias("n_win"),
+        (
+            dbl(
+                F.expr(
+                    "aggregate(arr,"
+                    " struct(cast(0 AS BIGINT) AS s, cast(1 AS BIGINT) AS p),"
+                    " (acc, x) -> struct(acc.s + x * acc.p, acc.p * 2),"
+                    " acc -> acc.s)"
+                )
+            )
+            / dbl(F.expr("cast(100 * (shiftleft(1L, size(arr)) - 1) AS BIGINT)"))
+        ).alias("ewma"),
+    )
+
+
+# --------------------------------------- Herfindahl concentration index
+@register(
+    "nation_supplier_hhi",
+    """
+    WITH rev AS (SELECT s.s_nationkey, l.l_suppkey,
+                        SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(12,2))
+                               - CAST(l_discount AS DECIMAL(12,2))))
+                          AS r
+                 FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                 GROUP BY s.s_nationkey, l.l_suppkey),
+    tot AS (SELECT s_nationkey, SUM(r) AS total, COUNT(*) AS n_suppliers
+            FROM rev GROUP BY s_nationkey),
+    shares AS (SELECT rev.s_nationkey,
+                      CAST(floor(1000000.0 * CAST(rev.r AS DOUBLE)
+                                 / CAST(tot.total AS DOUBLE)) AS BIGINT)
+                        AS share_fp
+               FROM rev JOIN tot USING (s_nationkey))
+    SELECT n.n_name,
+           t.n_suppliers,
+           CAST(SUM(s.share_fp * s.share_fp) AS BIGINT) AS hhi_fp
+    FROM shares s
+    JOIN tot t USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, t.n_suppliers
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str):
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation — the market-concentration analytic (is one supplier dominating
+    a nation's volume?). Revenue aggregates exactly in DECIMAL per
+    (nation, supplier); shares become integer fixed-point floor(1e6*r/total)
+    (the one double division per supplier happens on identical exact
+    operands), and HHI = sum(share^2) stays a BIGINT — no float summation
+    order anywhere, so the gate hash-compares exactly. Plan shape: one
+    lineitem groupBy keyed (nation, supplier) with the tiny supplier and
+    nation dims broadcast, then two aggregations over supplier-level rows
+    (|suppliers| per nation, not |lineitem|). Interpretation: 1e12 = single
+    supplier; ~1e12/n = perfectly even."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("total"), F.count("*").alias("n_suppliers")
+    )
+    shares = rev.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        F.floor(F.lit(1000000.0) * dbl(F.col("r")) / dbl(F.col("total")))
+        .cast("bigint")
+        .alias("share_fp"),
+    )
+    return (
+        shares.join(
+            F.broadcast(n), shares["s_nationkey"] == n["n_nationkey"]
+        )
+        .groupBy("n_name", "n_suppliers")
+        .agg(
+            F.sum(F.col("share_fp") * F.col("share_fp"))
+            .cast("bigint")
+            .alias("hhi_fp")
+        )
     )

@@ -157,5 +157,51 @@ def test_curation_ops_are_inside_driver_window(spark):
         "events_attribution_last_touch",
         "lineitem_winsorized_stats",
         "events_cms_heavy_hitters",
+        "events_ewma_smoothing",
+        "nation_supplier_hhi",
     ):
         assert names.index(q) < 50
+
+
+def test_ewma_equals_recursive_definition(spark, sf_dir):
+    # the power-of-two windowed fold must match the textbook truncated
+    # EWMA: weights 2^(p-1) over the last <=10 values, newest heaviest
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    from rad_database_parse_spark.registry.curation_ops import (
+        events_ewma_smoothing,
+    )
+
+    got = {r.event_id: r for r in events_ewma_smoothing(spark, sf_dir).collect()}
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for user, rs in list(by_user.items())[:20]:
+        for i, r in enumerate(rs):
+            frame = rs[max(0, i - 9) : i + 1]
+            cents = [round(x.value * 100) for x in frame]
+            num = sum(c * (1 << p) for p, c in enumerate(cents))
+            den = 100 * ((1 << len(cents)) - 1)
+            g = got[r.event_id]
+            assert g.n_win == len(cents)
+            assert abs(g.ewma - num / den) < 1e-9
+            checked += 1
+    assert checked > 50
+
+
+def test_hhi_bounds_and_concentration_semantics(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        nation_supplier_hhi,
+    )
+
+    rows = nation_supplier_hhi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # floor() rounding keeps the fixed-point HHI within [even, single]
+        assert r.n_suppliers >= 1
+        lower = (10**12) // r.n_suppliers - 2 * 10**6  # even split, fp slack
+        assert lower <= r.hhi_fp <= 10**12
