@@ -98,3 +98,50 @@ def real_decoder_stub(payload: bytes) -> dict:  # pragma: no cover
         "real media decoding requires codec libraries not present in this "
         "environment; inject a decoder via decode_media(decoder=...)"
     )
+
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 2
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-sampling stage (video → every stride-th frame): an Arrow-batched
+    1→N expansion where each binary payload explodes into per-frame rows.
+    Frames here are fixed byte windows with a checksum standing in for the
+    decoded frame tensor (the codec is pluggable exactly as in decode_media);
+    the Spark-side contract — mapInPandas expansion, typed per-frame schema,
+    batch iteration — is the real thing a video pipeline runs at 100 TB,
+    with frame decode parallelism following data partitioning."""
+    out_schema = f"{id_col} long, frame_idx long, frame_len int, checksum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            lens: list = []
+            cks: list = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(b)
+                n_frames = -(-len(data) // frame_bytes)
+                for fi in range(0, n_frames, stride):
+                    seg = data[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(i)
+                    idxs.append(fi)
+                    lens.append(len(seg))
+                    cks.append(sum(seg))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -182,6 +182,13 @@ _WINDOW_R5 = _WINDOW_R4 + [
     "nation_supplier_hhi",
 ]
 
+# Round-6 window seed: _WINDOW_R5 is full (50), so queries registered after
+# it queue here — positions 51+ this round, 1+ next round (the _WINDOW_R4
+# convention). CORRECTNESS_r05 failures get prepended when the file lands.
+_WINDOW_R6 = [
+    "multimodal_frame_sample",
+]
+
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
     "llm_ops",
@@ -215,7 +222,7 @@ def all_queries() -> dict[str, QueryDef]:
     seen: set[str] = set()
     window_order = [
         n
-        for n in _WINDOW_R5 + _WINDOW_R3 + _WINDOW_R4
+        for n in _WINDOW_R5 + _WINDOW_R6 + _WINDOW_R3 + _WINDOW_R4
         if not (n in seen or seen.add(n))
     ]
     pinned = {n: i for i, n in enumerate(window_order)}

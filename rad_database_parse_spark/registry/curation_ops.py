@@ -698,3 +698,48 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str):
             .alias("hhi_fp")
         )
     )
+
+
+# --------------------------------------- multimodal frame sampling
+# Round-5d (window R6): every 2nd 32-byte frame of each payload, as an
+# Arrow mapInPandas 1->N expansion with a full SQL value mirror (the
+# multimodal_decode_oracle pattern: payload bytes are the utf-8 text, so
+# DuckDB reproduces the checksums with substr/ord math).
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH fr AS (
+      SELECT doc_id, text, length(text) AS n,
+             unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT), 2))
+               AS frame_idx
+      FROM documents),
+    ch AS (
+      SELECT fr.doc_id, fr.frame_idx,
+             CAST(least(32, fr.n - fr.frame_idx * 32) AS INT) AS frame_len,
+             COALESCE(SUM(ord(substr(fr.text,
+                        CAST(fr.frame_idx * 32 + gs.i AS INT) + 1, 1))), 0)
+               AS checksum
+      FROM fr LEFT JOIN LATERAL
+           (SELECT unnest(range(least(32, fr.n - fr.frame_idx * 32))) AS i)
+             gs ON TRUE
+      GROUP BY fr.doc_id, fr.frame_idx, fr.n)
+    SELECT doc_id, frame_idx, frame_len, CAST(checksum AS BIGINT) AS checksum
+    FROM ch
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
+    """Video-style frame sampling over opaque binary payloads: an Arrow
+    mapInPandas stage explodes each payload into every 2nd 32-byte frame
+    (1→N expansion — the shape a video curation pipeline uses to pull
+    keyframes before feature extraction; llm/multimodal.py:frame_sample).
+    The frame "decode" is the deterministic byte-window checksum stand-in
+    (real codecs are pluggable, absent from this container), which lets
+    DuckDB mirror every output cell with substr/ord math — so unlike the
+    rows-only multimodal_decode_features, this multimodal expansion is under
+    the FULL value-hash gate. Scale: decode parallelism follows the scan
+    partitioning, expansion happens inside the Arrow batch (no shuffle),
+    and output rows are narrow scalars — frames_per_doc × corpus."""
+    from ..llm.multimodal import attach_binary_payload, frame_sample
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
+    return frame_sample(d, payload_col="payload", id_col="doc_id")

@@ -205,3 +205,29 @@ def test_hhi_bounds_and_concentration_semantics(spark, sf_dir):
         assert r.n_suppliers >= 1
         lower = (10**12) // r.n_suppliers - 2 * 10**6  # even split, fp slack
         assert lower <= r.hhi_fp <= 10**12
+
+
+def test_frame_sample_counts_and_checksums(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        multimodal_frame_sample,
+    )
+
+    rows = multimodal_frame_sample(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        d.doc_id: d.text
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs.items():
+        data = text.encode()
+        n_frames = -(-len(data) // 32)
+        expect_idx = list(range(0, n_frames, 2))
+        got = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == expect_idx
+        for r in got:
+            seg = data[r.frame_idx * 32 : (r.frame_idx + 1) * 32]
+            assert r.frame_len == len(seg)
+            assert r.checksum == sum(seg)

@@ -9,6 +9,7 @@ from rad_database_parse_spark.registry import (
     _WINDOW_R3,
     _WINDOW_R4,
     _WINDOW_R5,
+    _WINDOW_R6,
     all_queries,
 )
 
@@ -17,7 +18,7 @@ def _expected_order():
     seen = set()
     return [
         n
-        for n in _WINDOW_R5 + _WINDOW_R3 + _WINDOW_R4
+        for n in _WINDOW_R5 + _WINDOW_R6 + _WINDOW_R3 + _WINDOW_R4
         if not (n in seen or seen.add(n))
     ]
 
@@ -46,7 +47,16 @@ def test_window_is_immune_to_direct_module_imports():
 
 
 def test_every_window_name_unique_and_registered():
-    for window in (_WINDOW_R3, _WINDOW_R4, _WINDOW_R5):
+    for window in (_WINDOW_R3, _WINDOW_R4, _WINDOW_R5, _WINDOW_R6):
         assert len(set(window)) == len(window)
     registered = set(all_queries())
-    assert set(_WINDOW_R3 + _WINDOW_R4 + _WINDOW_R5) <= registered
+    assert set(_WINDOW_R3 + _WINDOW_R4 + _WINDOW_R5 + _WINDOW_R6) <= registered
+
+
+def test_r6_seed_queues_directly_after_r5():
+    # post-r5 registrations must sit at positions 51+ (never inside the
+    # r5 window, never unpinned) so they lead the round-6 rotation
+    names = list(all_queries())
+    assert len(_WINDOW_R5) == 50
+    for i, q in enumerate(_WINDOW_R6):
+        assert names[50 + i] == q
