@@ -187,6 +187,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
 # convention). CORRECTNESS_r05 failures get prepended when the file lands.
 _WINDOW_R6 = [
     "multimodal_frame_sample",
+    "dq_observe_metrics",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -743,3 +743,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
 
     d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
     return frame_sample(d, payload_col="payload", id_col="doc_id")
+
+
+# --------------------------------------- Observation-API DQ metrics
+@register(
+    "dq_observe_metrics",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT)
+             AS n_null_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_revenue,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonpositive_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str):
+    """Data-quality metrics via Spark's Observation API: the counters ride
+    the SAME pass as the production write (here a noop sink standing in for
+    the real one) — zero extra scans, zero extra shuffles, exactly how a
+    100 TB ingest job self-reports row counts, null rates, and value
+    integrity without a second job (contrast dq_expectations_report, which
+    is a standalone audit pass). The observed map materializes after the
+    action and returns as a one-row metrics DataFrame — metric-sized
+    driver involvement only. Aggregates follow the parity policy: counts
+    as BIGINT, revenue summed in DECIMAL then cast to double once."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority"))
+        .cast("bigint")
+        .alias("n_null_priority"),
+        dbl(F.sum(dec("o_totalprice"))).alias("total_revenue"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonpositive_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    # the action the metrics piggyback on (a real pipeline's sink write)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_priority"],
+                float(m["total_revenue"]),
+                m["n_nonpositive_price"],
+                float(m["min_price"]),
+                float(m["max_price"]),
+            )
+        ],
+        "n_rows bigint, n_null_priority bigint, total_revenue double,"
+        " n_nonpositive_price bigint, min_price double, max_price double",
+    )
