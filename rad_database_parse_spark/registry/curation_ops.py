@@ -525,7 +525,10 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str):
     merges by cell-wise addition — per-partition sketches combine map-side,
     so the frequency pass over billions of keys never shuffles raw keys,
     only 256 counters; the exact groupBy here exists purely to verify the
-    estimate. Deterministic ranking: estimate DESC, user_id ASC."""
+    estimate. Deterministic ranking: estimate DESC, user_id ASC — a
+    bounded top-25 global window over already-aggregated per-user rows
+    (at corpus scale this degenerates to two-level top-k: per-partition
+    top-25 then a tiny merge, as the reservoir sampler documents)."""
     e = t(spark, sf_dir, "events")
     bucket = _cms_bucket_spark("j", "user_id")
     cells = (
