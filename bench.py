@@ -118,6 +118,25 @@ EXTENDED_R5 = [
 ]
 
 
+# Round-5c curation/analytics additions (registry/curation_ops.py), their
+# own family so prior sums stay comparable. dq_observe_metrics is absent:
+# its noop-write action runs eagerly inside the builder, so the generic
+# sink-timing harness would double-write it.
+EXTENDED_R5C = [
+    "docs_cross_source_overlap",
+    "docs_bigram_lm_score",
+    "docs_inverted_index_segments",
+    "part_skyline_pareto",
+    "orders_calendar_densify",
+    "events_attribution_last_touch",
+    "lineitem_winsorized_stats",
+    "events_cms_heavy_hitters",
+    "events_ewma_smoothing",
+    "nation_supplier_hhi",
+    "multimodal_frame_sample",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -178,17 +197,19 @@ def main() -> int:
     extended = run(EXTENDED)
     extended_r3 = run(EXTENDED_R3)
     extended_r5 = run(EXTENDED_R5)
+    extended_r5c = run(EXTENDED_R5C)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, **extended, **extended_r3, **extended_r5},
+                "queries": {**timings, **extended, **extended_r3, **extended_r5, **extended_r5c},
                 "headline_n": len(HEADLINE),
                 "value_extended": round(sum(extended.values()), 3),
                 "value_extended_r3": round(sum(extended_r3.values()), 3),
                 "value_extended_r5": round(sum(extended_r5.values()), 3),
+                "value_extended_r5c": round(sum(extended_r5c.values()), 3),
                 "calib_sec": round(calib, 3),
                 "sf": sf,
             }
