@@ -30,3 +30,4 @@ def weighted_avg_price(ep: pd.Series, qty: pd.Series) -> float:
     ep_c = (ep * 100).round().astype("int64")
     q = qty.round().astype("int64")
     return float((ep_c * q).sum()) / (100.0 * float(q.sum()))
+

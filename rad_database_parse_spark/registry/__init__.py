@@ -188,6 +188,7 @@ _WINDOW_R5 = _WINDOW_R4 + [
 _WINDOW_R6 = [
     "multimodal_frame_sample",
     "dq_observe_metrics",
+    "arrow_native_net_revenue",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -808,3 +808,68 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str):
         "n_rows bigint, n_null_priority bigint, total_revenue double,"
         " n_nonpositive_price bigint, min_price double, max_price double",
     )
+
+
+# ------------------------------------------- Arrow-native UDF (mapInArrow)
+@register(
+    "arrow_native_net_revenue",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                AS BIGINT) AS net_fp_total,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def arrow_native_net_revenue(spark: SparkSession, sf_dir: str):
+    """The Arrow-native member of the UDF matrix: mapInArrow transforms raw
+    RecordBatches with pyarrow.compute kernels — no pandas materialization,
+    no per-row Python, just vectorized C++ over Arrow buffers (the cheapest
+    Python escape hatch when even Series conversion overhead matters at
+    100 TB). Per-row
+    math is integer fixed-point (cents x discount-percent), so the
+    follow-on Spark-side groupBy sums BIGINTs exactly and the DuckDB mirror
+    hash-matches. Plan shape: scan -> ArrowEvalPython(map) -> partial agg
+    -> one 3-row exchange."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    # a closure (pickled by value): a module-level function would make the
+    # Python worker re-import its defining module, and any top-level
+    # @pandas_udf there needs a driver-side context the worker lacks
+    def arrow_net_revenue_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ep = pc.cast(
+                pc.round(
+                    pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))
+                ),
+                pa.int64(),
+            )
+            dc = pc.cast(
+                pc.round(pc.multiply(batch.column("l_discount"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            net = pc.multiply(ep, pc.subtract(pa.scalar(100, pa.int64()), dc))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_returnflag"), net], ["l_returnflag", "net_fp"]
+            )
+
+    mapped = li.mapInArrow(
+        arrow_net_revenue_batches,
+        StructType(
+            [
+                StructField("l_returnflag", StringType()),
+                StructField("net_fp", LongType()),
+            ]
+        ),
+    )
+    return mapped.groupBy("l_returnflag").agg(
+        F.sum("net_fp").cast("bigint").alias("net_fp_total"),
+        F.count("*").alias("n_rows"),
+    )
