@@ -285,3 +285,65 @@ def test_vocab_topn_is_take_ordered(spark, sf_dir):
     # the top-N vocabulary must be TakeOrderedAndProject (per-partition
     # N-row heaps), never a global Sort of the full frequency table
     assert "TakeOrderedAndProject" in plan
+
+
+def _executed(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_curation_joins_all_broadcast(spark, sf_dir):
+    # every r5c join rides a broadcast of the small side (count tables,
+    # distinct-price table, sketch cells, dims) — an SMJ anywhere means a
+    # full-data shuffle crept in
+    from rad_database_parse_spark.registry.curation_ops import (
+        docs_bigram_lm_score,
+        events_cms_heavy_hitters,
+        nation_supplier_hhi,
+        orders_calendar_densify,
+        part_skyline_pareto,
+    )
+
+    for fn in (
+        docs_bigram_lm_score,
+        part_skyline_pareto,
+        orders_calendar_densify,
+        events_cms_heavy_hitters,
+        nation_supplier_hhi,
+    ):
+        plan = _executed(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_frame_sample_is_shuffle_free(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        multimodal_frame_sample,
+    )
+
+    plan = _executed(multimodal_frame_sample(spark, sf_dir))
+    # the 1->N frame expansion happens inside the Arrow batch: no exchange
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_arrow_native_keeps_pushdown_and_partial_agg(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        arrow_native_net_revenue,
+    )
+
+    df = arrow_native_net_revenue(spark, sf_dir)
+    plan = _executed(df)
+    # scan must read only the three columns the Arrow stage consumes
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+    # the groupBy must partial-aggregate before its exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ewma_single_user_exchange(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        events_ewma_smoothing,
+    )
+
+    plan = _executed(events_ewma_smoothing(spark, sf_dir))
+    # one shuffle total: the user_id window partitioning
+    assert plan.count("Exchange") == 1
