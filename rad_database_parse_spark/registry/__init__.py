@@ -189,6 +189,7 @@ _WINDOW_R6 = [
     "multimodal_frame_sample",
     "dq_observe_metrics",
     "arrow_native_net_revenue",
+    "docs_minhash_estimator_error",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1407,3 +1407,77 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str):
         _md5_bucket(F.col("cluster_id").cast("string"), 10) == 0, "eval"
     ).otherwise("train")
     return assign.select("doc_id", "cluster_id", split.alias("split"))
+
+
+# --------------------------------- MinHash estimator-error profile (r5c)
+@register(
+    "docs_minhash_estimator_error",
+    f"""
+    WITH {_MINHASH_PAIR_CTES},
+    sigmatch AS (
+      SELECT p.id_a, p.id_b, p.jaccard,
+             CAST(SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_match
+      FROM mh_pairs p
+      JOIN mh ma ON ma.doc_id = p.id_a
+      JOIN mh mb ON mb.doc_id = p.id_b AND mb.hash_idx = ma.hash_idx
+      GROUP BY p.id_a, p.id_b, p.jaccard)
+    SELECT n_match,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(floor(1000000 * jaccard) AS BIGINT)) AS BIGINT)
+             AS sum_j_fp,
+           CAST(MAX(CAST(floor(1000000 * abs(n_match / 16.0 - jaccard))
+                         AS BIGINT)) AS BIGINT) AS max_err_fp
+    FROM sigmatch GROUP BY n_match
+    """,
+)
+def docs_minhash_estimator_error(spark: SparkSession, sf_dir: str):
+    """MinHash estimator accuracy pinned in-gate: for every LSH-verified
+    pair, compare the signature-agreement estimate (matching components /
+    16 — the number the sketch would report WITHOUT reading any tokens)
+    against the exact Jaccard the verifier computed, profiled per agreement
+    level. Completes the sketch-vs-exact harness family (HLL 5% bound,
+    approx_percentile tolerance flags, CMS est>=true): this is the evidence
+    for the 100 TB design call of trusting bands to SELECT candidates while
+    exact verification DECIDES — the per-level max_err_fp quantifies how
+    coarse a 16-hash estimate really is. All error terms are fixed-point
+    (m/16 is a power-of-two-denominator rational, exact in double; one
+    floor per term), so both engines hash-match. Plan: the pair table joins
+    the per-doc signature rows twice — signature rows are k=16 per doc,
+    narrow, and the join keys are the pair ids the LSH stage already
+    shuffled on."""
+    from ..llm.dedup import minhash_lsh_candidates, minhash_signatures
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=16, band_size=4, threshold=0.5
+    )
+    sig = minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    ma = sig.select(
+        F.col("doc_id").alias("id_a"), "hash_idx", F.col("minhash").alias("mh_a")
+    )
+    mb = sig.select(
+        F.col("doc_id").alias("id_b"), "hash_idx", F.col("minhash").alias("mh_b")
+    )
+    matched = (
+        pairs.join(ma, "id_a")
+        .join(mb, ["id_b", "hash_idx"])
+        .groupBy("id_a", "id_b", "jaccard")
+        .agg(
+            F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+            .cast("bigint")
+            .alias("n_match")
+        )
+    )
+    return matched.groupBy("n_match").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.floor(F.lit(1000000) * F.col("jaccard")).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_j_fp"),
+        F.max(
+            F.floor(
+                F.lit(1000000)
+                * F.abs(F.col("n_match") / F.lit(16.0) - F.col("jaccard"))
+            ).cast("bigint")
+        ).alias("max_err_fp"),
+    )
