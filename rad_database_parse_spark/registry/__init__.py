@@ -190,6 +190,7 @@ _WINDOW_R6 = [
     "dq_observe_metrics",
     "arrow_native_net_revenue",
     "docs_minhash_estimator_error",
+    "emb_ivf_multiprobe_recall",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1481,3 +1481,102 @@ def docs_minhash_estimator_error(spark: SparkSession, sf_dir: str):
             ).cast("bigint")
         ).alias("max_err_fp"),
     )
+
+
+# --------------------------------- IVF multi-probe recall profile (r5c)
+_IVF_K = 5
+
+
+@register(
+    "emb_ivf_multiprobe_recall",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_v
+      FROM embeddings WHERE vec_id < 16),
+    corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    corp_assign AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cent_id FROM (
+        SELECT corp.vec_id, corp.v, cent.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY corp.vec_id
+                 ORDER BY {_IVF_COS.format(a="v", b="cent_v")} DESC, cent_id
+               ) AS rn
+        FROM corp CROSS JOIN cent) WHERE rn = 1),
+    q_assign AS (
+      SELECT vec_id AS query_id, v AS qv, cent_id, rn AS probe_rank FROM (
+        SELECT corp.vec_id, corp.v, cent.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY corp.vec_id
+                 ORDER BY {_IVF_COS.format(a="v", b="cent_v")} DESC, cent_id
+               ) AS rn
+        FROM corp CROSS JOIN cent WHERE corp.vec_id < 10) WHERE rn <= 2),
+    probed AS (
+      SELECT q.query_id, c.neighbor_id, q.probe_rank,
+             {_IVF_COS.format(a="qv", b="cv")} AS sim
+      FROM corp_assign c JOIN q_assign q USING (cent_id)
+      WHERE q.query_id != c.neighbor_id),
+    ivf1 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM probed WHERE probe_rank = 1) WHERE rank <= {_IVF_K}),
+    ivf2 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM probed) WHERE rank <= {_IVF_K}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_IVF_COS.format(a="q.v", b="c.v")} DESC, c.vec_id) AS rank
+        FROM corp q CROSS JOIN corp c
+        WHERE q.vec_id < 10 AND q.vec_id != c.vec_id) WHERE rank <= {_IVF_K})
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN i1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_p1,
+           CAST(SUM(CASE WHEN i2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_p2
+    FROM exact e
+    LEFT JOIN ivf1 i1 USING (query_id, neighbor_id)
+    LEFT JOIN ivf2 i2 USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def emb_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str):
+    """Recall@{_IVF_K} of IVF retrieval at nprobe=1 vs nprobe=2 against the
+    exact top-{_IVF_K} — the probe-count/recall curve that tunes every IVF
+    deployment (more probes = more lists scanned = higher recall, linearly
+    more cost). Monotonicity is structural: the nprobe=1 candidate set is a
+    subset of nprobe=2's, so n_hit_p2 >= n_hit_p1 row by row — the gate
+    hash-checks the whole profile. Completes the ANN evaluation family next
+    to emb_truncated_topk_recall (dimension axis) with the probe axis. At
+    100 TB the exact arm is the offline ground-truth job on a sampled query
+    set; the IVF arms reuse the inverted lists the serving index already
+    maintains (centroid table broadcast, per-query bounded windows)."""
+    from ..llm.similarity import brute_force_cosine_topk, ivf_cosine_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    cents = e.filter(F.col("vec_id") < 16)
+    exact = brute_force_cosine_topk(q, e, k=_IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf1 = ivf_cosine_topk(q, e, cents, k=_IVF_K, nprobe=1).select(
+        "query_id", "neighbor_id", F.lit(1).alias("h1")
+    )
+    ivf2 = ivf_cosine_topk(q, e, cents, k=_IVF_K, nprobe=2).select(
+        "query_id", "neighbor_id", F.lit(1).alias("h2")
+    )
+    return (
+        exact.join(ivf1, ["query_id", "neighbor_id"], "left")
+        .join(ivf2, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("h1").alias("n_hit_p1"),
+            F.count("h2").alias("n_hit_p2"),
+        )
+    )
