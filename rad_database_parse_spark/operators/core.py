@@ -214,3 +214,30 @@ def top1_per_group(
 ) -> DataFrame:
     """Argmin/argmax per key (A23) — drop the rank column on the way out."""
     return topk_per_group(df, partition_cols, order_cols, 1).drop("rn")
+
+
+def skyline_2d(df, x_col: str, y_col: str):
+    """2-D Pareto skyline (minimize both axes): rows not dominated by any
+    other row (other <= on both, < on at least one). The sort-based
+    identity replaces the O(N^2) dominance self-join with (a) min-y per
+    DISTINCT x, (b) one running-min window over the distinct-x table — the
+    only single-partition step, |distinct x| rows, not |rows| — and (c) a
+    broadcast join back as a scan-local predicate: dominated iff a strictly
+    smaller x saw y <= this row's y, or the same x saw a strictly smaller
+    y. Exact ties on both axes survive (non-strict domination needs one
+    strict edge). Column-agnostic core behind part_skyline_pareto."""
+    from pyspark.sql import Window
+
+    pp = df.groupBy(F.col(x_col).alias("_sky_x")).agg(
+        F.min(y_col).alias("_sky_miny")
+    )
+    w = Window.orderBy("_sky_x").rowsBetween(Window.unboundedPreceding, -1)
+    pw = pp.withColumn("_sky_prev", F.min("_sky_miny").over(w))
+    dominated = F.coalesce(
+        F.col("_sky_prev") <= F.col(y_col), F.lit(False)
+    ) | (F.col("_sky_miny") < F.col(y_col))
+    return (
+        df.join(F.broadcast(pw), df[x_col] == pw["_sky_x"])
+        .filter(~dominated)
+        .drop("_sky_x", "_sky_miny", "_sky_prev")
+    )

@@ -265,22 +265,11 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str):
     same price saw size < s. Ties on both axes survive (non-strict
     domination needs one strict edge), matching the standard skyline
     definition."""
+    from ..operators.core import skyline_2d
+
     p = t(spark, sf_dir, "part")
-    pp = p.groupBy(F.col("p_retailprice").alias("pr")).agg(
-        F.min("p_size").alias("msize")
-    )
-    w = (
-        Window.orderBy("pr")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pw = pp.withColumn("prev_min", F.min("msize").over(w))
-    dominated = F.coalesce(
-        F.col("prev_min") <= F.col("p_size"), F.lit(False)
-    ) | (F.col("msize") < F.col("p_size"))
-    return (
-        p.join(F.broadcast(pw), p["p_retailprice"] == pw["pr"])
-        .filter(~dominated)
-        .select("p_partkey", "p_retailprice", "p_size")
+    return skyline_2d(p, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
     )
 
 

@@ -264,3 +264,33 @@ def test_containment_join_matches_bruteforce(spark_session_holder, docs):
     assert set(got) == set(expected)
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-9
+
+
+@settings(deadline=None, max_examples=12)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_skyline_2d_matches_bruteforce(spark_session_holder, pts):
+    """The sort-based skyline must equal the O(N^2) dominance definition on
+    arbitrary point sets — including duplicate x values, exact ties on
+    both axes, and single-point inputs (the cases the fixed part table
+    can't exercise)."""
+    from rad_database_parse_spark.operators.core import skyline_2d
+
+    spark = spark_session_holder
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y int")
+    got = {r.id for r in skyline_2d(df, "x", "y").collect()}
+    expect = {
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (x2 <= x and y2 <= y and (x2 < x or y2 < y))
+            for (x2, y2) in pts
+        )
+    }
+    assert got == expect
