@@ -191,6 +191,7 @@ _WINDOW_R6 = [
     "arrow_native_net_revenue",
     "docs_minhash_estimator_error",
     "emb_ivf_multiprobe_recall",
+    "orders_seasonal_naive_backtest",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

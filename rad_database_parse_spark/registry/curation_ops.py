@@ -862,3 +862,66 @@ def arrow_native_net_revenue(spark: SparkSession, sf_dir: str):
         F.sum("net_fp").cast("bigint").alias("net_fp_total"),
         F.count("*").alias("n_rows"),
     )
+
+
+# ------------------------------------- seasonal-naive forecast backtest
+@register(
+    "orders_seasonal_naive_backtest",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1, 2),
+    scored AS (
+      SELECT a.y, a.m,
+             CAST(floor(1000000.0
+                        * abs(CAST(a.rev AS DOUBLE) - CAST(b.rev AS DOUBLE))
+                        / CAST(a.rev AS DOUBLE)) AS BIGINT) AS ape_fp
+      FROM monthly a JOIN monthly b ON b.y = a.y - 1 AND b.m = a.m)
+    SELECT y,
+           COUNT(*) AS n_months,
+           CAST(SUM(ape_fp) AS BIGINT) AS sum_ape_fp,
+           CAST(floor(CAST(SUM(ape_fp) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS mape_fp
+    FROM scored GROUP BY y
+    """,
+)
+def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str):
+    """Forecast backtesting: score the seasonal-naive model (predict month
+    M of year Y with month M of year Y-1) against actual monthly revenue,
+    reporting per-year MAPE — the baseline every demand-forecast model must
+    beat, and the standard backtest harness shape (join actuals to lagged
+    predictions, score, aggregate by fold). The fact table collapses to a
+    |years|x12 monthly grid in one DECIMAL aggregation; the self-join and
+    scoring run over that tiny grid, so the backtest adds nothing to the
+    full-data cost at any scale. APE terms are fixed-point (exact decimal
+    operands, one floored double division each), summed as BIGINT —
+    engine-exact. Complements orders_seasonality (decomposition) with the
+    evaluation side."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    a = monthly.select("y", "m", F.col("rev").alias("actual"))
+    b = monthly.select(
+        (F.col("y") + 1).alias("y"), "m", F.col("rev").alias("pred")
+    )
+    scored = a.join(b, ["y", "m"]).select(
+        "y",
+        F.floor(
+            F.lit(1000000.0)
+            * F.abs(dbl(F.col("actual")) - dbl(F.col("pred")))
+            / dbl(F.col("actual"))
+        )
+        .cast("bigint")
+        .alias("ape_fp"),
+    )
+    return scored.groupBy("y").agg(
+        F.count("*").alias("n_months"),
+        F.sum("ape_fp").cast("bigint").alias("sum_ape_fp"),
+        F.floor(dbl(F.sum("ape_fp")) / F.count("*"))
+        .cast("bigint")
+        .alias("mape_fp"),
+    )
