@@ -192,6 +192,7 @@ _WINDOW_R6 = [
     "docs_minhash_estimator_error",
     "emb_ivf_multiprobe_recall",
     "orders_seasonal_naive_backtest",
+    "docs_lexical_semantic_agreement",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

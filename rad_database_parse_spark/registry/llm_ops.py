@@ -1580,3 +1580,62 @@ def emb_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str):
             F.count("h2").alias("n_hit_p2"),
         )
     )
+
+
+# ----------------------- lexical vs semantic dedup agreement (r5c)
+@register(
+    "docs_lexical_semantic_agreement",
+    f"""
+    WITH {_MINHASH_PAIR_CTES},
+    emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_BUCKET_SQL} AS bucket
+      FROM embeddings),
+    sem_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2),
+    lex_pairs AS (SELECT id_a, id_b FROM mh_pairs),
+    tagged AS (
+      SELECT CASE WHEN l.id_a IS NOT NULL AND s.id_a IS NOT NULL
+                    THEN 'both'
+                  WHEN l.id_a IS NOT NULL THEN 'lexical_only'
+                  ELSE 'semantic_only' END AS category
+      FROM lex_pairs l FULL OUTER JOIN sem_pairs s
+        ON l.id_a = s.id_a AND l.id_b = s.id_b)
+    SELECT category, COUNT(*) AS n_pairs FROM tagged GROUP BY category
+    """,
+)
+def docs_lexical_semantic_agreement(spark: SparkSession, sf_dir: str):
+    """Cross-signal dedup agreement: how many near-dup pairs the LEXICAL
+    tier (MinHash-LSH verified Jaccard >= 0.5 on documents) and the
+    SEMANTIC tier (sign-LSH bucketed embedding cosine >= 0.2) each find,
+    and how many they agree on — the report a curation team reads before
+    deciding which dedup signals to stack (lexical catches boilerplate
+    clones the embedding smooths over; embeddings catch paraphrases with
+    no shingle overlap). Both tiers are the repo's existing scale-shaped
+    pipelines (class-collapsed LSH banding; bucketed cosine self-join);
+    the agreement itself is one FULL OUTER join on narrow (id, id) pair
+    rows + a 3-row categorical count, so the comparison adds nothing to
+    either tier's cost at any corpus size."""
+    from ..llm.dedup import minhash_lsh_candidates
+    from ..llm.similarity import cosine_neardup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    embs = t(spark, sf_dir, "embeddings")
+    lex = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=16, band_size=4, threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("lex"))
+    sem = cosine_neardup_pairs(embs, threshold=0.2).select(
+        "id_a", "id_b", F.lit(1).alias("sem")
+    )
+    tagged = lex.join(sem, ["id_a", "id_b"], "full_outer").select(
+        F.when(
+            F.col("lex").isNotNull() & F.col("sem").isNotNull(), "both"
+        )
+        .when(F.col("lex").isNotNull(), "lexical_only")
+        .otherwise("semantic_only")
+        .alias("category")
+    )
+    return tagged.groupBy("category").agg(F.count("*").alias("n_pairs"))
