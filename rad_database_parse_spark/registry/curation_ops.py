@@ -63,14 +63,15 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str):
     in per-gram doc frequency). One (gh, source) distinct + one gh groupBy
     + one pair groupBy; output is |sources|^2/2 rows at any scale."""
     d = t(spark, sf_dir, "documents")
-    grams = d.select(
+    # split hoisted to a column (once per row, not once per lambda element)
+    dw = d.select("source", F.split("text", " ").alias("w"))
+    grams = dw.select(
         "source",
         F.explode(
             F.expr(
-                f"""CASE WHEN size(split(text, ' ')) >= {_XSRC_N} THEN
-                      transform(sequence(0, size(split(text, ' ')) - {_XSRC_N}),
-                        i -> md5(concat_ws(' ',
-                               slice(split(text, ' '), i + 1, {_XSRC_N}))))
+                f"""CASE WHEN size(w) >= {_XSRC_N} THEN
+                      transform(sequence(0, size(w) - {_XSRC_N}),
+                        i -> md5(concat_ws(' ', slice(w, i + 1, {_XSRC_N}))))
                     ELSE array() END"""
             )
         ).alias("gh"),
@@ -132,21 +133,24 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str):
     registry/__init__.py's float-parity note). A doc whose avg_fp lands in
     the bottom bucket is the one a curation funnel drops first."""
     d = t(spark, sf_dir, "documents")
-    words = "split(text, ' ')"
-    bg = d.select(
+    # hoist the split into a projected column: inlining split(text) in the
+    # transform lambda re-evaluates it per element (O(words^2) per doc,
+    # measured 2x the query wall at sf0.1); as a column it runs once per row
+    dw = d.select("doc_id", F.split("text", " ").alias("w"))
+    bg = dw.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"""CASE WHEN size({words}) >= 2 THEN
-                      transform(sequence(0, size({words}) - 2),
-                        i -> struct(element_at({words}, i + 1) AS w1,
-                                    element_at({words}, i + 2) AS w2))
+                """CASE WHEN size(w) >= 2 THEN
+                      transform(sequence(0, size(w) - 2),
+                        i -> struct(element_at(w, i + 1) AS w1,
+                                    element_at(w, i + 2) AS w2))
                     ELSE array() END"""
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
     c1 = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
+        dw.select(F.explode("w").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c1"))
     )
