@@ -62,14 +62,16 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str):
     handling (main.py:210-253) works at whole-table granularity; this is
     the corpus-scale generalization."""
     d = t(spark, sf_dir, "documents")
-    chunks = d.select(
+    # split hoisted to a column — inlined in the lambda it re-splits the
+    # text once per chunk (the curation_ops lesson, commit 78fe1e4)
+    chunks = d.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id",
         F.explode(
             F.expr(
                 f"""transform(
-                      sequence(0, int(ceil(size(split(text, ' ')) / {CHUNK_TOKENS}.0)) - 1),
+                      sequence(0, int(ceil(size(w) / {CHUNK_TOKENS}.0)) - 1),
                       j -> md5(array_join(
-                             slice(split(text, ' '), j * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}),
+                             slice(w, j * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}),
                              ' ')))"""
             )
         ).alias("chunk_hash"),
