@@ -193,6 +193,7 @@ _WINDOW_R6 = [
     "emb_ivf_multiprobe_recall",
     "orders_seasonal_naive_backtest",
     "docs_lexical_semantic_agreement",
+    "emb_binary_hamming_topk",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

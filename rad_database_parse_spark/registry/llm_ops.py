@@ -1639,3 +1639,84 @@ def docs_lexical_semantic_agreement(spark: SparkSession, sf_dir: str):
         .alias("category")
     )
     return tagged.groupBy("category").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------- binary (1-bit) quantized Hamming top-k (r5c)
+def _packbits_sql(lo: int, engine: str) -> str:
+    """Pack 32 sign bits (dims lo..lo+31, 1-based positions) into a BIGINT.
+    Same expression modulo element access: DuckDB's [] is 1-based, Spark's
+    [] is 0-based so it uses element_at (1-based)."""
+    ref = "embedding[{idx}]" if engine == "duckdb" else "element_at(embedding, {idx})"
+    acc = " + ".join(
+        f"(CASE WHEN {ref.format(idx=lo + i)} >= 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    return acc
+
+
+@register(
+    "emb_binary_hamming_topk",
+    f"""
+    WITH sig AS (
+      SELECT vec_id,
+             {_packbits_sql(1, 'duckdb')} AS h_lo,
+             {_packbits_sql(33, 'duckdb')} AS h_hi
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, h_lo AS q_lo, h_hi AS q_hi
+          FROM sig WHERE vec_id < 10),
+    d AS (
+      SELECT q.query_id, s.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.q_lo, s.h_lo))
+                  + bit_count(xor(q.q_hi, s.h_hi)) AS INT) AS hamming
+      FROM q CROSS JOIN sig s WHERE s.vec_id != q.query_id),
+    r AS (SELECT query_id, neighbor_id, hamming,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY hamming, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= 5
+    """,
+)
+def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str):
+    """1-bit (binary sign) quantization with Hamming ranking — the fourth
+    point on the repo's vector-compression spectrum (int8 scalar quantize,
+    product quantization, dimension truncation, and now 64x compression to
+    two packed 32-bit sign words). Retrieval is XOR + popcount per pair —
+    integer-only, so both engines rank bit-identically with no float
+    anywhere. At 100 TB this is the in-memory first-pass filter: 16 bytes
+    per vector instead of 256, the corpus signature table rebuilds in one
+    scan-local projection (no shuffle), queries broadcast against it, and
+    the Hamming top-k feeds the exact re-ranker exactly as the IVF/LSH
+    candidates do. Sign packing is a 32-term integer sum shared verbatim
+    between the Spark and DuckDB texts."""
+    e = t(spark, sf_dir, "embeddings")
+    sig = e.selectExpr(
+        "vec_id",
+        f"({_packbits_sql(1, 'spark')}) AS h_lo",
+        f"({_packbits_sql(33, 'spark')}) AS h_hi",
+    )
+    q = sig.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("h_lo").alias("q_lo"),
+        F.col("h_hi").alias("q_hi"),
+    )
+    d = (
+        sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.expr("q_lo ^ h_lo"))
+                + F.bit_count(F.expr("q_hi ^ h_hi"))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
