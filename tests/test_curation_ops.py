@@ -231,3 +231,58 @@ def test_frame_sample_counts_and_checksums(spark, sf_dir):
             seg = data[r.frame_idx * 32 : (r.frame_idx + 1) * 32]
             assert r.frame_len == len(seg)
             assert r.checksum == sum(seg)
+
+
+def test_ivf_multiprobe_recall_monotone(spark, sf_dir):
+    # nprobe=1 candidates are a subset of nprobe=2's, so hits can only grow
+    from rad_database_parse_spark.registry.llm_ops import (
+        emb_ivf_multiprobe_recall,
+    )
+
+    rows = emb_ivf_multiprobe_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hit_p1 <= r.n_hit_p2 <= 5
+
+
+def test_binary_hamming_matches_bruteforce(spark, sf_dir):
+    from rad_database_parse_spark.registry.llm_ops import (
+        emb_binary_hamming_topk,
+    )
+
+    embs = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def sig(v):
+        return [1 if x >= 0 else 0 for x in v]
+
+    got = emb_binary_hamming_topk(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        a, b = sig(embs[r.query_id]), sig(embs[r.neighbor_id])
+        assert r.hamming == sum(x != y for x, y in zip(a, b))
+    # per-query ranks are 1..5 with nondecreasing hamming
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        hs = [r.hamming for r in rs]
+        assert hs == sorted(hs)
+
+
+def test_minhash_estimator_error_bounded(spark, sf_dir):
+    from rad_database_parse_spark.registry.llm_ops import (
+        docs_minhash_estimator_error,
+    )
+
+    rows = docs_minhash_estimator_error(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_match <= 16
+        assert r.max_err_fp <= 1_000_000  # |est - exact| <= 1 by definition
+        # verified pairs have jaccard >= 0.5 -> per-pair fp >= 500000
+        assert r.sum_j_fp >= 500_000 * r.n_pairs
