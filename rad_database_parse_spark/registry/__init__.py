@@ -194,6 +194,8 @@ _WINDOW_R6 = [
     "orders_seasonal_naive_backtest",
     "docs_lexical_semantic_agreement",
     "emb_binary_hamming_topk",
+    "orders_benford_digit_test",
+    "events_multitouch_decay_attribution",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

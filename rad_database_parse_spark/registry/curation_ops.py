@@ -929,3 +929,161 @@ def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("mape_fp"),
     )
+
+
+# ------------------------------------------ Benford first-digit DQ test
+# Expected shares floor(1e6*log10(1+1/d)) precomputed as literals — the
+# parity policy forbids runtime log (libm differs between engines), and
+# Benford's expectations are universal constants anyway.
+_BENFORD_FP = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+_BENFORD_VALUES = ", ".join(
+    f"({d + 1}, {fp})" for d, fp in enumerate(_BENFORD_FP)
+)
+
+
+@register(
+    "orders_benford_digit_test",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    counts AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM counts),
+    expected(d, exp_fp) AS (VALUES {_BENFORD_VALUES})
+    SELECT e.d,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           CAST(floor(1000000.0 * COALESCE(c.n, 0) / t.total_n) AS BIGINT)
+             AS obs_fp,
+           CAST(e.exp_fp AS BIGINT) AS exp_fp,
+           CAST(abs(CAST(floor(1000000.0 * COALESCE(c.n, 0) / t.total_n)
+                         AS BIGINT) - e.exp_fp) AS BIGINT) AS dev_fp
+    FROM expected e LEFT JOIN counts c ON c.d = e.d CROSS JOIN total t
+    """,
+)
+def orders_benford_digit_test(spark: SparkSession, sf_dir: str):
+    """Benford's-law first-digit screen — the forensic data-quality test
+    for fabricated or truncated numeric columns (real multi-scale amounts
+    follow P(d) = log10(1+1/d); synthetic-uniform data flunks it, which is
+    itself the finding here). The expected shares are embedded as
+    fixed-point LITERALS (Benford's constants are universal, and the
+    parity policy bars runtime log over the engine boundary); observed
+    shares are one digit-extraction groupBy over the scan — 9 rows out at
+    any scale, with per-digit absolute deviation for the alerting
+    threshold. Complements dq_expectations_report (structural checks) and
+    chisq_contingency_cells (association) with the distributional-forensic
+    axis."""
+    o = t(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").cast("bigint").alias("total_n"))
+    expected = spark.createDataFrame(
+        [(d + 1, fp) for d, fp in enumerate(_BENFORD_FP)], "d int, exp_fp bigint"
+    )
+    obs_fp = F.floor(
+        F.lit(1000000.0) * F.coalesce(F.col("n"), F.lit(0)) / F.col("total_n")
+    ).cast("bigint")
+    return (
+        expected.join(counts, "d", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            obs_fp.alias("obs_fp"),
+            F.col("exp_fp").cast("bigint").alias("exp_fp"),
+            F.abs(obs_fp - F.col("exp_fp")).cast("bigint").alias("dev_fp"),
+        )
+    )
+
+
+# ------------------------------- time-decay multi-touch attribution
+# Last up-to-8 touches share each purchase's value with power-of-two decay
+# (most recent touch weight 128 .. oldest 1), normalized per purchase so
+# credits are exact fixed-point fractions of the purchase value.
+@register(
+    "events_multitouch_decay_attribution",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tcnt
+      FROM events),
+    touches AS (
+      SELECT user_id, event_type AS touch_type, tcnt AS i
+      FROM ordered WHERE event_type <> 'purchase'),
+    purchases AS (
+      SELECT user_id, cents, tcnt AS c FROM ordered
+      WHERE event_type = 'purchase' AND tcnt >= 1),
+    credits AS (
+      SELECT t.touch_type,
+             CAST(floor(1000000.0 * p.cents
+                        * (1 << CAST(7 - (p.c - t.i) AS INT))
+                        / (256 - (1 << CAST(8 - least(p.c, 8) AS INT))))
+                  AS BIGINT) AS credit_fp
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id AND t.i <= p.c AND t.i >= p.c - 7)
+    SELECT touch_type,
+           COUNT(*) AS n_credits,
+           CAST(SUM(credit_fp) AS BIGINT) AS credit_fp_total
+    FROM credits GROUP BY touch_type
+    """,
+)
+def events_multitouch_decay_attribution(spark: SparkSession, sf_dir: str):
+    """Time-decay MULTI-touch attribution: each purchase's value is shared
+    across the user's last up-to-8 preceding touches with exponential
+    position decay — weight 2^(7-r) for recency rank r, normalized per
+    purchase — the fractional-credit model marketing stacks run next to
+    last-touch (events_attribution_last_touch credits only r=0). The
+    power-of-two decay is the EWMA trick again: weights and the
+    normalizer (256 - 2^(8-m) for m available touches) are exact
+    integers, so each credit is one floored fixed-point division and the
+    per-type totals sum as BIGINTs — engine-exact. Plan: one user_id
+    window pass indexes touches; the purchase-to-touch join is an
+    integer band (8 rows max per purchase) on the SAME user_id exchange
+    — no new full-data shuffle."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("tcnt"),
+    )
+    touches = ordered.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("touch_type"), F.col("tcnt").alias("i")
+    )
+    purchases = ordered.filter(
+        (F.col("event_type") == "purchase") & (F.col("tcnt") >= 1)
+    ).select("user_id", "cents", F.col("tcnt").alias("c"))
+    credit_fp = F.floor(
+        F.lit(1000000.0)
+        * F.col("cents")
+        * F.expr("shiftleft(1L, CAST(7 - (c - i) AS INT))")
+        / F.expr("256 - shiftleft(1L, CAST(8 - least(c, 8) AS INT))")
+    ).cast("bigint")
+    credits = purchases.join(
+        touches,
+        (purchases["user_id"] == touches["user_id"])
+        & (touches["i"] <= purchases["c"])
+        & (touches["i"] >= purchases["c"] - 7),
+    ).select("touch_type", credit_fp.alias("credit_fp"))
+    return credits.groupBy("touch_type").agg(
+        F.count("*").alias("n_credits"),
+        F.sum("credit_fp").cast("bigint").alias("credit_fp_total"),
+    )
