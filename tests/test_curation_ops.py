@@ -286,3 +286,49 @@ def test_minhash_estimator_error_bounded(spark, sf_dir):
         assert r.max_err_fp <= 1_000_000  # |est - exact| <= 1 by definition
         # verified pairs have jaccard >= 0.5 -> per-pair fp >= 500000
         assert r.sum_j_fp >= 500_000 * r.n_pairs
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        orders_benford_digit_test,
+    )
+
+    rows = orders_benford_digit_test(spark, sf_dir).collect()
+    assert len(rows) == 9 and {r.d for r in rows} == set(range(1, 10))
+    n_total = sum(r.n for r in rows)
+    assert n_total > 0
+    # observed fixed-point shares must sum to ~1e6 (floor slack <= 9)
+    obs_sum = sum(r.obs_fp for r in rows)
+    assert 1_000_000 - 9 <= obs_sum <= 1_000_000
+    exp_sum = sum(r.exp_fp for r in rows)
+    assert exp_sum == 999_995  # Benford constants, fixed
+
+
+def test_multitouch_credits_bounded_by_purchase_value(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        events_multitouch_decay_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    # total value of purchases that HAVE at least one preceding touch
+    total_cents = 0
+    n_expected_credits = 0
+    for rs in by_user.values():
+        touches = 0
+        for r in rs:
+            if r.event_type != "purchase":
+                touches += 1
+            else:
+                if touches >= 1:
+                    total_cents += round(r.value * 100)
+                    n_expected_credits += min(touches, 8)
+    rows = events_multitouch_decay_attribution(spark, sf_dir).collect()
+    got_fp = sum(r.credit_fp_total for r in rows)
+    assert sum(r.n_credits for r in rows) == n_expected_credits
+    # credits are fixed-point fractions of cents summing (with floor
+    # slack <= 1 per credit) to the attributed purchase value
+    target = 1_000_000 * total_cents
+    assert target - n_expected_credits <= got_fp <= target
