@@ -121,7 +121,12 @@ EXTENDED_R5 = [
 # Round-5c curation/analytics additions (registry/curation_ops.py), their
 # own family so prior sums stay comparable. dq_observe_metrics is absent:
 # its noop-write action runs eagerly inside the builder, so the generic
-# sink-timing harness would double-write it.
+# sink-timing harness would double-write it. Also deliberately absent:
+# docs_minhash_estimator_error and docs_lexical_semantic_agreement
+# (compositions re-running the already-benched MinHash pipeline — benching
+# them double-counts its dominant cost, the docs_curation_funnel
+# rationale), and the sub-second eval ops (ivf recall, hamming, benford,
+# backtest, multitouch) whose gate timings at sf0.01 characterize them.
 EXTENDED_R5C = [
     "docs_cross_source_overlap",
     "docs_bigram_lm_score",
