@@ -196,6 +196,8 @@ _WINDOW_R6 = [
     "emb_binary_hamming_topk",
     "orders_benford_digit_test",
     "events_multitouch_decay_attribution",
+    "basket_part_association",
+    "lineitem_gini_inequality",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1087,3 +1087,163 @@ def events_multitouch_decay_attribution(spark: SparkSession, sf_dir: str):
         F.count("*").alias("n_credits"),
         F.sum("credit_fp").cast("bigint").alias("credit_fp_total"),
     )
+
+
+# ------------------------------- market-basket association rules (L2)
+_BASKET_MINSUP = 3  # pair must co-occur in >= 3 orders
+
+
+@register(
+    "basket_part_association",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nt AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    item_n AS (
+      SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY l_partkey
+      HAVING COUNT(*) >= {_BASKET_MINSUP}),
+    fi AS (SELECT i.l_orderkey, i.l_partkey
+           FROM items i JOIN item_n USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM fi a JOIN fi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {_BASKET_MINSUP})
+    SELECT p.part_a, p.part_b, p.n_ab,
+           CAST(floor(1000000.0 * p.n_ab / t.n_orders) AS BIGINT)
+             AS support_fp,
+           CAST(floor(1000000.0 * p.n_ab / na.n) AS BIGINT) AS conf_ab_fp,
+           CAST(floor(1000000.0 * p.n_ab * t.n_orders
+                      / (na.n * nb.n)) AS BIGINT) AS lift_fp
+    FROM pairs p
+    JOIN item_n na ON na.l_partkey = p.part_a
+    JOIN item_n nb ON nb.l_partkey = p.part_b
+    CROSS JOIN nt t
+    """,
+)
+def basket_part_association(spark: SparkSession, sf_dir: str):
+    """Market-basket association rules at the pair level (apriori L2):
+    parts co-purchased in >= {_BASKET_MINSUP} orders, with support,
+    confidence(a→b), and lift — the frequent-itemset family the engine
+    was missing. The apriori prune is the scale lever: items below
+    min-support are filtered BEFORE the pair self-join (L1 prune), and
+    the join is keyed on l_orderkey so pair generation is bounded by
+    basket size squared per order (<=12 items here, 2-3 dozen in real
+    carts) — never corpus-quadratic. All three metrics are floored
+    fixed-point ratios of exact counts (the n_ab·N/(n_a·n_b) lift
+    numerator stays < 2^53, so the double is exact); the broadcast sides
+    are the item-frequency table and the 1-row order count."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nt = items.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    item_n = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _BASKET_MINSUP)
+    )
+    fi = items.join(F.broadcast(item_n.select("l_partkey")), "l_partkey")
+    a = fi.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = fi.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MINSUP)
+    )
+    na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    nb = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.floor(F.lit(1000000.0) * F.col("n_ab") / F.col("n_orders"))
+            .cast("bigint")
+            .alias("support_fp"),
+            F.floor(F.lit(1000000.0) * F.col("n_ab") / F.col("n_a"))
+            .cast("bigint")
+            .alias("conf_ab_fp"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_ab")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("bigint")
+            .alias("lift_fp"),
+        )
+    )
+
+
+# --------------------------------------------- Gini inequality index
+@register(
+    "lineitem_gini_inequality",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS i
+      FROM lineitem),
+    sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s0,
+             CAST(SUM(i * cents) AS BIGINT) AS s1
+      FROM ranked GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(floor(1000000.0 * (2 * CAST(s1 AS DOUBLE)
+                                   - (n + 1) * CAST(s0 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)))
+                AS BIGINT) AS gini_fp
+    FROM sums
+    """,
+)
+def lineitem_gini_inequality(spark: SparkSession, sf_dir: str):
+    """Gini coefficient of revenue inequality per return flag — the
+    rank-based concentration measure next to HHI (share-based) and the
+    ABC/Pareto classification: G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) over ascending-ranked amounts. Both moments accumulate as
+    exact BIGINTs from cent-granular values (rank*cents stays far below
+    2^63; tied amounts make the sum permutation-invariant, so the
+    deterministic tie-break is cosmetic), and one floored fixed-point
+    expression crosses the engine boundary. The per-group global rank is
+    the sf-test formulation — at 100 TB the same two moments come from the
+    distributed two-pass rank (per-partition histograms, then offset
+    prefix sums), identical outputs."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("i"),
+    )
+    sums = ranked.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("bigint").alias("s0"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("s1"),
+    )
+    gini = F.floor(
+        F.lit(1000000.0)
+        * (
+            2 * dbl(F.col("s1"))
+            - (F.col("n") + 1) * dbl(F.col("s0"))
+        )
+        / (dbl(F.col("n")) * dbl(F.col("s0")))
+    ).cast("bigint")
+    return sums.select("l_returnflag", "n", gini.alias("gini_fp"))

@@ -332,3 +332,45 @@ def test_multitouch_credits_bounded_by_purchase_value(spark, sf_dir):
     # slack <= 1 per credit) to the attributed purchase value
     target = 1_000_000 * total_cents
     assert target - n_expected_credits <= got_fp <= target
+
+
+def test_basket_association_metrics_consistent(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        basket_part_association,
+    )
+
+    rows = basket_part_association(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_ab >= 3
+        # support <= confidence (n_orders >= n_a) and both in (0, 1e6]
+        assert 0 < r.support_fp <= r.conf_ab_fp <= 1_000_000
+
+
+def test_gini_matches_local_computation(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        lineitem_gini_inequality,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            round(r.l_extendedprice * 100)
+        )
+    import math
+
+    expect = {}
+    for flag, xs in by_flag.items():
+        xs.sort()
+        n, s0 = len(xs), sum(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        expect[flag] = math.floor(1e6 * (2 * s1 - (n + 1) * s0) / (n * s0))
+    got = {r.l_returnflag: r.gini_fp for r in
+           lineitem_gini_inequality(spark, sf_dir).collect()}
+    assert got == expect
+    for g in got.values():
+        assert 0 <= g < 1_000_000  # Gini of positive amounts is in [0, 1)
