@@ -198,6 +198,8 @@ _WINDOW_R6 = [
     "events_multitouch_decay_attribution",
     "basket_part_association",
     "lineitem_gini_inequality",
+    "customer_survival_curve",
+    "events_type_diversity_simpson",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

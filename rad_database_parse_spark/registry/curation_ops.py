@@ -1247,3 +1247,118 @@ def lineitem_gini_inequality(spark: SparkSession, sf_dir: str):
         / (dbl(F.col("n")) * dbl(F.col("s0")))
     ).cast("bigint")
     return sums.select("l_returnflag", "n", gini.alias("gini_fp"))
+
+
+# --------------------------------------- customer survival curve
+_SURV_MAX_MONTHS = 24
+
+
+@register(
+    "customer_survival_curve",
+    f"""
+    WITH life AS (
+      SELECT o_custkey,
+             CAST(date_diff('month', MIN(o_orderdate), MAX(o_orderdate))
+                  AS INT) AS months
+      FROM orders GROUP BY o_custkey),
+    base AS (SELECT COUNT(*) AS n_customers FROM life),
+    k AS (SELECT unnest(range({_SURV_MAX_MONTHS + 1})) AS k)
+    SELECT k.k,
+           CAST(SUM(CASE WHEN life.months >= k.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alive,
+           CAST(floor(1000000.0
+                      * SUM(CASE WHEN life.months >= k.k THEN 1 ELSE 0 END)
+                      / b.n_customers) AS BIGINT) AS share_fp
+    FROM k CROSS JOIN life CROSS JOIN base b
+    GROUP BY k.k, b.n_customers
+    """,
+)
+def customer_survival_curve(spark: SparkSession, sf_dir: str):
+    """Discrete survival (retention-lifetime) curve: the share of
+    customers whose observed activity span reaches k months, for k in
+    0..{_SURV_MAX_MONTHS} — the survival-analysis primitive behind churn
+    and LTV models (here uncensored: lifetime = last minus first order
+    month). The fact table collapses to one row per customer FIRST; the
+    curve is a {_SURV_MAX_MONTHS + 1}-point band join against that tiny
+    table (broadcast spine, exact integer month arithmetic in both
+    engines), so the sweep adds nothing to the full-data pass. Shares are
+    floored fixed-point of exact counts. At scale the same two-step holds:
+    per-customer min/max is one groupBy; the spine never grows."""
+    o = t(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        (
+            (F.year(F.max("o_orderdate")) - F.year(F.min("o_orderdate"))) * 12
+            + (F.month(F.max("o_orderdate")) - F.month(F.min("o_orderdate")))
+        )
+        .cast("int")
+        .alias("months")
+    )
+    base = life.agg(F.count("*").alias("n_customers"))
+    k = spark.range(_SURV_MAX_MONTHS + 1).select(F.col("id").cast("int").alias("k"))
+    return (
+        F.broadcast(k)
+        .crossJoin(life)
+        .crossJoin(F.broadcast(base))
+        .groupBy("k", "n_customers")
+        .agg(
+            F.sum(F.when(F.col("months") >= F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alive")
+        )
+        .select(
+            "k",
+            "n_alive",
+            F.floor(F.lit(1000000.0) * F.col("n_alive") / F.col("n_customers"))
+            .cast("bigint")
+            .alias("share_fp"),
+        )
+    )
+
+
+# ------------------------------------ Simpson diversity of event mix
+@register(
+    "events_type_diversity_simpson",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS homog
+      FROM c GROUP BY user_id)
+    SELECT user_id, total,
+           CAST(CASE WHEN total > 1 THEN
+                  floor(1000000.0 * (1.0 - CAST(homog AS DOUBLE)
+                                          / (total * (total - 1.0))))
+                ELSE 0 END AS BIGINT) AS diversity_fp
+    FROM u
+    """,
+)
+def events_type_diversity_simpson(spark: SparkSession, sf_dir: str):
+    """Gini-Simpson diversity of each user's event-type mix: 1 - sum
+    n_t(n_t-1) / (n(n-1)) — the behavioral-breadth feature (0 = every
+    event the same type, →1 = evenly spread) that segmentation models use
+    where Shannon entropy would need log (barred by the cross-engine
+    parity policy; Simpson's index is a ratio of EXACT integer pair
+    counts, so it hash-matches engine-to-engine with one floored terminal
+    expression). Two narrow groupBys on the same user_id exchange; no
+    joins, no floats until the final division."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    u = c.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("homog"),
+    )
+    div = F.when(
+        F.col("total") > 1,
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.lit(1.0)
+                - dbl(F.col("homog"))
+                / (F.col("total") * (F.col("total") - F.lit(1.0)))
+            )
+        ),
+    ).otherwise(0)
+    return u.select("user_id", "total", div.cast("bigint").alias("diversity_fp"))
