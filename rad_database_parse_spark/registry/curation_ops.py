@@ -1,8 +1,13 @@
-"""Round-5c curation / analytics operators (10): cross-source duplication
+"""Round-5c curation / analytics operators (20): cross-source duplication
 matrix, corpus-bigram LM scoring, segmented inverted-index build, Pareto
-skyline, calendar densify (date-spine gap fill), last-touch attribution,
-winsorized robust statistics, count-min-sketch heavy hitters, exact
-power-of-two EWMA smoothing, and the Herfindahl concentration index.
+skyline, calendar densify (date-spine gap fill), last-touch and
+time-decay multi-touch attribution, winsorized robust statistics,
+count-min-sketch heavy hitters, exact power-of-two EWMA smoothing,
+Herfindahl and Gini concentration/inequality indices, multimodal frame
+sampling, Observation-API DQ metrics, the Arrow-native (mapInArrow) UDF,
+seasonal-naive forecast backtesting, the Benford first-digit screen,
+market-basket association rules, the customer survival curve, and
+Gini-Simpson event-type diversity.
 
 These close the remaining training-data-curation gaps a 100 TB ingest
 pipeline hits that the earlier rounds did not cover: source-provenance
