@@ -200,6 +200,8 @@ _WINDOW_R6 = [
     "lineitem_gini_inequality",
     "customer_survival_curve",
     "events_type_diversity_simpson",
+    "order_to_ship_latency_profile",
+    "orders_priority_drift_chi2",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

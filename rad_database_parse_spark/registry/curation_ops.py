@@ -1367,3 +1367,140 @@ def events_type_diversity_simpson(spark: SparkSession, sf_dir: str):
         ),
     ).otherwise(0)
     return u.select("user_id", "total", div.cast("bigint").alias("diversity_fp"))
+
+
+# ------------------------------------ order-to-ship latency profile
+@register(
+    "order_to_ship_latency_profile",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT)
+               AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           MIN(days) AS min_days,
+           quantile_cont(CAST(days AS DOUBLE), 0.5) AS p50_days,
+           quantile_cont(CAST(days AS DOUBLE), 0.95) AS p95_days,
+           MAX(days) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def order_to_ship_latency_profile(spark: SparkSession, sf_dir: str):
+    """Operational-SLA latency profile: order-to-ship days per priority
+    class with exact p50/p95 — the fulfilment-latency report an ops
+    dashboard alerts on (is URGENT actually shipping faster?). One
+    broadcast join of the order dim onto lineitem, integer day deltas,
+    and the established percentile/quantile_cont interpolation parity
+    (agg_approx_quantile_check) for the quantiles; at 100 TB the exact
+    percentile swaps for the mergeable approx_percentile sketch with the
+    same output contract."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    lat = li.join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate", "o_orderpriority")),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("days").alias("min_days"),
+        F.percentile(dbl(F.col("days")), 0.5).alias("p50_days"),
+        F.percentile(dbl(F.col("days")), 0.95).alias("p95_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
+# -------------------------------------- categorical drift monitor
+# Reference window: orders before 1998; current window: 1998 onward.
+@register(
+    "orders_priority_drift_chi2",
+    """
+    WITH ref AS (
+      SELECT o_orderpriority, COUNT(*) AS n_ref
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY o_orderpriority),
+    cur AS (
+      SELECT o_orderpriority, COUNT(*) AS n_cur
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      GROUP BY o_orderpriority),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             (SELECT CAST(SUM(n_cur) AS BIGINT) FROM cur) AS t_cur
+      FROM ref)
+    SELECT r.o_orderpriority,
+           CAST(r.n_ref AS BIGINT) AS n_ref,
+           CAST(COALESCE(c.n_cur, 0) AS BIGINT) AS n_cur,
+           CAST(floor(1000000.0 * r.n_ref / t.t_ref) AS BIGINT)
+             AS ref_share_fp,
+           CAST(floor(1000000.0 * COALESCE(c.n_cur, 0) / t.t_cur) AS BIGINT)
+             AS cur_share_fp,
+           CAST(floor(1000000.0
+                      * (COALESCE(c.n_cur, 0)
+                         - r.n_ref * CAST(t.t_cur AS DOUBLE) / t.t_ref)
+                      * (COALESCE(c.n_cur, 0)
+                         - r.n_ref * CAST(t.t_cur AS DOUBLE) / t.t_ref)
+                      / (r.n_ref * CAST(t.t_cur AS DOUBLE) / t.t_ref))
+                AS BIGINT) AS chi2_term_fp
+    FROM ref r LEFT JOIN cur c USING (o_orderpriority) CROSS JOIN tot t
+    """,
+)
+def orders_priority_drift_chi2(spark: SparkSession, sf_dir: str):
+    """Categorical drift monitor — the train/serve-skew detector an ML
+    pipeline runs on every feature: the order-priority mix before 1998
+    (reference window) versus 1998 onward (current window), with per-class
+    shares and the chi-square drift term ((obs - exp)^2 / exp, expected
+    scaled from the reference mix). PSI is the textbook alternative but
+    needs log (barred by the cross-engine parity policy); the chi-square
+    statistic ranks drift identically and is built from exact counts with
+    one deterministic double expression per class, written in the same
+    association order in both engines. Two scan-local filtered
+    aggregations plus a broadcast of the per-class and total counts; at
+    100 TB the windows come from partition pruning on the date column."""
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    ref = (
+        o.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_ref"))
+    )
+    cur = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    tot = ref.agg(F.sum("n_ref").cast("bigint").alias("t_ref")).crossJoin(
+        cur.agg(F.sum("n_cur").cast("bigint").alias("t_cur"))
+    )
+    j = (
+        ref.join(cur, "o_orderpriority", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_cur0", F.coalesce(F.col("n_cur"), F.lit(0)))
+        .withColumn(
+            "exp_cur", F.col("n_ref") * dbl(F.col("t_cur")) / F.col("t_ref")
+        )
+    )
+    return j.select(
+        "o_orderpriority",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur0").cast("bigint").alias("n_cur"),
+        F.floor(F.lit(1000000.0) * F.col("n_ref") / F.col("t_ref"))
+        .cast("bigint")
+        .alias("ref_share_fp"),
+        F.floor(F.lit(1000000.0) * F.col("n_cur0") / F.col("t_cur"))
+        .cast("bigint")
+        .alias("cur_share_fp"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n_cur0") - F.col("exp_cur"))
+            * (F.col("n_cur0") - F.col("exp_cur"))
+            / F.col("exp_cur")
+        )
+        .cast("bigint")
+        .alias("chi2_term_fp"),
+    )
