@@ -374,3 +374,45 @@ def test_gini_matches_local_computation(spark, sf_dir):
     assert got == expect
     for g in got.values():
         assert 0 <= g < 1_000_000  # Gini of positive amounts is in [0, 1)
+
+
+def test_survival_curve_monotone_from_full_population(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        customer_survival_curve,
+    )
+
+    rows = sorted(customer_survival_curve(spark, sf_dir).collect(),
+                  key=lambda r: r.k)
+    assert [r.k for r in rows] == list(range(25))
+    n_customers = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert rows[0].n_alive == n_customers  # everyone survives to k=0
+    alive = [r.n_alive for r in rows]
+    assert alive == sorted(alive, reverse=True)  # survival never increases
+
+
+def test_drift_shares_and_chi2_nonnegative(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        orders_priority_drift_chi2,
+    )
+
+    rows = orders_priority_drift_chi2(spark, sf_dir).collect()
+    assert rows
+    ref_sum = sum(r.ref_share_fp for r in rows)
+    cur_sum = sum(r.cur_share_fp for r in rows)
+    assert 1_000_000 - len(rows) <= ref_sum <= 1_000_000
+    assert 1_000_000 - len(rows) <= cur_sum <= 1_000_000
+    for r in rows:
+        assert r.chi2_term_fp >= 0
+
+
+def test_simpson_diversity_bounds(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        events_type_diversity_simpson,
+    )
+
+    rows = events_type_diversity_simpson(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.diversity_fp < 1_000_000  # < 1 always (finite sample)

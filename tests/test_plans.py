@@ -347,3 +347,27 @@ def test_ewma_single_user_exchange(spark, sf_dir):
     plan = _executed(events_ewma_smoothing(spark, sf_dir))
     # one shuffle total: the user_id window partitioning
     assert plan.count("Exchange") == 1
+
+
+def test_basket_association_prunes_before_pair_join(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        basket_part_association,
+    )
+
+    plan = _executed(basket_part_association(spark, sf_dir))
+    # the L1 min-support prune and metric lookups ride broadcasts; the
+    # orderkey pair join must never fall back to a nested loop
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_drift_monitor_prunes_scan_columns(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        orders_priority_drift_chi2,
+    )
+
+    df = orders_priority_drift_chi2(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both window aggregations read only (o_orderdate, o_orderpriority)
+    tail = plan.split("ReadSchema")[-1]
+    assert "o_totalprice" not in tail and "o_custkey" not in tail
