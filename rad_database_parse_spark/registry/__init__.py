@@ -202,6 +202,7 @@ _WINDOW_R6 = [
     "events_type_diversity_simpson",
     "order_to_ship_latency_profile",
     "orders_priority_drift_chi2",
+    "events_late_arrival_accounting",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1504,3 +1504,75 @@ def orders_priority_drift_chi2(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("chi2_term_fp"),
     )
+
+
+# ------------------------------------- late-arrival (watermark) accounting
+# Arrival order proxy: shard-major replay (event_id % 4 shards, replayed
+# shard by shard) — the same shape as the repo's own file-replay fixture,
+# where a lagging ingest shard delivers its events after the others.
+# Lateness of an event = how far its event-time lags the latest event-time
+# already seen in the same user's stream at its arrival.
+@register(
+    "events_late_arrival_accounting",
+    """
+    WITH arr AS (
+      SELECT user_id, event_id, ts,
+             MAX(ts) OVER (PARTITION BY user_id
+                           ORDER BY event_id % 4, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hwm
+      FROM events),
+    lat AS (
+      SELECT CAST(CASE WHEN hwm IS NULL OR ts >= hwm THEN 0
+                       ELSE date_diff('second', ts, hwm) END AS BIGINT)
+               AS late_s
+      FROM arr)
+    SELECT CASE WHEN late_s = 0 THEN 'on_time'
+                WHEN late_s <= 300 THEN 'late_5m'
+                WHEN late_s <= 1800 THEN 'late_30m'
+                ELSE 'dropped_at_30m' END AS bucket,
+           COUNT(*) AS n,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s
+    FROM lat GROUP BY 1
+    """,
+)
+def events_late_arrival_accounting(spark: SparkSession, sf_dir: str):
+    """Watermark-policy sizing: per-user event-time lateness at arrival
+    (arrival order = shard-major replay of event_id % 4 ingest shards —
+    the repo's own file-replay fixture shape, a lagging shard delivering
+    late; the high-water mark is the user's running max event-time), bucketed into
+    on-time / <=5m / <=30m / would-be-DROPPED by a 30-minute watermark —
+    the accounting that decides `withWatermark` for every streaming query
+    in this repo (streaming/events.py) before it ships: too tight loses
+    the dropped_at_30m rows silently, too loose holds state. Batch
+    formulation of a streaming-side metric: one user_id-partitioned
+    running-max window (the sessionization exchange — per-key watermarks,
+    no global single-partition pass), integer second deltas, 4 rows out.
+    In production the same profile is read off the streaming
+    progress-report's watermark/lateness metrics; this query is the
+    offline calibration pass over historical data."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id") % 4, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select(
+        "ts", F.max("ts").over(w).alias("hwm")
+    )
+    late_s = F.when(
+        F.col("hwm").isNull() | (F.col("ts") >= F.col("hwm")), F.lit(0)
+    ).otherwise(
+        F.col("hwm").cast("long") - F.col("ts").cast("long")
+    ).cast("bigint")
+    lat = arr.select(late_s.alias("late_s"))
+    bucket = (
+        F.when(F.col("late_s") == 0, "on_time")
+        .when(F.col("late_s") <= 300, "late_5m")
+        .when(F.col("late_s") <= 1800, "late_30m")
+        .otherwise("dropped_at_30m")
+    )
+    return lat.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )
