@@ -416,3 +416,70 @@ def test_simpson_diversity_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 <= r.diversity_fp < 1_000_000  # < 1 always (finite sample)
+
+
+def test_winsorized_stats_match_bruteforce(spark, sf_dir):
+    import math
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+
+    def q_cont(xs, p):  # quantile_cont / F.percentile interpolation
+        xs = sorted(xs)
+        h = (len(xs) - 1) * p
+        lo = math.floor(h)
+        return xs[lo] + (h - lo) * (xs[min(lo + 1, len(xs) - 1)] - xs[lo])
+
+    got = {
+        r.l_returnflag: r
+        for r in lineitem_winsorized_stats(spark, sf_dir).collect()
+    }
+    for flag, xs in by_flag.items():
+        p05, p95 = q_cont(xs, 0.05), q_cont(xs, 0.95)
+        n_below = sum(1 for x in xs if x < p05)
+        n_above = sum(1 for x in xs if x > p95)
+        w_mean = (
+            sum(x for x in xs if p05 <= x <= p95)
+            + n_below * p05
+            + n_above * p95
+        ) / len(xs)
+        g = got[flag]
+        assert g.n_below == n_below and g.n_above == n_above
+        assert abs(g.p05 - p05) < 1e-9 and abs(g.p95 - p95) < 1e-9
+        assert abs(g.w_mean - w_mean) < 1e-6
+
+
+def test_ewma_stable_under_repartition(spark, sf_dir):
+    from rad_database_parse_spark.registry.curation_ops import (
+        events_ewma_smoothing,
+    )
+
+    base = {
+        r.event_id: (r.n_win, r.ewma)
+        for r in events_ewma_smoothing(spark, sf_dir).collect()
+    }
+    shuffled = {
+        r.event_id: (r.n_win, r.ewma)
+        for r in events_ewma_smoothing(spark, sf_dir)
+        .repartition(13)
+        .collect()
+    }
+    assert base == shuffled
+
+
+def test_inverted_index_stable_under_repartition(spark, sf_dir):
+    base = {
+        (r.token, r.seg): (r.seg_n, r.df, r.seg_md5)
+        for r in docs_inverted_index_segments(spark, sf_dir).collect()
+    }
+    shuffled = {
+        (r.token, r.seg): (r.seg_n, r.df, r.seg_md5)
+        for r in docs_inverted_index_segments(spark, sf_dir)
+        .repartition(7)
+        .collect()
+    }
+    assert base == shuffled
