@@ -203,6 +203,13 @@ _WINDOW_R6 = [
     "order_to_ship_latency_profile",
     "orders_priority_drift_chi2",
     "events_late_arrival_accounting",
+    # round-5d maintenance/analytics ops (registered after the r5 gate
+    # archive; queue for the next driver window as always):
+    "files_compaction_plan",
+    "events_cusum_changepoint",
+    "events_second_order_transitions",
+    "lineitem_mad_outliers",
+    "orders_ivm_partial_agg_merge",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -231,6 +238,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import pipeline_ops  # noqa: F401
     from . import round5_ops  # noqa: F401
     from . import curation_ops  # noqa: F401
+    from . import round5d_ops  # noqa: F401
 
     # round-5 window first (first occurrence wins — R5 re-checks shadow
     # their old R3 positions), then the prior windows keep their relative

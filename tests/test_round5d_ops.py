@@ -1,0 +1,148 @@
+"""Semantic checks for the round-5d maintenance/analytics operators —
+properties the DuckDB oracle's hash-equality can't express (brute-force
+equivalence, conservation, merge ≡ recompute)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from rad_database_parse_spark.catalog.io import load_table
+from rad_database_parse_spark.registry import all_queries
+from rad_database_parse_spark.registry.round5d_ops import (
+    events_cusum_changepoint,
+    events_second_order_transitions,
+    files_compaction_plan,
+    lineitem_mad_outliers,
+    orders_ivm_partial_agg_merge,
+)
+
+
+def test_compaction_plan_conserves_bytes_and_bins_contiguous(spark, sf_dir):
+    plan = files_compaction_plan(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.select(
+        F.sum(F.lit(24) + F.length("event_type") + F.length("props")).alias("b")
+    ).collect()[0]["b"]
+    assert sum(r.bin_bytes for r in plan) == total
+    # bin ids per type are 0..max with no holes (cumsum bucketing is
+    # monotone in day order, so a missing id would mean lost files)
+    by_type: dict[str, list[int]] = {}
+    for r in plan:
+        by_type.setdefault(r.event_type, []).append(r.bin_id)
+    for ids in by_type.values():
+        assert sorted(ids) == list(range(max(ids) + 1))
+    for r in plan:
+        assert r.first_day <= r.last_day
+        assert r.n_files >= 1
+
+
+def test_cusum_matches_bruteforce_scan(spark, sf_dir):
+    got = {r.event_type: r for r in events_cusum_changepoint(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.cents))
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        pts.sort()
+        n, tot = len(pts), sum(c for _, c in pts)
+        cum, best = 0, None
+        for i, (day, c) in enumerate(pts, start=1):
+            cum += c
+            s = n * cum - i * tot
+            if best is None or abs(s) > abs(best[1]):
+                best = (day, s)
+        assert got[et].cp_day == best[0].strftime("%Y-%m-%d")
+        assert got[et].cusum_cents == best[1]
+        assert got[et].n_days == n
+
+
+def test_second_order_transitions_conserve_context_counts(spark, sf_dir):
+    rows = events_second_order_transitions(spark, sf_dir).collect()
+    # per-context totals are consistent and probabilities are floored
+    # shares of them
+    ctx: dict[tuple, int] = {}
+    for r in rows:
+        ctx.setdefault((r.prev2, r.prev1), 0)
+        ctx[(r.prev2, r.prev1)] += r.n
+    for r in rows:
+        assert r.n_context == ctx[(r.prev2, r.prev1)]
+        assert r.prob_fp == int(np.floor(1e6 * r.n / r.n_context))
+        assert 0 <= r.prob_fp <= 1_000_000
+    # global conservation: every event with >= 2 predecessors in its
+    # user's stream contributes exactly one trigram
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").count().collect()
+    expected = sum(max(0, r["count"] - 2) for r in per_user)
+    assert sum(r.n for r in rows) == expected
+
+
+def test_mad_outliers_match_numpy(spark, sf_dir):
+    got = {r.l_returnflag: r for r in lineitem_mad_outliers(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    ).collect()
+    qty: dict[str, list[float]] = {}
+    for r in li:
+        qty.setdefault(r.l_returnflag, []).append(r.l_quantity)
+    for flag, xs in qty.items():
+        a = np.array(xs)
+        med = float(np.quantile(a, 0.5))
+        dev = np.abs(a - med)
+        mad = float(np.quantile(dev, 0.5))
+        assert got[flag].med_qty == med
+        assert got[flag].mad_qty == mad
+        assert got[flag].n == len(xs)
+        assert got[flag].n_outliers == int((dev > 3.0 * mad).sum())
+
+
+def test_ivm_merge_equals_full_recompute(spark, sf_dir):
+    merged = {
+        r.month: r for r in orders_ivm_partial_agg_merge(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    full = (
+        o.groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("month")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .collect()
+    )
+    assert len(full) == len(merged)
+    for r in full:
+        m = merged[r.month]
+        assert (m.n_orders, m.total_cents) == (r.n_orders, r.total_cents)
+        assert m.avg_price == r.total_cents / (100.0 * r.n_orders)
+
+
+def test_round5d_ops_are_registered_for_next_window(spark):
+    names = list(all_queries())
+    for q in (
+        "files_compaction_plan",
+        "events_cusum_changepoint",
+        "events_second_order_transitions",
+        "lineitem_mad_outliers",
+        "orders_ivm_partial_agg_merge",
+    ):
+        assert q in names
