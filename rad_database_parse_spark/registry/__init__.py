@@ -210,6 +210,11 @@ _WINDOW_R6 = [
     "events_second_order_transitions",
     "lineitem_mad_outliers",
     "orders_ivm_partial_agg_merge",
+    "docs_bm25_topk",
+    "emb_hamming_rerank_cascade",
+    "graph_kcore_decomposition",
+    "gdpr_erasure_cascade",
+    "part_knn_graph_stats",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

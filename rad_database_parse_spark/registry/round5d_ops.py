@@ -396,3 +396,594 @@ def orders_ivm_partial_agg_merge(spark: SparkSession, sf_dir: str):
             / (F.lit(100.0) * F.col("n_orders"))
         ).alias("avg_price"),
     )
+
+
+# --------------------------------------------- BM25 top-k retrieval
+# Rational (log-free) idf keeps every arithmetic step an IEEE op on
+# identical operands in both engines — the repo-wide float-parity policy.
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_score_sql(engine: str) -> str:
+    """Per-term BM25 partial, summed in a FIXED order (term1+term2+term3)
+    so both engines add the same doubles in the same sequence."""
+    parts = []
+    for term in _BM25_TERMS:
+        tf = f"CAST(tf_{term} AS DOUBLE)"
+        df = f"CAST(df_{term} AS DOUBLE)"
+        idf = f"((CAST(n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+        parts.append(
+            f"({idf} * ({tf} * {1.0 + _BM25_K1}) / "
+            f"({tf} + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * "
+            f"(CAST(dl AS DOUBLE) / avgdl))))"
+        )
+    return " + ".join(parts)
+
+
+_BM25_TF_DUCK = ",\n             ".join(
+    f"CAST(len(list_filter(w, x -> x = '{term}')) AS BIGINT) AS tf_{term}"
+    for term in _BM25_TERMS
+)
+_BM25_DF_DUCK = ",\n             ".join(
+    f"CAST(SUM(CASE WHEN tf_{term} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS df_{term}"
+    for term in _BM25_TERMS
+)
+
+
+@register(
+    "docs_bm25_topk",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tf AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+             {_BM25_TF_DUCK}
+      FROM d),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {_BM25_DF_DUCK}
+      FROM tf),
+    scored AS (
+      SELECT doc_id, dl,
+             CAST(floor(1000000.0 * ({_bm25_score_sql('duckdb')}))
+                  AS BIGINT) AS score_fp
+      FROM tf CROSS JOIN (
+        SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+        FROM stats) s
+      WHERE tf_{_BM25_TERMS[0]} + tf_{_BM25_TERMS[1]}
+            + tf_{_BM25_TERMS[2]} > 0),
+    ranked AS (
+      SELECT doc_id, dl, score_fp,
+             ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rank
+      FROM scored)
+    SELECT doc_id, dl, score_fp, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str):
+    """BM25 document retrieval for a fixed query-term set — the lexical
+    ranking function behind every search/RAG retrieval baseline
+    (Robertson-Sparck Jones), here with a RATIONAL idf
+    ((N-df+0.5)/(df+0.5), no log) so every step is an IEEE op on
+    identical operands in both engines and the fixed-point floor ranks
+    bit-identically; the per-term partials are summed in one fixed
+    order. Plan shape: one scan computes per-doc tf/dl JVM-side
+    (size(filter(...)) — no Python), the 1-row corpus-stats aggregate
+    broadcasts back, and the global top-k is a rank-filter (at 100 TB
+    the global ROW_NUMBER swaps for the per-partition top-k + merge
+    shape of topk_per_group; df/N come from the same mergeable
+    aggregate). Reference parity: extends the reference's query surface
+    (SURVEY §2C text analysis) with the retrieval-side scorer that
+    pairs with docs_tfidf_top_terms and docs_inverted_index_segments."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    def _tf(term: str):
+        # one-arg lambda: F.filter treats 2-arg lambdas as (element, index)
+        return (
+            F.size(F.filter("w", lambda x: x == F.lit(term)))
+            .cast("bigint")
+            .alias(f"tf_{term}")
+        )
+
+    tf = d.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("dl"),
+        *[_tf(term) for term in _BM25_TERMS],
+    )
+    stats = tf.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ],
+    ).withColumn(
+        "avgdl",
+        F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .filter(sum(F.col(f"tf_{term}") for term in _BM25_TERMS) > 0)
+        .select(
+            "doc_id",
+            "dl",
+            F.floor(
+                F.lit(1000000.0) * F.expr(_bm25_score_sql("spark"))
+            )
+            .cast("bigint")
+            .alias("score_fp"),
+        )
+    )
+    w = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("doc_id", "dl", "score_fp", "rank")
+    )
+
+
+# ----------------------- two-stage retrieval: Hamming filter → rerank
+_CASCADE_SHORTLIST = 20
+_CASCADE_K = 5
+
+
+def _cascade_packbits(lo: int, engine: str) -> str:
+    from .llm_ops import _packbits_sql
+
+    return _packbits_sql(lo, engine)
+
+
+def _cascade_sql() -> str:
+    cos = (
+        "round(list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_cascade_packbits(1, 'duckdb')} AS h_lo,
+             {_cascade_packbits(33, 'duckdb')} AS h_hi
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, h_lo AS q_lo, h_hi AS q_hi
+          FROM sig WHERE vec_id < 10),
+    ham AS (
+      SELECT query_id, qv, s.vec_id AS neighbor_id, s.v AS cv,
+             CAST(bit_count(xor(q_lo, s.h_lo))
+                  + bit_count(xor(q_hi, s.h_hi)) AS INT) AS hamming
+      FROM q CROSS JOIN sig s WHERE s.vec_id != query_id),
+    short AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS hrk
+        FROM ham) WHERE hrk <= {_CASCADE_SHORTLIST}),
+    casc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {cos} DESC, neighbor_id) AS rk
+        FROM short) WHERE rk <= {_CASCADE_K}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, s.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, s.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(s.v, s.v))), 6) DESC,
+                   s.vec_id) AS rk
+        FROM q CROSS JOIN sig s WHERE s.vec_id != q.query_id)
+      WHERE rk <= {_CASCADE_K}),
+    shortcnt AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM short
+      GROUP BY query_id),
+    hits AS (
+      SELECT c.query_id, CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hit
+      FROM casc c LEFT JOIN exact e
+        ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+      GROUP BY c.query_id)
+    SELECT s.query_id, s.n_candidates,
+           CAST(h.n_hit * {1000000 // _CASCADE_K} AS BIGINT) AS recall_fp
+    FROM shortcnt s JOIN hits h ON h.query_id = s.query_id
+    """
+
+
+@register("emb_hamming_rerank_cascade", _cascade_sql())
+def emb_hamming_rerank_cascade(spark: SparkSession, sf_dir: str):
+    """Two-stage retrieval cascade — the production ANN serving shape:
+    a 64-bit binary-signature Hamming scan shortlists candidates
+    (XOR+popcount, 16 bytes/vector — the whole corpus signature table
+    fits in memory at billions of vectors), then ONLY the shortlist pays
+    full-precision cosine, and recall@k against the exact top-k is the
+    quality gate. This composes the repo's compression tier
+    (emb_binary_hamming_topk) with its exact ranker into the
+    filter-then-rerank pipeline every vector store runs; the measured
+    recall is the number that decides shortlist depth in production.
+    Integer Hamming ranks bit-identically; the rerank rounds cosine to
+    1e-6 with id tie-breaks (established parity); recall is exact
+    fixed-point (hits × 200000). The exact arm is the brute-force
+    baseline — at 100 TB it is replaced by a labeled eval set; the
+    cascade arm's plan (broadcast queries, one corpus scan, shortlist
+    k·|Q| rows) is the scale path as-is."""
+    from ..llm.similarity import brute_force_cosine_topk, cosine
+    from .llm_ops import _packbits_sql
+
+    e = t(spark, sf_dir, "embeddings")
+    sig = e.selectExpr(
+        "vec_id",
+        "cast(embedding as array<double>) AS v",
+        f"({_packbits_sql(1, 'spark')}) AS h_lo",
+        f"({_packbits_sql(33, 'spark')}) AS h_hi",
+    )
+    q = sig.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("h_lo").alias("q_lo"),
+        F.col("h_hi").alias("q_hi"),
+    )
+    ham = (
+        sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qv",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            (
+                F.bit_count(F.expr("q_lo ^ h_lo"))
+                + F.bit_count(F.expr("q_hi ^ h_hi"))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    short = ham.withColumn("hrk", F.row_number().over(w_ham)).filter(
+        F.col("hrk") <= _CASCADE_SHORTLIST
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).desc(),
+        F.col("neighbor_id"),
+    )
+    casc = (
+        short.withColumn("rk", F.row_number().over(w_cos))
+        .filter(F.col("rk") <= _CASCADE_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = brute_force_cosine_topk(
+        e.filter(F.col("vec_id") < 10), e, k=_CASCADE_K
+    ).select("query_id", "neighbor_id")
+    shortcnt = short.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    hits = (
+        casc.join(
+            exact.withColumnRenamed("neighbor_id", "hit_id"),
+            (casc["query_id"] == exact["query_id"])
+            & (casc["neighbor_id"] == F.col("hit_id")),
+            "left",
+        )
+        .groupBy(casc["query_id"].alias("query_id"))
+        .agg(F.count("hit_id").cast("bigint").alias("n_hit"))
+    )
+    return shortcnt.join(hits, "query_id").select(
+        "query_id",
+        "n_candidates",
+        (F.col("n_hit") * (1000000 // _CASCADE_K)).cast("bigint").alias(
+            "recall_fp"
+        ),
+    )
+
+
+# ----------------------------------------- k-core decomposition (graph)
+# k is data-derived (ceil of the median initial degree) so the peel is
+# non-trivial at every test SF; the peel is capped at _KCORE_ROUNDS
+# rounds in BOTH engines (identical unroll → identical output even if
+# unconverged) and a `converged` flag reports whether the cap bound.
+_KCORE_ROUNDS = 6
+_KCORE_EDGE_SQL = """
+    p AS (
+      SELECT p_partkey, p_name,
+             regexp_extract(p_name, '^[^ ]+ [^ ]+') AS blk,
+             length(p_name) AS ln
+      FROM part),
+    e AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+           AND abs(a.ln - b.ln) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+    u2 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg0 AS (SELECT u, COUNT(*) AS d FROM u2 GROUP BY u),
+    kv AS (SELECT CAST(ceil(quantile_cont(CAST(d AS DOUBLE), 0.5)) AS INT)
+             AS k FROM deg0),
+    n0 AS (SELECT u AS node FROM deg0)"""
+
+
+def _kcore_sql() -> str:
+    stages = []
+    prev = "n0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        stages.append(
+            f"""n{i} AS (
+      SELECT u2.u AS node FROM u2
+      JOIN {prev} a ON u2.u = a.node JOIN {prev} b ON u2.v = b.node
+      GROUP BY u2.u HAVING COUNT(*) >= (SELECT k FROM kv))"""
+        )
+        prev = f"n{i}"
+    last, second = f"n{_KCORE_ROUNDS}", f"n{_KCORE_ROUNDS - 1}"
+    return (
+        "\n    WITH "
+        + _KCORE_EDGE_SQL
+        + ",\n    "
+        + ",\n    ".join(stages)
+        + f""",
+    final AS (
+      SELECT u2.u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM u2
+      JOIN {last} a ON u2.u = a.node JOIN {last} b ON u2.v = b.node
+      GROUP BY u2.u)
+    SELECT node, core_deg, (SELECT k FROM kv) AS k,
+           (SELECT COUNT(*) FROM {last}) = (SELECT COUNT(*) FROM {second})
+             AS converged
+    FROM final
+    """
+    )
+
+
+@register("graph_kcore_decomposition", _kcore_sql())
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str):
+    """k-core decomposition of the part near-dup similarity graph —
+    iterative peeling (drop nodes of degree < k from the induced
+    subgraph until stable), the graph-density screen that isolates the
+    tightly-knit duplicate clusters from chains/stragglers; completes
+    the graph tier (connected components → PageRank → triangles →
+    cores). k is data-derived (ceil median initial degree) so the peel
+    bites at every SF.
+
+    Distributed shape: the undirected edge list is persisted ONCE; each
+    peel round is two semi-join-shaped hash joins of the edge list
+    against the surviving-node set plus one degree groupBy — the same
+    per-iteration cost envelope as PageRank — and the driver loop exits
+    EARLY on the exact fixpoint (node-count stable; sets shrink
+    monotonically so counts suffice), with a hard cap of
+    {_KCORE_ROUNDS} rounds mirrored by the oracle's fixed unroll —
+    identical output either way, and `converged` reports whether the
+    cap bound. At 100 TB: node sets shrink monotonically, so the joins
+    get cheaper every round; the known O(log n) refinement replaces the
+    driver fixpoint check with a distributed convergence aggregate."""
+    from .pipeline_ops import part_name_neardup
+
+    e = part_name_neardup(spark, sf_dir).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.persist()
+    deg0 = und.groupBy("u").agg(F.count("*").alias("d"))
+    kv = deg0.agg(
+        F.ceil(F.percentile(dbl(F.col("d")), 0.5)).cast("int").alias("k")
+    )
+    k = kv.collect()[0]["k"]  # scalar: one tiny agg, the peel loop needs it
+    nodes = deg0.select(F.col("u").alias("node")).persist()
+    prev_n = nodes.count()
+    rounds = 0
+    converged = False
+    for _ in range(_KCORE_ROUNDS):
+        nxt = (
+            und.join(nodes.withColumnRenamed("node", "u"), "u")
+            .join(
+                nodes.select(F.col("node").alias("v")), "v"
+            )
+            .groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("u").alias("node"))
+            .persist()
+        )
+        n = nxt.count()
+        nodes.unpersist()
+        nodes = nxt
+        rounds += 1
+        if n == prev_n:
+            converged = True
+            break
+        prev_n = n
+    final = (
+        und.join(nodes.withColumnRenamed("node", "u"), "u")
+        .join(nodes.select(F.col("node").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("core_deg"))
+        .select(
+            F.col("u").alias("node"),
+            "core_deg",
+            F.lit(k).cast("int").alias("k"),
+            F.lit(converged).alias("converged"),
+        )
+    )
+    return final
+
+
+# ------------------------------------- GDPR erasure cascade audit
+_ERASE_MOD = 20
+
+
+@register(
+    "gdpr_erasure_cascade",
+    f"""
+    WITH ek AS (SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+    eo AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM ek)),
+    c AS (SELECT 'customer' AS table_name,
+                 CAST(COUNT(*) AS BIGINT) AS rows_before,
+                 CAST(SUM(CASE WHEN c_custkey % {_ERASE_MOD} = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+          FROM customer),
+    o AS (SELECT 'orders' AS table_name,
+                 CAST(COUNT(*) AS BIGINT) AS rows_before,
+                 CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM ek)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+          FROM orders),
+    l AS (SELECT 'lineitem' AS table_name,
+                 CAST(COUNT(*) AS BIGINT) AS rows_before,
+                 CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM eo)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+          FROM lineitem),
+    ev AS (SELECT 'events' AS table_name,
+                  CAST(COUNT(*) AS BIGINT) AS rows_before,
+                  CAST(SUM(CASE WHEN user_id IN (SELECT c_custkey FROM ek)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+           FROM events)
+    SELECT table_name, rows_before, rows_erased,
+           rows_before - rows_erased AS rows_after
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM o
+          UNION ALL SELECT * FROM l UNION ALL SELECT * FROM ev)
+    """,
+)
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str):
+    """Right-to-erasure cascade audit — given a deterministic erasure set
+    of customers, report per-table how many rows the cascade removes:
+    the customers themselves, their orders, those orders' lineitems, and
+    the users' event streams. This is the compliance-side mutation every
+    consumer-data deployment must support (reference §2A has row-level
+    DELETE, `database.py:151-160`; this is its referential-integrity
+    closure). Shape: the erasure-key set is orders of magnitude smaller
+    than the fact tables, so every membership probe is a BROADCAST
+    left-semi-flag join (no fact-table shuffle anywhere); the order-key
+    set derived from it broadcasts the same way onto lineitem. Each
+    table is scanned exactly once, counting total and flagged rows in
+    the same pass; the report is a 4-row union of 1-row aggregates. At
+    100 TB the same plan applies with the keys as a bloom/IN-set
+    pushdown; the actual delete is the established copy-on-write
+    anti-join (operators/mutate.py)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+
+    ek = cust.filter(F.col("c_custkey") % _ERASE_MOD == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    eo = (
+        orders.join(
+            F.broadcast(ek), orders["o_custkey"] == F.col("k"), "left_semi"
+        )
+        .select(F.col("o_orderkey").alias("k"))
+    )
+
+    def audit(df, name: str, key_col: str, keys):
+        flagged = df.join(
+            F.broadcast(keys.withColumn("erased", F.lit(1))),
+            df[key_col] == keys["k"],
+            "left",
+        )
+        return flagged.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").cast("bigint").alias("rows_before"),
+            F.count("erased").cast("bigint").alias("rows_erased"),
+        )
+
+    rep = (
+        audit(cust, "customer", "c_custkey", ek)
+        .unionAll(audit(orders, "orders", "o_custkey", ek))
+        .unionAll(audit(li, "lineitem", "l_orderkey", eo))
+        .unionAll(audit(ev, "events", "user_id", ek))
+    )
+    return rep.select(
+        "table_name",
+        "rows_before",
+        "rows_erased",
+        (F.col("rows_before") - F.col("rows_erased")).alias("rows_after"),
+    )
+
+
+# ------------------------------------- kNN graph construction stats
+_KNN_K = 5
+
+
+@register(
+    "part_knn_graph_stats",
+    f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM c a CROSS JOIN c b WHERE a.vec_id != b.vec_id),
+    knn AS (
+      SELECT u, v FROM (
+        SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+                                        ORDER BY sim DESC, v) AS rk
+        FROM sims) WHERE rk <= {_KNN_K}),
+    mut AS (
+      SELECT CAST(COUNT(*) // 2 AS BIGINT) AS n_mutual_pairs
+      FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u),
+    indeg AS (
+      SELECT c.vec_id, CAST(COALESCE(d.ind, 0) AS BIGINT) AS ind
+      FROM c LEFT JOIN (SELECT v, COUNT(*) AS ind FROM knn GROUP BY v) d
+        ON d.v = c.vec_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM knn) AS n_edges,
+           (SELECT n_mutual_pairs FROM mut) AS n_mutual_pairs,
+           (SELECT CAST(MAX(ind) AS BIGINT) FROM indeg) AS max_indeg,
+           (SELECT quantile_cont(CAST(ind AS DOUBLE), 0.95) FROM indeg)
+             AS p95_indeg
+    """,
+)
+def part_knn_graph_stats(spark: SparkSession, sf_dir: str):
+    """kNN-graph construction over the embedding corpus with the
+    graph-health statistics that decide whether the graph is usable for
+    graph-ANN serving or cluster propagation: directed k=5 edges per
+    node, mutual-edge (reciprocity) count, and the in-degree
+    distribution (max + exact p95 — hub detection: a node that half the
+    corpus points at makes graph search beam-collapse). Every edge
+    derives from the established rounded-cosine ranking (ties on id).
+    The all-pairs arm is the exact baseline appropriate at test SF; at
+    100 TB kNN-graph construction swaps the cross join for the IVF
+    bucketed candidate generation (emb_cosine_topk_ivf) with identical
+    downstream stats — the reciprocity/in-degree rollups are single
+    hash aggregates on the O(k·n) edge list either way."""
+    from ..llm.similarity import brute_force_cosine_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    knn = brute_force_cosine_topk(e, e, k=_KNN_K).select(
+        F.col("query_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    knn = knn.persist()
+    n_nodes = e.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    n_edges = knn.agg(F.count("*").cast("bigint").alias("n_edges"))
+    mut = (
+        knn.alias("a")
+        .join(
+            knn.alias("b"),
+            (F.col("a.u") == F.col("b.v")) & (F.col("a.v") == F.col("b.u")),
+        )
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_mutual_pairs")
+        )
+    )
+    indeg = (
+        e.select(F.col("vec_id"))
+        .join(knn.groupBy("v").agg(F.count("*").alias("ind")),
+              e["vec_id"] == F.col("v"), "left")
+        .select(F.coalesce(F.col("ind"), F.lit(0)).cast("bigint").alias("ind"))
+    )
+    istats = indeg.agg(
+        F.max("ind").cast("bigint").alias("max_indeg"),
+        F.percentile(dbl(F.col("ind")), 0.95).alias("p95_indeg"),
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(mut)
+        .crossJoin(istats)
+        .select("n_nodes", "n_edges", "n_mutual_pairs", "max_indeg",
+                "p95_indeg")
+    )

@@ -146,3 +146,93 @@ def test_round5d_ops_are_registered_for_next_window(spark):
         "orders_ivm_partial_agg_merge",
     ):
         assert q in names
+
+
+def test_bm25_scores_rank_consistently(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import docs_bm25_topk
+
+    rows = docs_bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    # ranks are 1..n and scores are non-increasing along them
+    rows.sort(key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.score_fp > b.score_fp or (
+            a.score_fp == b.score_fp and a.doc_id < b.doc_id
+        )
+    assert all(r.score_fp > 0 for r in rows)
+
+
+def test_hamming_cascade_recall_bounds_and_candidates(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        emb_hamming_rerank_cascade,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    rows = emb_hamming_rerank_cascade(spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == min(10, n_emb)
+    for r in rows:
+        assert r.n_candidates == min(20, n_emb - 1)
+        assert 0 <= r.recall_fp <= 1_000_000
+        assert r.recall_fp % 200_000 == 0  # hits are integral
+
+
+def test_kcore_nodes_have_core_degree_at_least_k_when_converged(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        graph_kcore_decomposition,
+    )
+
+    rows = graph_kcore_decomposition(spark, sf_dir).collect()
+    if not rows:
+        return  # empty core is legal at tiny SF
+    k = rows[0].k
+    assert all(r.k == k for r in rows)
+    if rows[0].converged:
+        # fixpoint ⇒ every surviving node keeps >= k core-internal edges
+        assert all(r.core_deg >= k for r in rows)
+
+
+def test_gdpr_cascade_counts_match_bruteforce(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        gdpr_erasure_cascade,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    rep = {r.table_name: r for r in gdpr_erasure_cascade(spark, sf_dir).collect()}
+    assert set(rep) == {"customer", "orders", "lineitem", "events"}
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = {
+        r.c_custkey
+        for r in cust.filter(F.col("c_custkey") % 20 == 0).collect()
+    }
+    erased_orders = {
+        r.o_orderkey
+        for r in orders.filter(F.col("o_custkey").isin(keys)).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    assert rep["customer"].rows_erased == len(keys)
+    assert rep["orders"].rows_erased == len(erased_orders)
+    assert rep["lineitem"].rows_erased == li.filter(
+        F.col("l_orderkey").isin(erased_orders)
+    ).count()
+    assert rep["events"].rows_erased == ev.filter(
+        F.col("user_id").isin(keys)
+    ).count()
+    for r in rep.values():
+        assert r.rows_after == r.rows_before - r.rows_erased
+
+
+def test_knn_graph_stats_invariants(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        part_knn_graph_stats,
+    )
+
+    row = part_knn_graph_stats(spark, sf_dir).collect()[0]
+    # every node emits exactly k edges (corpus is larger than k+1)
+    assert row.n_edges == row.n_nodes * 5
+    # reciprocity can't exceed half the directed edges; in-degree stats sane
+    assert 0 <= row.n_mutual_pairs <= row.n_edges // 2
+    assert row.max_indeg >= row.p95_indeg >= 0
