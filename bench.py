@@ -142,6 +142,24 @@ EXTENDED_R5C = [
 ]
 
 
+# Round-5d maintenance/analytics additions (registry/round5d_ops.py),
+# their own family so prior sums stay comparable. Deliberately absent:
+# graph_kcore_decomposition (re-runs the already-benched
+# part_name_neardup levenshtein join — the docs_curation_funnel
+# double-count rationale).
+EXTENDED_R5D = [
+    "files_compaction_plan",
+    "events_cusum_changepoint",
+    "events_second_order_transitions",
+    "lineitem_mad_outliers",
+    "orders_ivm_partial_agg_merge",
+    "docs_bm25_topk",
+    "emb_hamming_rerank_cascade",
+    "gdpr_erasure_cascade",
+    "part_knn_graph_stats",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -203,18 +221,20 @@ def main() -> int:
     extended_r3 = run(EXTENDED_R3)
     extended_r5 = run(EXTENDED_R5)
     extended_r5c = run(EXTENDED_R5C)
+    extended_r5d = run(EXTENDED_R5D)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, **extended, **extended_r3, **extended_r5, **extended_r5c},
+                "queries": {**timings, **extended, **extended_r3, **extended_r5, **extended_r5c, **extended_r5d},
                 "headline_n": len(HEADLINE),
                 "value_extended": round(sum(extended.values()), 3),
                 "value_extended_r3": round(sum(extended_r3.values()), 3),
                 "value_extended_r5": round(sum(extended_r5.values()), 3),
                 "value_extended_r5c": round(sum(extended_r5c.values()), 3),
+                "value_extended_r5d": round(sum(extended_r5d.values()), 3),
                 "calib_sec": round(calib, 3),
                 "sf": sf,
             }
