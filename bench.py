@@ -157,6 +157,10 @@ EXTENDED_R5D = [
     "emb_hamming_rerank_cascade",
     "gdpr_erasure_cascade",
     "part_knn_graph_stats",
+    "sql_recursive_hierarchy",
+    "events_active_streaks",
+    "part_brand_ols_slope",
+    "emb_kmeans_lloyd",
 ]
 
 

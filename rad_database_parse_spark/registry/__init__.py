@@ -215,6 +215,10 @@ _WINDOW_R6 = [
     "graph_kcore_decomposition",
     "gdpr_erasure_cascade",
     "part_knn_graph_stats",
+    "sql_recursive_hierarchy",
+    "events_active_streaks",
+    "part_brand_ols_slope",
+    "emb_kmeans_lloyd",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

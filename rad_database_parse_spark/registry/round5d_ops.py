@@ -987,3 +987,313 @@ def part_knn_graph_stats(spark: SparkSession, sf_dir: str):
         .select("n_nodes", "n_edges", "n_mutual_pairs", "max_indeg",
                 "p95_indeg")
     )
+
+
+# ------------------------------- recursive CTE hierarchy traversal
+@register(
+    "sql_recursive_hierarchy",
+    """
+    WITH RECURSIVE h(c_custkey, root_key, depth) AS (
+      SELECT c_custkey, c_custkey AS root_key, 1 AS depth
+      FROM customer WHERE c_custkey // 10 = 0
+      UNION ALL
+      SELECT c.c_custkey, h.root_key, h.depth + 1
+      FROM customer c JOIN h ON c.c_custkey // 10 = h.c_custkey
+      WHERE c.c_custkey >= 10)
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT root_key) AS BIGINT) AS n_roots,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+    FROM h GROUP BY depth
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str):
+    """Recursive-CTE hierarchy traversal (Spark 4's WITH RECURSIVE —
+    SPARK-24497, new SQL surface this engine exposes natively): walk a
+    synthetic management chain where each customer reports to
+    custkey/10, propagating the root and depth from the anchor roots
+    down the tree, then profile the hierarchy per level. The recursion
+    is set-based (each step is one join of the frontier against the dim
+    — Spark executes it as iterated union steps, the same frontier-join
+    shape as the hand-unrolled k-core peel), terminates because keys
+    strictly shrink (the >= 10 guard on the recursive arm excludes the
+    custkey-0 self-loop), and depth is bounded by log10(maxkey). The oracle
+    runs DuckDB's own WITH RECURSIVE — engine-independent semantics,
+    identical results. At 100 TB: frontier joins broadcast the (small)
+    current level against the partitioned dim; aggregation is the
+    standard partial-combine rollup."""
+    c = t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_hview")
+    return spark.sql(
+        """
+        WITH RECURSIVE h(c_custkey, root_key, depth) AS (
+          SELECT c_custkey, c_custkey AS root_key, 1 AS depth
+          FROM customer_hview WHERE c_custkey div 10 = 0
+          UNION ALL
+          SELECT c.c_custkey, h.root_key, h.depth + 1
+          FROM customer_hview c JOIN h ON c.c_custkey div 10 = h.c_custkey
+          WHERE c.c_custkey >= 10)
+        SELECT CAST(depth AS INT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT root_key) AS BIGINT) AS n_roots,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+        FROM h GROUP BY depth
+        """
+    )
+
+
+# --------------------------------- gaps & islands: activity streaks
+@register(
+    "events_active_streaks",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    numbered AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2024-01-01', day)
+               - CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day)
+                      AS BIGINT) AS island
+      FROM active),
+    islands AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_len
+      FROM numbered GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM islands GROUP BY user_id
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str):
+    """Gaps-and-islands: per-user consecutive-active-day streaks — the
+    classic engagement metric (longest streak, streak count) and the
+    canonical SQL islands idiom: day_number minus dense_rank is
+    constant within a run of consecutive days, so each island collapses
+    in one groupBy with NO self-join or sequential scan (the naive
+    formulation is a per-user loop; this is the relational rewrite that
+    distributes). Day numbers are integer datediffs from a fixed epoch
+    — identical integers in both engines. One user_id exchange serves
+    the distinct, the rank window, and both rollups (Catalyst reuses
+    the partitioning); output is one row per user."""
+    ev = t(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    numbered = active.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast(
+                "bigint"
+            )
+            - F.dense_rank().over(w).cast("bigint")
+        ).alias("island"),
+    )
+    islands = numbered.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("streak_len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
+
+
+# ------------------------------ grouped OLS regression from moments
+@register(
+    "part_brand_ols_slope",
+    """
+    WITH m AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p_size) AS BIGINT) AS sx,
+             CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT))
+                  AS BIGINT) AS sxx,
+             CAST(SUM(CAST(p_size AS BIGINT)
+                      * CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS sxy
+      FROM part GROUP BY p_brand)
+    SELECT p_brand, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
+           (CAST(sy AS DOUBLE) / 100.0
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def part_brand_ols_slope(spark: SparkSession, sf_dir: str):
+    """Per-brand simple linear regression (price ~ size) assembled from
+    EXACT integer moments — the grouped-OLS feature-engineering shape
+    (price elasticity proxies, trend slopes per segment) done the
+    parity-safe way: Σx, Σy, Σx², Σxy accumulate as BIGINTs (prices as
+    cents), so the slope's numerator/denominator are exact integers and
+    the only float ops are two final divisions on identical operands —
+    the agg_corr_from_sums discipline extended to regression
+    coefficients. One partial-combine groupBy over part, output one row
+    per brand; mergeable across any partitioning, so the same plan is
+    the 100 TB plan."""
+    p = t(spark, sf_dir, "part")
+    cents = (dec("p_retailprice") * 100).cast("bigint")
+    sx = F.col("p_size").cast("bigint")
+    m = p.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(sx).cast("bigint").alias("sx"),
+        F.sum(cents).cast("bigint").alias("sy"),
+        F.sum(sx * sx).cast("bigint").alias("sxx"),
+        F.sum(sx * cents).cast("bigint").alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        / F.lit(100.0)
+    )
+    intercept = (
+        F.col("sy").cast("double") / F.lit(100.0)
+        - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "p_brand", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+# ----------------------------- k-means (2-round Lloyd, exact integer)
+_KMEANS_K = 4
+_KMEANS_DIM = 64
+
+
+def _kmeans_sql() -> str:
+    dist = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> (q.qv[i] - {c}.cv[i]) * (q.qv[i] - {c}.cv[i]))) AS BIGINT)"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(1000000 * x) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KMEANS_K}),
+    a1 AS (
+      SELECT vec_id, cid, qv FROM (
+        SELECT q.vec_id, c0.cid, q.qv,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {dist.format(c='c0')}, c0.cid)
+                 AS rk
+        FROM q CROSS JOIN c0) WHERE rk = 1),
+    c1 AS (
+      SELECT cid, list(cval ORDER BY pos) AS cv FROM (
+        SELECT cid, p.pos,
+               CAST(floor(CAST(SUM(qv[p.pos]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cval
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+        GROUP BY cid, p.pos)
+      GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {dist.format(c='c1')}, c1.cid)
+                 AS rk
+        FROM q CROSS JOIN c1) WHERE rk = 1)
+    SELECT a2.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(a2.vec_id) AS BIGINT) AS member_checksum,
+           (SELECT CAST(list_sum(cv) AS BIGINT) FROM c1
+            WHERE c1.cid = a2.cid) AS centroid_sum
+    FROM a2 GROUP BY a2.cid
+    """
+
+
+@register("emb_kmeans_lloyd", _kmeans_sql())
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str):
+    """Two-round Lloyd k-means over the embedding corpus in EXACT
+    integer arithmetic — the iterative-ML-on-DataFrames shape (assign →
+    recompute centroids → reassign) with none of float clustering's
+    cross-engine nondeterminism: vectors quantize to 1e-6 fixed-point
+    BIGINTs, distances are integer sums of squares (argmin ties break
+    on centroid id), and centroid updates floor the exact per-dimension
+    mean, so both engines walk IDENTICAL cluster trajectories. Seeds
+    are the k lowest vec_ids (deterministic, PRNG-free — the
+    sampling_profile discipline). Plan shape per round: corpus ⋈
+    broadcast(k centroids) with the distance argmin resolved by a
+    vec_id-partitioned rank (k rows per vector), then the update is
+    posexplode → (cluster, dim) partial-combine groupBy → array
+    re-assembly — every stage mergeable, no driver loop. At 100 TB this
+    is exactly distributed mini-batch-free Lloyd: k·dim centroid tables
+    broadcast at any k that fits an executor; more rounds = more of the
+    same stage pair. Output is the per-cluster census + centroid
+    checksum."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(F.lit(1000000) * x.cast("double")).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+    c0 = q.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+
+    def assign(cents):
+        dist = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cid"))
+        return (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid", "qv")
+        )
+
+    a1 = assign(c0)
+    c1 = (
+        a1.select("cid", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.floor(
+                F.sum("val").cast("double") / F.count("*")
+            )
+            .cast("bigint")
+            .alias("cval")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("cval")))
+                ),
+                lambda s: s.getField("cval"),
+            ).alias("cv")
+        )
+    )
+    a2 = assign(c1)
+    csum = c1.select(
+        "cid",
+        F.aggregate(
+            F.col("cv"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("centroid_sum"),
+    )
+    return (
+        a2.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("vec_id").cast("bigint").alias("member_checksum"),
+        )
+        .join(
+            F.broadcast(csum.withColumnRenamed("cid", "cluster_id")),
+            "cluster_id",
+        )
+        .select("cluster_id", "n_members", "member_checksum", "centroid_sum")
+    )

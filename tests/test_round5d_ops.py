@@ -236,3 +236,84 @@ def test_knn_graph_stats_invariants(spark, sf_dir):
     # reciprocity can't exceed half the directed edges; in-degree stats sane
     assert 0 <= row.n_mutual_pairs <= row.n_edges // 2
     assert row.max_indeg >= row.p95_indeg >= 0
+
+
+def test_recursive_hierarchy_levels_partition_customers(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        sql_recursive_hierarchy,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    rows = sql_recursive_hierarchy(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    n_cust = cust.count()
+    total_keys = cust.agg(F.sum("c_custkey")).collect()[0][0]
+    # every customer lands on exactly one level; checksums conserve keys
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert sum(r.key_checksum for r in rows) == total_keys
+    depths = sorted(r.depth for r in rows)
+    assert depths == list(range(1, len(depths) + 1))
+
+
+def test_active_streaks_match_bruteforce(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        events_active_streaks,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    got = {r.user_id: r for r in events_active_streaks(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct().collect()
+    per_user: dict[int, set] = {}
+    for r in days:
+        per_user.setdefault(r.user_id, set()).add(r.day)
+    assert set(got) == set(per_user)
+    for uid, ds in per_user.items():
+        ordered = sorted(ds)
+        streaks, cur = [], 1
+        for a, b in zip(ordered, ordered[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert got[uid].n_active_days == len(ds)
+        assert got[uid].longest_streak == max(streaks)
+        assert got[uid].n_streaks == len(streaks)
+
+
+def test_ols_slope_matches_numpy(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        part_brand_ols_slope,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    got = {r.p_brand: r for r in part_brand_ols_slope(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_size", "p_retailprice"
+    ).collect()
+    data: dict[str, list[tuple]] = {}
+    for r in rows:
+        data.setdefault(r.p_brand, []).append((r.p_size, r.p_retailprice))
+    for brand, xy in data.items():
+        x = np.array([a for a, _ in xy], dtype=float)
+        y = np.array([b for _, b in xy], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[brand].slope - slope) < 1e-6
+        assert abs(got[brand].intercept - intercept) < 1e-4
+        assert got[brand].n == len(xy)
+
+
+def test_kmeans_clusters_partition_corpus_and_improve(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import emb_kmeans_lloyd
+    from rad_database_parse_spark.catalog.io import load_table
+
+    rows = emb_kmeans_lloyd(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    total_ids = load_table(spark, sf_dir, "embeddings").agg(
+        F.sum("vec_id")
+    ).collect()[0][0]
+    assert sum(r.n_members for r in rows) == n
+    assert sum(r.member_checksum for r in rows) == total_ids
+    assert len(rows) <= 4 and all(r.n_members > 0 for r in rows)
