@@ -317,3 +317,47 @@ def test_kmeans_clusters_partition_corpus_and_improve(spark, sf_dir):
     assert sum(r.n_members for r in rows) == n
     assert sum(r.member_checksum for r in rows) == total_ids
     assert len(rows) <= 4 and all(r.n_members > 0 for r in rows)
+
+
+# ---------------------------------------------------------- plan guards
+def test_r5d_plan_guards(spark, sf_dir):
+    from rad_database_parse_spark.plans import (
+        formatted_plan,
+        reads_only_columns,
+        uses_broadcast_join,
+    )
+    from rad_database_parse_spark.registry.round5d_ops import (
+        docs_bm25_topk,
+        events_cusum_changepoint,
+        gdpr_erasure_cascade,
+        lineitem_mad_outliers,
+        part_brand_ols_slope,
+    )
+
+    # MAD: both median probes broadcast back — lineitem never shuffles
+    # through a sort-merge join
+    mad = lineitem_mad_outliers(spark, sf_dir)
+    assert uses_broadcast_join(mad)
+    assert "SortMergeJoin" not in formatted_plan(mad)
+    assert reads_only_columns(mad, {"l_returnflag", "l_quantity"})
+
+    # GDPR: every membership probe broadcasts; fact tables never shuffle
+    gdpr = gdpr_erasure_cascade(spark, sf_dir)
+    assert uses_broadcast_join(gdpr)
+    assert "SortMergeJoin" not in formatted_plan(gdpr)
+
+    # CUSUM: daily-grain windows share one event_type exchange; only the
+    # raw->daily groupBy and that window exchange shuffle (each Exchange
+    # node appears twice in the formatted text: tree + detail section)
+    cusum_plan = formatted_plan(events_cusum_changepoint(spark, sf_dir))
+    assert cusum_plan.count("Exchange") <= 2 * 2
+
+    # BM25: corpus stats broadcast; scan reads only the two used columns
+    bm = docs_bm25_topk(spark, sf_dir)
+    assert uses_broadcast_join(bm)
+    assert reads_only_columns(bm, {"doc_id", "text"})
+
+    # OLS: single partial-combine aggregate, no join, ONE exchange
+    ols_plan = formatted_plan(part_brand_ols_slope(spark, sf_dir))
+    assert "Join" not in ols_plan
+    assert ols_plan.count("Exchange") == 1 * 2
