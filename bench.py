@@ -161,6 +161,10 @@ EXTENDED_R5D = [
     "events_active_streaks",
     "part_brand_ols_slope",
     "emb_kmeans_lloyd",
+    "orders_cohort_ltv_curve",
+    "docs_ngram_novelty_decay",
+    "supplier_shared_customer_graph",
+    "events_cdc_net_changes",
 ]
 
 

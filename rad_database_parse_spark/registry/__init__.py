@@ -219,6 +219,10 @@ _WINDOW_R6 = [
     "events_active_streaks",
     "part_brand_ols_slope",
     "emb_kmeans_lloyd",
+    "orders_cohort_ltv_curve",
+    "docs_ngram_novelty_decay",
+    "supplier_shared_customer_graph",
+    "events_cdc_net_changes",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1297,3 +1297,308 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str):
         )
         .select("cluster_id", "n_members", "member_checksum", "centroid_sum")
     )
+
+
+# ----------------------------------------- cohort LTV revenue curves
+@register(
+    "orders_cohort_ltv_curve",
+    """
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey),
+    aged AS (
+      SELECT strftime(f.cohort_m, '%Y-%m') AS cohort_month,
+             CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                  - (year(f.cohort_m) * 12 + month(f.cohort_m)) AS INT)
+               AS age_months,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey),
+    g AS (
+      SELECT cohort_month, age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM aged GROUP BY cohort_month, age_months)
+    SELECT cohort_month, age_months, n_orders, cents,
+           CAST(SUM(cents) OVER (
+             PARTITION BY cohort_month ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+    FROM g
+    """,
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by cohort age in months — the LTV payback
+    table behind every acquisition-spend decision, and the revenue-side
+    sibling of cohort_retention (which counts users). Age is an integer
+    year*12+month delta (identical in both engines — no float
+    months_between), money is exact cents, and the cumulative curve is
+    a running window over the (cohort, age) grain — tiny after the
+    rollup. Plan shape: one custkey groupBy for the cohort map, one
+    custkey-keyed join back (co-partitioned with the groupBy — Catalyst
+    reuses the exchange), one rollup, one small window. At 100 TB the
+    cohort map is customer-dimension-sized; the join stays a shuffle
+    hash join on the natural key."""
+    o = t(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_m")
+    )
+    aged = o.join(fo, "o_custkey").select(
+        F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("cohort_m") * 12 + F.month("cohort_m"))
+        )
+        .cast("int")
+        .alias("age_months"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = aged.groupBy("cohort_month", "age_months").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.withColumn(
+        "cum_cents", F.sum("cents").over(w).cast("bigint")
+    )
+
+
+# ------------------------------------- corpus novelty decay curve
+_NOVELTY_N = 3  # word n-gram order
+_NOVELTY_BUCKET = 50  # docs per curve point
+
+
+@register(
+    "docs_ngram_novelty_decay",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) >= {_NOVELTY_N} THEN
+                      list_transform(range(len(w) - {_NOVELTY_N - 1}),
+                        i -> md5(array_to_string(
+                               w[i + 1 : i + {_NOVELTY_N}], ' ')))
+                    ELSE [] END) AS gh
+      FROM d),
+    first_seen AS (
+      SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh),
+    per_bucket AS (
+      SELECT CAST(doc_id // {_NOVELTY_BUCKET} AS BIGINT) AS bucket,
+             CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_distinct_grams
+      FROM g GROUP BY bucket),
+    novel AS (
+      SELECT CAST(first_doc // {_NOVELTY_BUCKET} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM first_seen GROUP BY bucket)
+    SELECT p.bucket, p.n_distinct_grams,
+           COALESCE(n.n_novel, 0) AS n_novel,
+           CAST(floor(1000000.0 * COALESCE(n.n_novel, 0)
+                      / p.n_distinct_grams) AS BIGINT) AS novelty_fp
+    FROM per_bucket p LEFT JOIN novel n ON n.bucket = p.bucket
+    """,
+)
+def docs_ngram_novelty_decay(spark: SparkSession, sf_dir: str):
+    """Corpus novelty-decay curve: as documents stream in (doc_id
+    order), what fraction of each 50-doc bucket's distinct word-3-grams
+    has never been seen before — the diminishing-returns curve that
+    tells a data-curation pipeline when more of the same source stops
+    adding information (the scaling-law-side complement of the dedup
+    tier: near-flat novelty ⇒ the source is mined out). First
+    occurrence is min(doc_id) per gram hash — one gram groupBy; bucket
+    rollups are partial-combine counts; no joins touch row-granular
+    data (the final join is bucket-grain, tens of rows). The gram
+    table is the same md5-shingle stream every dedup operator shares —
+    at 100 TB this rides the existing shingle scan."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN size(w) >= {_NOVELTY_N} THEN
+                      transform(sequence(0, size(w) - {_NOVELTY_N}),
+                        i -> md5(concat_ws(' ', slice(w, i + 1, {_NOVELTY_N}))))
+                    ELSE array() END"""
+            )
+        ).alias("gh"),
+    ).distinct()
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = grams.groupBy(
+        (F.col("doc_id") / _NOVELTY_BUCKET)
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(F.count_distinct("gh").cast("bigint").alias("n_distinct_grams"))
+    novel = first_seen.groupBy(
+        (F.col("first_doc") / _NOVELTY_BUCKET).cast("bigint").alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_novel"))
+    return (
+        per_bucket.join(novel, "bucket", "left")
+        .select(
+            "bucket",
+            "n_distinct_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_distinct_grams")
+            )
+            .cast("bigint")
+            .alias("novelty_fp"),
+        )
+    )
+
+
+# -------------------------- bipartite projection: co-supply graph
+@register(
+    "supplier_shared_customer_graph",
+    """
+    WITH sc AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    counted AS (
+      SELECT a.s AS supp_a, b.s AS supp_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_customers
+      FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s),
+    thr AS (
+      SELECT CAST(ceil(quantile_cont(
+               CAST(n_shared_customers AS DOUBLE), 0.9)) AS BIGINT) AS t
+      FROM counted)
+    SELECT supp_a, supp_b, n_shared_customers
+    FROM counted CROSS JOIN thr WHERE n_shared_customers >= t
+    """,
+)
+def supplier_shared_customer_graph(spark: SparkSession, sf_dir: str):
+    """Bipartite graph projection: suppliers linked by the number of
+    customers they both serve, keeping the top-decile edges (shared
+    count ≥ exact p90 — a data-relative cut, selective at any SF) — the
+    co-occurrence projection underlying substitute-supplier detection
+    and market-structure graphs, and the graph-construction dual of the
+    basket_part_association pair miner. The Spark side uses the
+    BOUNDED-WIDTH COLLAPSE (the docs_cross_source_overlap discipline):
+    each customer's supplier set is collected once (width bounded by
+    suppliers-per-customer, NOT corpus size), sorted, and ordered pairs
+    explode from the array — the bipartite table never self-joins at
+    row granularity, which is what makes the projection survive
+    power-law customers at 100 TB (a hub customer contributes
+    |S|·(|S|-1)/2 pairs either way, but the collapse materializes them
+    map-side from one array instead of shuffling |S| rows into a join).
+    The oracle states the same semantics as the naive self-join —
+    correct at gate SF, and the contrast is the point."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    sc = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    sets = sc.groupBy("c").agg(
+        F.array_sort(F.collect_set("s")).alias("ss")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS supp_a, y AS supp_b))))"
+            )
+        ).alias("p")
+    ).select("p.supp_a", "p.supp_b")
+    counted = pairs.groupBy("supp_a", "supp_b").agg(
+        F.count("*").cast("bigint").alias("n_shared_customers")
+    )
+    thr = counted.agg(
+        F.ceil(F.percentile(dbl(F.col("n_shared_customers")), 0.9))
+        .cast("bigint")
+        .alias("thr")
+    )
+    return (
+        counted.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_shared_customers") >= F.col("thr"))
+        .select("supp_a", "supp_b", "n_shared_customers")
+    )
+
+
+# ----------------------------------- CDC net-change compaction
+@register(
+    "events_cdc_net_changes",
+    """
+    WITH log AS (
+      SELECT o_orderkey % 997 AS key, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 < 6 THEN 'U'
+                  WHEN o_orderkey % 10 < 8 THEN 'I'
+                  ELSE 'D' END AS op
+      FROM orders),
+    per_key AS (
+      SELECT key,
+             arg_min(op, seq) AS first_op,
+             arg_max(op, seq) AS last_op,
+             CAST(COUNT(*) AS BIGINT) AS n_changes
+      FROM log GROUP BY key),
+    net AS (
+      SELECT key, n_changes,
+             CASE WHEN last_op = 'D' AND first_op = 'I' THEN 'NONE'
+                  WHEN last_op = 'D' THEN 'D'
+                  WHEN first_op = 'I' THEN 'I'
+                  ELSE 'U' END AS net_op
+      FROM per_key)
+    SELECT net_op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_changes) AS BIGINT) AS n_changes,
+           CAST(SUM(key) AS BIGINT) AS key_checksum
+    FROM net GROUP BY net_op
+    """,
+)
+def events_cdc_net_changes(spark: SparkSession, sf_dir: str):
+    """CDC net-effect compaction — the change-log squash every
+    Debezium/CDC ingest pipeline runs before merging into the lake:
+    thousands of per-key changes collapse to ONE net operation via
+    first/last-writer analysis (insert then delete inside the window ⇒
+    no-op; anything ending in delete ⇒ delete; starting with insert and
+    still alive ⇒ net insert; else net update). The change log is
+    synthesized deterministically from orders (key = orderkey mod 997,
+    seq = orderkey, op from the key residue). One groupBy per key with
+    min_by/max_by (seq is unique ⇒ tie-free parity), then a 4-row
+    rollup; the compaction is mergeable partial aggregation, so at
+    100 TB it rides map-side combine — the squash happens BEFORE the
+    shuffle, which is the entire point of compacting ahead of the
+    MERGE (operators/mutate.py applies the squashed set
+    copy-on-write)."""
+    o = t(spark, sf_dir, "orders")
+    log = o.select(
+        (F.col("o_orderkey") % 997).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 < 6, "U")
+        .when(F.col("o_orderkey") % 10 < 8, "I")
+        .otherwise("D")
+        .alias("op"),
+    )
+    per_key = log.groupBy("key").agg(
+        F.min_by("op", "seq").alias("first_op"),
+        F.max_by("op", "seq").alias("last_op"),
+        F.count("*").cast("bigint").alias("n_changes"),
+    )
+    net = per_key.select(
+        "key",
+        "n_changes",
+        F.when(
+            (F.col("last_op") == "D") & (F.col("first_op") == "I"), "NONE"
+        )
+        .when(F.col("last_op") == "D", "D")
+        .when(F.col("first_op") == "I", "I")
+        .otherwise("U")
+        .alias("net_op"),
+    )
+    return net.groupBy("net_op").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n_changes").cast("bigint").alias("n_changes"),
+        F.sum("key").cast("bigint").alias("key_checksum"),
+    )

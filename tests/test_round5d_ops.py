@@ -361,3 +361,76 @@ def test_r5d_plan_guards(spark, sf_dir):
     ols_plan = formatted_plan(part_brand_ols_slope(spark, sf_dir))
     assert "Join" not in ols_plan
     assert ols_plan.count("Exchange") == 1 * 2
+
+
+def test_cohort_ltv_cumsum_is_consistent_and_conserves_revenue(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        orders_cohort_ltv_curve,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    rows = orders_cohort_ltv_curve(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    total_cents = o.agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+    ).collect()[0][0]
+    n_orders = o.count()
+    assert sum(r.cents for r in rows) == total_cents
+    assert sum(r.n_orders for r in rows) == n_orders
+    # per cohort: cum_cents is the running sum over age and ends at the total
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+    for pts in by_cohort.values():
+        pts.sort(key=lambda r: r.age_months)
+        run = 0
+        for r in pts:
+            run += r.cents
+            assert r.cum_cents == run
+
+
+def test_novelty_decay_buckets_conserve_first_occurrences(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        docs_ngram_novelty_decay,
+    )
+
+    rows = sorted(
+        docs_ngram_novelty_decay(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows, "non-empty corpus must produce curve points"
+    # bucket 0's distinct grams are all novel by definition
+    assert rows[0].bucket == 0
+    assert rows[0].n_novel == rows[0].n_distinct_grams
+    assert rows[0].novelty_fp == 1_000_000
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_distinct_grams
+
+
+def test_cosupply_graph_is_top_decile_and_symmetric_free(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        supplier_shared_customer_graph,
+    )
+
+    rows = supplier_shared_customer_graph(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.supp_a < r.supp_b  # each edge stored once
+        assert (r.supp_a, r.supp_b) not in seen
+        seen.add((r.supp_a, r.supp_b))
+        assert r.n_shared_customers >= 1
+
+
+def test_cdc_net_changes_partition_all_keys(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        events_cdc_net_changes,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    rows = events_cdc_net_changes(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_keys = o.select((F.col("o_orderkey") % 997).alias("k")).distinct().count()
+    n_orders = o.count()
+    assert sum(r.n_keys for r in rows) == n_keys
+    assert sum(r.n_changes for r in rows) == n_orders
+    assert {r.net_op for r in rows} <= {"I", "U", "D", "NONE"}
