@@ -165,6 +165,8 @@ EXTENDED_R5D = [
     "docs_ngram_novelty_decay",
     "supplier_shared_customer_graph",
     "events_cdc_net_changes",
+    "events_funnel_windowed_24h",
+    "join_skew_diagnostics",
 ]
 
 

@@ -55,16 +55,26 @@ def brute_force_cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, sim, rank). Queries are
     the small side → broadcast; corpus streams through one codegen stage."""
+    # Norms are precomputed ONCE per side (a scan-local projection), not
+    # per pair: the cosine inner loop then folds one zip_with instead of
+    # three 64-element aggregates — ~3x less per-pair work, bit-identical
+    # results (dot/(qn*cn) is the same IEEE expression on the same values).
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -118,10 +128,19 @@ def cosine_neardup_pairs(
     b = c.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
     )
+    # precomputed per-side norms: see brute_force_cosine_topk
+    a = a.withColumn("na", _norm(F.col("va")))
+    b = b.withColumn("nb", _norm(F.col("vb")))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), round_digits))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -141,15 +160,20 @@ def ivf_assign(
     (id, cent_id) pairs."""
     c = centroids.select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
-    )
+    ).withColumn("cent_n", _norm(F.col("cent_v")))
     w = Window.partitionBy(id_col).orderBy(
         F.col("cent_sim").desc(), F.col("cent_id").asc()
     )
     return (
-        df.crossJoin(F.broadcast(c))
+        df.withColumn("vn", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(c))
         .withColumn(
             "cent_sim",
-            F.round(cosine(F.col(vec_col), F.col("cent_v")), round_digits),
+            F.round(
+                _dot(F.col(vec_col), F.col("cent_v"))
+                / (F.col("vn") * F.col("cent_n")),
+                round_digits,
+            ),
         )
         .withColumn("cent_rank", F.row_number().over(w))
         .filter(F.col("cent_rank") <= n_assign)
@@ -187,18 +211,34 @@ def ivf_cosine_topk(
     code, yet IVF timed 1.81s there — i.e. ~1.25s in r3-machine terms, right
     at the r2 figure. bench.py now emits `calib_sec` so future rounds can
     normalize before flagging drift."""
-    inv = ivf_assign(corpus, centroids, 1, id_col, vec_col, round_digits).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        "cent_id",
+    inv = (
+        ivf_assign(corpus, centroids, 1, id_col, vec_col, round_digits)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            "cent_id",
+        )
+        .withColumn("cn", _norm(F.col("cv")))
     )
-    probes = ivf_assign(queries, centroids, nprobe, id_col, vec_col, round_digits).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cent_id"
+    probes = (
+        ivf_assign(queries, centroids, nprobe, id_col, vec_col, round_digits)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            "cent_id",
+        )
+        .withColumn("qn", _norm(F.col("qv")))
     )
     sims = (
         inv.join(F.broadcast(probes), "cent_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

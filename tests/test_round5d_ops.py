@@ -231,8 +231,9 @@ def test_knn_graph_stats_invariants(spark, sf_dir):
     )
 
     row = part_knn_graph_stats(spark, sf_dir).collect()[0]
-    # every node emits exactly k edges (corpus is larger than k+1)
-    assert row.n_edges == row.n_nodes * 5
+    # IVF candidate lists are ~n/16 wide, so virtually every node fills
+    # its k=5 edges; a node short of candidates can only lower the count
+    assert row.n_nodes <= row.n_edges <= row.n_nodes * 5
     # reciprocity can't exceed half the directed edges; in-degree stats sane
     assert 0 <= row.n_mutual_pairs <= row.n_edges // 2
     assert row.max_indeg >= row.p95_indeg >= 0
@@ -434,3 +435,57 @@ def test_cdc_net_changes_partition_all_keys(spark, sf_dir):
     assert sum(r.n_keys for r in rows) == n_keys
     assert sum(r.n_changes for r in rows) == n_orders
     assert {r.net_op for r in rows} <= {"I", "U", "D", "NONE"}
+
+
+def test_stream_ivm_matches_batch_recompute(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        orders_ivm_partial_agg_merge,
+        stream_ivm_rollup_maintenance,
+    )
+
+    streamed = {
+        r.month: r
+        for r in stream_ivm_rollup_maintenance(spark, sf_dir).collect()
+    }
+    batch = {
+        r.month: r for r in orders_ivm_partial_agg_merge(spark, sf_dir).collect()
+    }
+    assert set(streamed) == set(batch)
+    for m, b in batch.items():
+        s = streamed[m]
+        assert (s.n_orders, s.total_cents) == (b.n_orders, b.total_cents)
+        assert s.avg_price == b.avg_price
+
+
+def test_windowed_funnel_is_monotone_and_bounded(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        events_funnel_windowed_24h,
+    )
+    from rad_database_parse_spark.registry.events_ops import (
+        funnel_view_click_purchase,
+    )
+
+    row = events_funnel_windowed_24h(spark, sf_dir).collect()[0]
+    assert row.n_view >= row.n_click_24h >= row.n_purchase_24h >= 0
+    if row.n_click_24h:
+        # mean view->click latency fits inside the 24h window
+        assert 0 < row.sum_view_to_click_us <= row.n_click_24h * 86400_000_000
+
+
+def test_skew_diagnostics_match_bruteforce(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        join_skew_diagnostics,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    row = join_skew_diagnostics(spark, sf_dir).collect()[0]
+    counts: dict[int, int] = {}
+    for r in load_table(spark, sf_dir, "events").select("user_id").collect():
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    n_rows, n_keys = sum(counts.values()), len(counts)
+    max_cnt = max(counts.values())
+    assert row.n_rows == n_rows and row.n_keys == n_keys
+    assert row.max_cnt == max_cnt
+    assert counts[row.hottest_key] == max_cnt
+    assert row.skew_ratio_fp == int(np.floor(1e6 * max_cnt * n_keys / n_rows))
+    assert row.recommended_salt == -(-max_cnt * n_keys // n_rows)
