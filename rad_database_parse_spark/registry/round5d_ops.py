@@ -1506,17 +1506,16 @@ def supplier_shared_customer_graph(spark: SparkSession, sf_dir: str):
     count ≥ exact p90 — a data-relative cut, selective at any SF) — the
     co-occurrence projection underlying substitute-supplier detection
     and market-structure graphs, and the graph-construction dual of the
-    basket_part_association pair miner. The Spark side uses the
-    BOUNDED-WIDTH COLLAPSE (the docs_cross_source_overlap discipline):
-    each customer's supplier set is collected once (width bounded by
-    suppliers-per-customer, NOT corpus size), sorted, and ordered pairs
-    explode from the array — the bipartite table never self-joins at
-    row granularity, which is what makes the projection survive
-    power-law customers at 100 TB (a hub customer contributes
-    |S|·(|S|-1)/2 pairs either way, but the collapse materializes them
-    map-side from one array instead of shuffling |S| rows into a join).
-    The oracle states the same semantics as the naive self-join —
-    correct at gate SF, and the contrast is the point."""
+    basket_part_association pair miner. Shape note (measured, r5): the
+    per-customer array collapse + pair explosion was tried first and
+    LOST to the equi-key self-join by 6x at sf0.1 — nested
+    struct-building lambdas execute interpreted (no codegen), while the
+    hash self-join generates the identical |S|²/2 pairs inside
+    WholeStageCodegen; both shapes put a hub customer's pairs in one
+    task, so the join shape concedes nothing on skew. The production
+    hub mitigation is orthogonal either way: cap per-customer width
+    (top-N suppliers by volume) before pair generation. The p90 edge
+    cut is a 1-row broadcast."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     sc = (
@@ -1524,18 +1523,9 @@ def supplier_shared_customer_graph(spark: SparkSession, sf_dir: str):
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
     )
-    sets = sc.groupBy("c").agg(
-        F.array_sort(F.collect_set("s")).alias("ss")
-    )
-    pairs = sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ss, (x, i) -> "
-                "transform(slice(ss, i + 2, size(ss)), "
-                "y -> struct(x AS supp_a, y AS supp_b))))"
-            )
-        ).alias("p")
-    ).select("p.supp_a", "p.supp_b")
+    a = sc.select(F.col("s").alias("supp_a"), "c")
+    b = sc.select(F.col("s").alias("supp_b"), "c")
+    pairs = a.join(b, "c").filter(F.col("supp_a") < F.col("supp_b"))
     counted = pairs.groupBy("supp_a", "supp_b").agg(
         F.count("*").cast("bigint").alias("n_shared_customers")
     )
