@@ -167,6 +167,9 @@ EXTENDED_R5D = [
     "events_cdc_net_changes",
     "events_funnel_windowed_24h",
     "join_skew_diagnostics",
+    "events_cep_click_after_view_no_error",
+    "emb_dim_variance_profile",
+    "orders_backlog_sweepline",
 ]
 
 

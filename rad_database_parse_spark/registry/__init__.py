@@ -226,6 +226,9 @@ _WINDOW_R6 = [
     "stream_ivm_rollup_maintenance",
     "events_funnel_windowed_24h",
     "join_skew_diagnostics",
+    "events_cep_click_after_view_no_error",
+    "emb_dim_variance_profile",
+    "orders_backlog_sweepline",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

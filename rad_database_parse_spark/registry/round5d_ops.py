@@ -1853,3 +1853,211 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("recommended_salt"),
     )
+
+
+# ------------------- CEP: pattern with a negative condition (no-X-between)
+@register(
+    "events_cep_click_after_view_no_error",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER w AS last_view_us,
+             MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+               OVER w AS last_error_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN last_view_us IS NOT NULL
+                          AND (last_error_us IS NULL
+                               OR last_view_us > last_error_us)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_matches
+    FROM marked WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def events_cep_click_after_view_no_error(spark: SparkSession, sf_dir: str):
+    """Complex-event-processing pattern with a NEGATIVE condition —
+    MATCH_RECOGNIZE's "A then B with no C between" (here: a click
+    preceded by a view with no error in between), the alert shape
+    sequence-funnel operators cannot express because absence is not a
+    join. The relational rewrite: two running last-event-time marks
+    (last view, last error) over ONE user_id window pass with an
+    exclusive frame; a click matches iff last_view exists and postdates
+    last_error. No self-join, no per-user loop, no state machine — one
+    exchange, all predicates in codegen, exact integer micros. The
+    streaming twin of this shape is the stateful sessionizer's
+    applyInPandasWithState; batch-side, absence-between reduces to a
+    frame comparison."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        F.max(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        )
+        .over(w)
+        .alias("last_view_us"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.unix_micros("ts"))
+        )
+        .over(w)
+        .alias("last_error_us"),
+    )
+    return (
+        marked.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clicks"),
+            F.sum(
+                F.when(
+                    F.col("last_view_us").isNotNull()
+                    & (
+                        F.col("last_error_us").isNull()
+                        | (F.col("last_view_us") > F.col("last_error_us"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clean_matches"),
+        )
+    )
+
+
+# ------------------------- embedding dimension health profile
+@register(
+    "emb_dim_variance_profile",
+    """
+    WITH q AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(1000000 * x) AS BIGINT)) AS qv
+      FROM embeddings),
+    flat AS (
+      SELECT p.pos, qv[p.pos] AS v
+      FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p),
+    m AS (
+      SELECT CAST(pos AS INT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(v * v) AS BIGINT) AS s2
+      FROM flat GROUP BY pos)
+    SELECT dim, n,
+           CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean,
+           (CAST(s2 AS DOUBLE) / n
+            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / 1000000.0 / 1000000.0 AS variance
+    FROM m
+    """,
+)
+def emb_dim_variance_profile(spark: SparkSession, sf_dir: str):
+    """Per-dimension embedding health profile — mean and variance of
+    every coordinate, the model-ops screen that catches dead dimensions
+    (variance ~ 0: wasted index bytes, a truncation candidate) and
+    scale-imbalanced ones (a few dims dominating every distance). The
+    parity discipline is the kmeans quantization: coordinates become
+    1e-6 fixed-point BIGINTs, moments (Σv, Σv²) accumulate exactly, and
+    the only float ops are the final divisions on identical integers.
+    Plan: posexplode to (dim, v) narrow rows, one partial-combine
+    groupBy to 64 rows — mergeable, so the same single-pass profile
+    runs at any corpus size (and is the input that would choose the
+    emb_truncated_topk_recall truncation point)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(F.lit(1000000) * x.cast("double")).cast(
+                "bigint"
+            ),
+        ).alias("qv")
+    )
+    flat = q.select(F.posexplode("qv").alias("pos0", "v")).select(
+        (F.col("pos0") + 1).cast("int").alias("dim"), "v"
+    )
+    m = flat.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+    )
+    mean_i = F.col("s1").cast("double") / F.col("n")
+    return m.select(
+        "dim",
+        "n",
+        (mean_i / F.lit(1000000.0)).alias("mean"),
+        (
+            (F.col("s2").cast("double") / F.col("n") - mean_i * mean_i)
+            / F.lit(1000000.0)
+            / F.lit(1000000.0)
+        ).alias("variance"),
+    )
+
+
+# --------------------------- sweep-line: open-order backlog series
+@register(
+    "orders_backlog_sweepline",
+    """
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS start_day,
+             CAST(MAX(l.l_shipdate) AS DATE) AS end_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)),
+    deltas AS (
+      SELECT start_day AS day, CAST(1 AS BIGINT) AS d FROM spans
+      UNION ALL
+      SELECT end_day AS day, CAST(-1 AS BIGINT) AS d FROM spans),
+    daily AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS delta
+      FROM deltas GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+           CAST(SUM(delta) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_backlog
+    FROM daily
+    """,
+)
+def orders_backlog_sweepline(spark: SparkSession, sf_dir: str):
+    """Open-order backlog over time by SWEEP-LINE: each order
+    contributes +1 at placement and -1 at its last shipment, and the
+    running sum of the daily deltas IS the number of concurrently open
+    orders — the classic interval-concurrency rewrite that replaces the
+    quadratic day×interval containment join (or a per-day correlated
+    count) with one groupBy and one running window. The operational
+    'how deep is the fulfilment queue' series, and the same shape
+    answers any concurrency question (active sessions, concurrent
+    rentals, peak occupancy). The span derivation is one orderkey
+    groupBy; deltas collapse to the daily grain before the (tiny,
+    date-ordered) global window — the only single-partition stage runs
+    over #days rows, not orders. Exact integers throughout."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("start_day"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_day"))
+    )
+    deltas = spans.select(
+        F.col("start_day").alias("day"), F.lit(1).cast("bigint").alias("d")
+    ).unionAll(
+        spans.select(
+            F.col("end_day").alias("day"), F.lit(-1).cast("bigint").alias("d")
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("d").cast("bigint").alias("delta")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "delta",
+        F.sum("delta").over(w).cast("bigint").alias("open_backlog"),
+    )

@@ -489,3 +489,83 @@ def test_skew_diagnostics_match_bruteforce(spark, sf_dir):
     assert counts[row.hottest_key] == max_cnt
     assert row.skew_ratio_fp == int(np.floor(1e6 * max_cnt * n_keys / n_rows))
     assert row.recommended_salt == -(-max_cnt * n_keys // n_rows)
+
+
+def test_cep_negative_condition_matches_bruteforce(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        events_cep_click_after_view_no_error,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    got = {
+        r.user_id: r
+        for r in events_cep_click_after_view_no_error(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in ev:
+        streams.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    for uid, s in streams.items():
+        s.sort()
+        last_view = last_error = None  # ts of the latest one (the operator
+        clicks = clean = 0             # compares event-time, not position)
+        for _ts, _eid, et in s:
+            if et == "click":
+                clicks += 1
+                if last_view is not None and (
+                    last_error is None or last_view > last_error
+                ):
+                    clean += 1
+            elif et == "view":
+                last_view = _ts
+            elif et == "error":
+                last_error = _ts
+        if clicks:
+            assert got[uid].n_clicks == clicks
+            assert got[uid].n_clean_matches == clean
+        else:
+            assert uid not in got
+
+
+def test_dim_variance_profile_matches_numpy(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        emb_dim_variance_profile,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    got = {r.dim: r for r in emb_dim_variance_profile(spark, sf_dir).collect()}
+    vecs = np.array(
+        [
+            np.floor(np.asarray(r.embedding, dtype=np.float64) * 1e6)
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ]
+    )
+    assert set(got) == set(range(1, 65))
+    for d in range(64):
+        col = vecs[:, d]
+        assert got[d + 1].n == len(col)
+        assert abs(got[d + 1].mean - col.mean() / 1e6) < 1e-9
+        ex2 = (col * col).sum() / len(col)
+        var = (ex2 - col.mean() ** 2) / 1e12
+        assert abs(got[d + 1].variance - var) < 1e-9
+
+
+def test_backlog_sweepline_total_returns_to_zero(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        orders_backlog_sweepline,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    rows = sorted(orders_backlog_sweepline(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    # every +1 meets its -1: the final running value is zero, and the
+    # backlog never goes negative along the way
+    assert rows[-1].open_backlog == 0
+    assert all(r.open_backlog >= 0 for r in rows)
+    # peak backlog can't exceed the order count
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert max(r.open_backlog for r in rows) <= n_orders
