@@ -229,6 +229,11 @@ _WINDOW_R6 = [
     "events_cep_click_after_view_no_error",
     "emb_dim_variance_profile",
     "orders_backlog_sweepline",
+    "udtf_dynamic_split_words",
+    "lineitem_ks_two_sample",
+    "nation_mix_shift_decomposition",
+    "part_laspeyres_price_index",
+    "events_bot_detection_rules",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -2061,3 +2061,449 @@ def orders_backlog_sweepline(spark: SparkSession, sf_dir: str):
         "delta",
         F.sum("delta").over(w).cast("bigint").alias("open_backlog"),
     )
+
+
+# ------------------- polymorphic UDTF (analyze-time dynamic schema)
+_SPLIT_N = 3
+
+
+@register(
+    "udtf_dynamic_split_words",
+    f"""
+    SELECT p_partkey,
+           {", ".join(
+               f"string_split(p_name, ' ')[{i + 1}] AS word_{i + 1}"
+               for i in range(_SPLIT_N)
+           )}
+    FROM part
+    """,
+)
+def udtf_dynamic_split_words(spark: SparkSession, sf_dir: str):
+    """Polymorphic Python UDTF whose OUTPUT SCHEMA is computed at
+    analyze time from a literal argument (Spark 4's UDTF ``analyze()``
+    protocol — SPARK-44503) — the last member of the repo's UDF matrix:
+    scalar/grouped-agg pandas UDFs, grouped-map, mapInPandas,
+    applyInPandasWithState (both timeout modes), mapInArrow, and
+    static- AND dynamic-schema UDTFs. ``split_words(name, N)`` fans a
+    string into word_1..word_N columns; N=2 and N=5 produce genuinely
+    different schemas from one registration, which a static returnType
+    cannot express. The eval path is per-row Python (the documented
+    slow path — the JVM split() is the hot-path form); the value here
+    is API parity, and the oracle is the JVM-side split indexed in SQL,
+    so the gate also proves the Python fan-out agrees with the
+    declarative rewrite."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitWords:
+        @staticmethod
+        def analyze(
+            s: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"word_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, s: str, n: int):
+            words = (s or "").split(" ")
+            yield tuple(
+                words[i] if i < len(words) else None for i in range(int(n))
+            )
+
+    spark.udtf.register("split_words_dyn", udtf(SplitWords))
+    p = t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("part_udtf_view")
+    return spark.sql(
+        f"""
+        SELECT p.p_partkey, s.*
+        FROM part_udtf_view p,
+             LATERAL split_words_dyn(p.p_name, {_SPLIT_N}) s
+        """
+    )
+
+
+# --------------------- two-sample Kolmogorov-Smirnov (exact integer)
+@register(
+    "lineitem_ks_two_sample",
+    """
+    WITH a AS (SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'A'),
+    b AS (SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'R'),
+    pts AS (
+      SELECT v,
+             CAST(COUNT(*) FILTER (WHERE src = 1) AS BIGINT) AS ca,
+             CAST(COUNT(*) FILTER (WHERE src = 2) AS BIGINT) AS cb
+      FROM (SELECT v, 1 AS src FROM a UNION ALL SELECT v, 2 AS src FROM b)
+      GROUP BY v),
+    cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n2
+      FROM pts
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    d AS (
+      SELECT v, n1, n2, abs(cum_a * n2 - cum_b * n1) AS d_scaled,
+             ROW_NUMBER() OVER (ORDER BY abs(cum_a * n2 - cum_b * n1) DESC,
+                                v) AS rk
+      FROM cum)
+    SELECT n1, n2, d_scaled, v AS at_value,
+           CAST(floor(1000000.0 * d_scaled / (n1 * n2)) AS BIGINT) AS ks_fp
+    FROM d WHERE rk = 1
+    """,
+)
+def lineitem_ks_two_sample(spark: SparkSession, sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic between the A and R
+    return-flag quantity distributions — THE nonparametric
+    distribution-drift test (train/serve skew, cohort shift) computed
+    EXACTLY: D = max|F1 - F2| over the merged support, with the CDFs
+    cross-multiplied to integers (|cum_a·n2 − cum_b·n1|) so the argmax
+    needs no float tolerance and both engines agree bit-for-bit. Plan:
+    one value-grain groupBy with conditional counts (partial combine
+    collapses the fact table to ≤|support| rows — 50 here), one
+    running window over that tiny spine (single-partition by design,
+    bounded by support size, NOT data size), one rank-1 filter. The
+    chi-square drift monitor (orders_priority_drift_chi2) covers
+    categorical columns; this covers ordered/numeric ones."""
+    li = t(spark, sf_dir, "lineitem")
+    pts = (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = pts.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+    )
+    cum = (
+        pts.withColumn("cum_a", F.sum("ca").over(w).cast("bigint"))
+        .withColumn("cum_b", F.sum("cb").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(totals))
+    )
+    d = cum.select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum_a") * F.col("n2") - F.col("cum_b") * F.col("n1")
+        ).alias("d_scaled"),
+    )
+    w_rk = Window.orderBy(F.col("d_scaled").desc(), F.col("v"))
+    return (
+        d.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "n1",
+            "n2",
+            "d_scaled",
+            F.col("v").alias("at_value"),
+            F.floor(
+                F.lit(1000000.0) * F.col("d_scaled")
+                / (F.col("n1") * F.col("n2"))
+            )
+            .cast("bigint")
+            .alias("ks_fp"),
+        )
+    )
+
+
+# ------------------- revenue bridge: mix vs growth decomposition
+@register(
+    "nation_mix_shift_decomposition",
+    """
+    WITH r0 AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE year(o.o_orderdate) = 1996 GROUP BY c.c_nationkey),
+    r1 AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE year(o.o_orderdate) = 1997 GROUP BY c.c_nationkey),
+    tot AS (
+      SELECT (SELECT CAST(SUM(cents) AS BIGINT) FROM r0) AS t0,
+             (SELECT CAST(SUM(cents) AS BIGINT) FROM r1) AS t1),
+    m AS (
+      SELECT COALESCE(r0.nk, r1.nk) AS nk,
+             COALESCE(r0.cents, 0) AS c0, COALESCE(r1.cents, 0) AS c1
+      FROM r0 FULL OUTER JOIN r1 ON r0.nk = r1.nk)
+    SELECT n.n_name,
+           m.c0 AS r0_cents, m.c1 AS r1_cents,
+           m.c1 - m.c0 AS delta_cents,
+           CAST(CAST(m.c1 AS HUGEINT) * t.t0
+                - CAST(m.c0 AS HUGEINT) * t.t1 AS VARCHAR)
+             AS mix_scaled,
+           CAST(CAST(m.c1 AS HUGEINT) * (t.t1 - t.t0) AS VARCHAR)
+             AS growth_scaled
+    FROM m CROSS JOIN tot t JOIN nation n ON n.n_nationkey = m.nk
+    """,
+)
+def nation_mix_shift_decomposition(spark: SparkSession, sf_dir: str):
+    """Revenue-bridge decomposition: each nation's 1996→1997 revenue
+    change splits EXACTLY into a mix effect (share shift) and a growth
+    effect (market growth at the nation's new share) — the BI waterfall
+    behind every 'why did revenue move' review. The float-free trick:
+    scale both effects by T1 (mix = c1·T0 − c0·T1, growth = c1·(T1−T0))
+    so mix + growth = Δ·T1 as an exact DECIMAL(38,0) identity per
+    nation (cents × yearly-total-cents exceeds BIGINT; 128-bit exact
+    integers carry it — HUGEINT on the oracle side), and
+    Σ mix = 0 / Σ growth = (T1−T0)·T1 globally — conservation laws a
+    test can assert to the last cent, impossible with floored float
+    shares. Plan: two pruned scans partial-agg to nation grain, a
+    25-row full-outer merge, 1-row totals broadcast, broadcast nation
+    dim. At 100 TB only the two fact scans touch data."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+
+    def rev(yr: int):
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  o["o_custkey"] == c["c_custkey"])
+            .groupBy(F.col("c_nationkey").alias("nk"))
+            .agg(
+                F.sum((dec("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("cents")
+            )
+        )
+
+    r0 = rev(1996).withColumnRenamed("cents", "c0")
+    r1 = rev(1997).withColumnRenamed("cents", "c1")
+    m = (
+        r0.join(r1, "nk", "full_outer")
+        .select(
+            "nk",
+            F.coalesce("c0", F.lit(0)).cast("bigint").alias("c0"),
+            F.coalesce("c1", F.lit(0)).cast("bigint").alias("c1"),
+        )
+    )
+    tot = m.agg(
+        F.sum("c0").cast("bigint").alias("t0"),
+        F.sum("c1").cast("bigint").alias("t1"),
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(n), m["nk"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.col("c0").alias("r0_cents"),
+            F.col("c1").alias("r1_cents"),
+            (F.col("c1") - F.col("c0")).alias("delta_cents"),
+            # cents x yearly-total-cents exceeds BIGINT — exact DECIMAL(38)
+            (
+                F.col("c1").cast("decimal(38,0)")
+                * F.col("t0").cast("decimal(38,0)")
+                - F.col("c0").cast("decimal(38,0)")
+                * F.col("t1").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .cast("string")  # 128-bit exact digits; strings hash-compare
+            .alias("mix_scaled"),
+            (
+                F.col("c1").cast("decimal(38,0)")
+                * (F.col("t1") - F.col("t0")).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("growth_scaled"),
+        )
+    )
+
+
+# ----------------------- Laspeyres price index (fixed-basket, per brand)
+@register(
+    "part_laspeyres_price_index",
+    """
+    WITH p0 AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS ext0,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty0
+      FROM lineitem l WHERE year(l.l_shipdate) = 1996
+      GROUP BY l.l_partkey),
+    p1 AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS ext1,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty1
+      FROM lineitem l WHERE year(l.l_shipdate) = 1997
+      GROUP BY l.l_partkey),
+    j AS (
+      SELECT p.p_brand,
+             CAST(SUM((1000000 * p1.ext1 * p0.qty0) // p1.qty1) AS BIGINT)
+               AS num_fp,
+             CAST(SUM(1000000 * p0.ext0) AS BIGINT) AS den_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM p0 JOIN p1 USING (l_partkey)
+      JOIN part p ON p.p_partkey = p0.l_partkey
+      GROUP BY p.p_brand)
+    SELECT p_brand, n_parts,
+           CAST(floor(1000000.0 * num_fp / den_fp) AS BIGINT) AS index_fp
+    FROM j
+    """,
+)
+def part_laspeyres_price_index(spark: SparkSession, sf_dir: str):
+    """Laspeyres fixed-basket price index per brand (1996 basket priced
+    at 1997 unit prices over its 1996 cost) — the inflation/pricing
+    analytics staple. Exactness discipline: the per-part term
+    p1·q0 = ext1·qty0/qty1 is computed as INTEGER division of
+    1e6-scaled BIGINTs ((1e6·ext1·qty0) div qty1 — both engines'
+    integer div, no double in sight until the final ratio), so the
+    per-brand sums are bit-identical and the index is a fixed-point
+    floor of one terminal division. Plan: two pruned-year partial aggs
+    to part grain, one part-keyed join (co-partitioned), broadcast part
+    dim, brand rollup. Only parts traded in BOTH periods enter —
+    the standard matched-basket convention."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+
+    def per_part(yr: int, ext: str, qty: str):
+        return (
+            li.filter(F.year("l_shipdate") == yr)
+            .groupBy("l_partkey")
+            .agg(
+                F.sum((dec("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias(ext),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias(qty),
+            )
+        )
+
+    p0 = per_part(1996, "ext0", "qty0")
+    p1 = per_part(1997, "ext1", "qty1")
+    j = (
+        p0.join(p1, "l_partkey")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.expr("(1000000 * ext1 * qty0) div qty1")
+            )
+            .cast("bigint")
+            .alias("num_fp"),
+            F.sum(F.lit(1000000) * F.col("ext0"))
+            .cast("bigint")
+            .alias("den_fp"),
+            F.count("*").cast("bigint").alias("n_parts"),
+        )
+    )
+    return j.select(
+        "p_brand",
+        "n_parts",
+        F.floor(F.lit(1000000.0) * F.col("num_fp") / F.col("den_fp"))
+        .cast("bigint")
+        .alias("index_fp"),
+    )
+
+
+# --------------------------- rule-based bot/abuse detection screen
+_BOT_BURST_10MIN = 12
+_BOT_ERROR_SHARE_FP = 300000  # 30%
+
+
+@register(
+    "events_bot_detection_rules",
+    f"""
+    WITH burst AS (
+      SELECT user_id, event_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+               AS in_10min
+      FROM events),
+    per_user AS (
+      SELECT e.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(floor(1000000.0
+                        * SUM(CASE WHEN e.event_type = 'error'
+                                   THEN 1 ELSE 0 END) / COUNT(*))
+                  AS BIGINT) AS error_share_fp,
+             CAST(MAX(b.in_10min) AS BIGINT) AS max_burst_10min
+      FROM events e JOIN burst b ON b.event_id = e.event_id
+      GROUP BY e.user_id)
+    SELECT user_id, n_events, error_share_fp, max_burst_10min,
+           CAST((CASE WHEN max_burst_10min >= {_BOT_BURST_10MIN}
+                      THEN 1 ELSE 0 END)
+                + (CASE WHEN error_share_fp >= {_BOT_ERROR_SHARE_FP}
+                        THEN 2 ELSE 0 END) AS INT) AS flags
+    FROM per_user
+    WHERE max_burst_10min >= {_BOT_BURST_10MIN}
+       OR error_share_fp >= {_BOT_ERROR_SHARE_FP}
+    """,
+)
+def events_bot_detection_rules(spark: SparkSession, sf_dir: str):
+    """Rule-based bot/abuse screen — the traffic-cleaning gate a
+    training-data pipeline runs before user-event data is trusted
+    (rate-limit bursts and error-storm clients poison engagement
+    features and event-derived labels): flags users whose 10-minute
+    event burst exceeds {_BOT_BURST_10MIN} or whose error share exceeds
+    30%, with a composed bitmask (bit 1 = burst, bit 2 = errors) so
+    downstream consumers can route by reason. The burst is a RANGE
+    event-time frame over the user_id exchange (the
+    window_range_frame_5min machinery); the per-user rollup reuses the
+    same partitioning; shares are fixed-point. At 100 TB this is one
+    window + one groupBy on the sessionization exchange — the cheapest
+    possible shape for a per-entity behavioral screen."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600000000, 0)
+    )
+    burst = ev.select(
+        "user_id",
+        "event_type",
+        F.count("*").over(w).alias("in_10min"),
+    )
+    per_user = burst.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("error_share_fp"),
+        F.max("in_10min").cast("bigint").alias("max_burst_10min"),
+    )
+    return per_user.filter(
+        (F.col("max_burst_10min") >= _BOT_BURST_10MIN)
+        | (F.col("error_share_fp") >= _BOT_ERROR_SHARE_FP)
+    ).select(
+        "user_id",
+        "n_events",
+        "error_share_fp",
+        "max_burst_10min",
+        (
+            F.when(F.col("max_burst_10min") >= _BOT_BURST_10MIN, 1).otherwise(
+                0
+            )
+            + F.when(
+                F.col("error_share_fp") >= _BOT_ERROR_SHARE_FP, 2
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("flags"),
+    )

@@ -569,3 +569,84 @@ def test_backlog_sweepline_total_returns_to_zero(spark, sf_dir):
     # peak backlog can't exceed the order count
     n_orders = load_table(spark, sf_dir, "orders").count()
     assert max(r.open_backlog for r in rows) <= n_orders
+
+
+def test_ks_two_sample_matches_numpy(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        lineitem_ks_two_sample,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    row = lineitem_ks_two_sample(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    ).collect()
+    a = sorted(r.l_quantity for r in li if r.l_returnflag == "A")
+    b = sorted(r.l_quantity for r in li if r.l_returnflag == "R")
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    best = (0, None)
+    for v in support:
+        ca = bisect.bisect_right(a, v)
+        cb = bisect.bisect_right(b, v)
+        d = abs(ca * len(b) - cb * len(a))
+        if d > best[0]:
+            best = (d, v)
+    assert (row.n1, row.n2) == (len(a), len(b))
+    assert row.d_scaled == best[0]
+    assert row.at_value == best[1]
+    assert row.ks_fp == int(np.floor(1e6 * best[0] / (len(a) * len(b))))
+
+
+def test_mix_shift_decomposition_conserves(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        nation_mix_shift_decomposition,
+    )
+
+    rows = nation_mix_shift_decomposition(spark, sf_dir).collect()
+    t0 = sum(r.r0_cents for r in rows)
+    t1 = sum(r.r1_cents for r in rows)
+    # per-nation identity: mix + growth == delta * T1, to the last cent
+    for r in rows:
+        assert int(r.mix_scaled) + int(r.growth_scaled) == r.delta_cents * t1
+    # global conservation laws
+    assert sum(int(r.mix_scaled) for r in rows) == 0
+    assert sum(int(r.growth_scaled) for r in rows) == (t1 - t0) * t1
+
+
+def test_laspeyres_index_is_positive_and_matched_basket(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        part_laspeyres_price_index,
+    )
+
+    rows = part_laspeyres_price_index(spark, sf_dir).collect()
+    assert rows, "both years trade at every SF"
+    for r in rows:
+        assert r.n_parts >= 1
+        assert r.index_fp > 0  # prices are positive
+
+
+def test_bot_rules_flag_composition(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        events_bot_detection_rules,
+    )
+
+    for r in events_bot_detection_rules(spark, sf_dir).collect():
+        burst = r.max_burst_10min >= 12
+        errs = r.error_share_fp >= 300000
+        assert burst or errs
+        assert r.flags == (1 if burst else 0) + (2 if errs else 0)
+        assert 0 <= r.error_share_fp <= 1_000_000
+
+
+def test_dynamic_udtf_schema_follows_literal(spark, sf_dir):
+    from pyspark.sql.functions import udtf as udtf_fn  # noqa: F401
+    from rad_database_parse_spark.registry.round5d_ops import (
+        udtf_dynamic_split_words,
+    )
+
+    df = udtf_dynamic_split_words(spark, sf_dir)
+    assert df.columns == ["p_partkey", "word_1", "word_2", "word_3"]
+    rows = df.collect()
+    assert all(r.word_1 is not None for r in rows)
