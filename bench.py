@@ -175,6 +175,7 @@ EXTENDED_R5D = [
     "nation_mix_shift_decomposition",
     "part_laspeyres_price_index",
     "events_bot_detection_rules",
+    "customer_decile_migration",
 ]
 
 

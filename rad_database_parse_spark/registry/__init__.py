@@ -234,6 +234,7 @@ _WINDOW_R6 = [
     "nation_mix_shift_decomposition",
     "part_laspeyres_price_index",
     "events_bot_detection_rules",
+    "customer_decile_migration",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -2507,3 +2507,68 @@ def events_bot_detection_rules(spark: SparkSession, sf_dir: str):
         .cast("int")
         .alias("flags"),
     )
+
+
+# ----------------------- customer spend-decile migration matrix
+@register(
+    "customer_decile_migration",
+    """
+    WITH s0 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+    s1 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey),
+    both_years AS (
+      SELECT s0.o_custkey, s0.cents AS c0, s1.cents AS c1
+      FROM s0 JOIN s1 ON s1.o_custkey = s0.o_custkey),
+    ranked AS (
+      SELECT o_custkey,
+             CAST(NTILE(10) OVER (ORDER BY c0, o_custkey) AS INT) AS d0,
+             CAST(NTILE(10) OVER (ORDER BY c1, o_custkey) AS INT) AS d1
+      FROM both_years)
+    SELECT d0 AS decile_1996, d1 AS decile_1997,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM ranked GROUP BY d0, d1
+    """,
+)
+def customer_decile_migration(spark: SparkSession, sf_dir: str):
+    """Spend-decile migration matrix: where each customer's 1996 spend
+    decile lands in 1997 — the mobility/churn table behind 'are our top
+    customers staying on top' (strong diagonal = sticky value tiers;
+    mass below it = churn risk). Deciles use NTILE over the total order
+    (spend, custkey) so bucket boundaries are deterministic in both
+    engines — a bare spend ordering would tie-break arbitrarily and
+    break cross-engine parity. Plan: two pruned year scans partial-agg
+    to customer grain, one customer join, two window ranks over the
+    same (small) matched-customer table, and a ≤100-row rollup. The
+    NTILE windows are single-partition by design over customer-grain
+    rows — at 100 TB swap for percent_rank bucketing from the mergeable
+    spend histogram (same output contract)."""
+    o = t(spark, sf_dir, "orders")
+
+    def spend(yr: int, col: str):
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum((dec("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias(col)
+            )
+        )
+
+    both = spend(1996, "c0").join(spend(1997, "c1"), "o_custkey")
+    d0 = Window.orderBy("c0", "o_custkey")
+    d1 = Window.orderBy("c1", "o_custkey")
+    ranked = both.select(
+        F.ntile(10).over(d0).cast("int").alias("decile_1996"),
+        F.ntile(10).over(d1).cast("int").alias("decile_1997"),
+    )
+    return ranked.groupBy("decile_1996", "decile_1997").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )

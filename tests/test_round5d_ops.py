@@ -650,3 +650,22 @@ def test_dynamic_udtf_schema_follows_literal(spark, sf_dir):
     assert df.columns == ["p_partkey", "word_1", "word_2", "word_3"]
     rows = df.collect()
     assert all(r.word_1 is not None for r in rows)
+
+
+def test_decile_migration_is_doubly_balanced(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        customer_decile_migration,
+    )
+
+    rows = customer_decile_migration(spark, sf_dir).collect()
+    n = sum(r.n_customers for r in rows)
+    # NTILE balance: every decile's row-margin and column-margin hold
+    # floor(n/10) or ceil(n/10) customers
+    lo, hi = n // 10, -(-n // 10)
+    row_m: dict[int, int] = {}
+    col_m: dict[int, int] = {}
+    for r in rows:
+        row_m[r.decile_1996] = row_m.get(r.decile_1996, 0) + r.n_customers
+        col_m[r.decile_1997] = col_m.get(r.decile_1997, 0) + r.n_customers
+    assert all(lo <= v <= hi for v in row_m.values())
+    assert all(lo <= v <= hi for v in col_m.values())
