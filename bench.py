@@ -176,6 +176,9 @@ EXTENDED_R5D = [
     "part_laspeyres_price_index",
     "events_bot_detection_rules",
     "customer_decile_migration",
+    "lineitem_anova_two_way",
+    "events_diff_in_differences",
+    "docs_bpe_first_merge",
 ]
 
 

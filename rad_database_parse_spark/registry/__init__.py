@@ -235,6 +235,9 @@ _WINDOW_R6 = [
     "part_laspeyres_price_index",
     "events_bot_detection_rules",
     "customer_decile_migration",
+    "lineitem_anova_two_way",
+    "events_diff_in_differences",
+    "docs_bpe_first_merge",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -2572,3 +2572,261 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str):
     return ranked.groupBy("decile_1996", "decile_1997").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )
+
+
+# ------------------- two-way ANOVA sum-of-squares decomposition
+@register(
+    "lineitem_anova_two_way",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS a, l_linestatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
+      FROM lineitem GROUP BY a, b),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(s) AS BIGINT) AS t,
+             CAST(SUM(ss) AS BIGINT) AS ssq
+      FROM cells),
+    ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
+           FROM cells GROUP BY a),
+    mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
+           FROM cells GROUP BY b),
+    terms AS (
+      SELECT
+        (SELECT ssq FROM tot)
+          - CAST((SELECT t FROM tot) AS DOUBLE) * (SELECT t FROM tot)
+            / (SELECT n_tot FROM tot) AS ss_total,
+        (SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM ma)
+          - CAST((SELECT t FROM tot) AS DOUBLE) * (SELECT t FROM tot)
+            / (SELECT n_tot FROM tot) AS ss_a,
+        (SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM mb)
+          - CAST((SELECT t FROM tot) AS DOUBLE) * (SELECT t FROM tot)
+            / (SELECT n_tot FROM tot) AS ss_b,
+        (SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM cells)
+          - CAST((SELECT t FROM tot) AS DOUBLE) * (SELECT t FROM tot)
+            / (SELECT n_tot FROM tot) AS ss_cells)
+    SELECT ss_total, ss_a, ss_b,
+           ss_cells - ss_a - ss_b AS ss_interaction,
+           ss_total - ss_cells AS ss_error
+    FROM terms
+    """,
+)
+def lineitem_anova_two_way(spark: SparkSession, sf_dir: str):
+    """Two-way ANOVA sum-of-squares decomposition of quantity by
+    (returnflag × linestatus) — the factorial-effects screen that says
+    which factor (or their interaction) actually moves a metric, the
+    statistical step past per-group means. Parity discipline: all
+    moments (n, Σx, Σx²) accumulate as exact BIGINTs in ONE cell-grain
+    groupBy (quantities are whole integers); every SS term is then a
+    fixed expression of those integers (s²/n sums fit double's exact
+    range), so both engines compute identical doubles. The margin and
+    total aggregates re-roll the 6-row cell table — the fact table is
+    scanned exactly once at any scale, and the cell partials are
+    mergeable."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(q).cast("bigint").alias("s"),
+        F.sum(q * q).cast("bigint").alias("ss"),
+    )
+    cells = cells.persist()
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").cast("bigint").alias("t"),
+        F.sum("ss").cast("bigint").alias("ssq"),
+    )
+
+    def margin_ss(key):
+        return (
+            cells.groupBy(key)
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("s").cast("bigint").alias("s"),
+            )
+            .agg(
+                F.sum(
+                    F.col("s").cast("double") * F.col("s") / F.col("n")
+                ).alias("m")
+            )
+        )
+
+    cell_ss = cells.agg(
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("m")
+    )
+    base = (
+        tot.crossJoin(margin_ss("a").withColumnRenamed("m", "ma"))
+        .crossJoin(margin_ss("b").withColumnRenamed("m", "mb"))
+        .crossJoin(cell_ss.withColumnRenamed("m", "mc"))
+    )
+    cf = F.col("t").cast("double") * F.col("t") / F.col("n_tot")
+    return base.select(
+        (F.col("ssq") - cf).alias("ss_total"),
+        (F.col("ma") - cf).alias("ss_a"),
+        (F.col("mb") - cf).alias("ss_b"),
+        (F.col("mc") - F.col("ma") - F.col("mb") + cf).alias(
+            "ss_interaction"
+        ),
+        (F.col("ssq") - F.col("mc")).alias("ss_error"),
+    )
+
+
+# ---------------------- difference-in-differences experiment readout
+_DID_CUT = "2024-01-15"
+
+
+@register(
+    "events_diff_in_differences",
+    f"""
+    WITH cell AS (
+      SELECT CAST(e.user_id % 2 = 0 AS INT) AS treated,
+             CASE WHEN e.ts >= TIMESTAMP '{_DID_CUT}' THEN 1 ELSE 0 END
+               AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events e
+      WHERE e.event_type = 'purchase'
+      GROUP BY treated, post),
+    m AS (
+      SELECT
+        (SELECT CAST(cents AS DOUBLE) / n / 100.0 FROM cell
+         WHERE treated = 1 AND post = 0) AS m_t_pre,
+        (SELECT CAST(cents AS DOUBLE) / n / 100.0 FROM cell
+         WHERE treated = 1 AND post = 1) AS m_t_post,
+        (SELECT CAST(cents AS DOUBLE) / n / 100.0 FROM cell
+         WHERE treated = 0 AND post = 0) AS m_c_pre,
+        (SELECT CAST(cents AS DOUBLE) / n / 100.0 FROM cell
+         WHERE treated = 0 AND post = 1) AS m_c_post)
+    SELECT m_t_pre, m_t_post, m_c_pre, m_c_post,
+           (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_estimate
+    FROM m
+    """,
+)
+def events_diff_in_differences(spark: SparkSession, sf_dir: str):
+    """Difference-in-differences experiment readout: purchase-value
+    means for the treatment arm (deterministic hash assignment —
+    user_id parity stands in for the experiment's bucketing hash) vs
+    control, before vs after the cutover, and the DiD estimate that
+    nets out both the group baseline and the secular trend — the
+    standard experiment readout when pre-period imbalance is possible.
+    Cells are exact (count, cents) BIGINT partials from ONE scan; the
+    four means and the estimate are fixed double expressions of those
+    integers — engine-identical. At 100 TB a real assignment column or
+    broadcast allowlist replaces the parity predicate; the 4-cell
+    aggregate stays the cheapest possible experiment summary."""
+    ev = t(spark, sf_dir, "events")
+    cell = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+            F.when(
+                F.col("ts") >= F.lit(_DID_CUT).cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((dec("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    mean = F.col("cents").cast("double") / F.col("n") / F.lit(100.0)
+    piv = cell.select("treated", "post", mean.alias("m"))
+
+    def cell_mean(tr: int, po: int, name: str):
+        return (
+            piv.filter((F.col("treated") == tr) & (F.col("post") == po))
+            .select(F.col("m").alias(name))
+        )
+
+    return (
+        cell_mean(1, 0, "m_t_pre")
+        .crossJoin(cell_mean(1, 1, "m_t_post"))
+        .crossJoin(cell_mean(0, 0, "m_c_pre"))
+        .crossJoin(cell_mean(0, 1, "m_c_post"))
+        .select(
+            "m_t_pre",
+            "m_t_post",
+            "m_c_pre",
+            "m_c_post",
+            (
+                (F.col("m_t_post") - F.col("m_t_pre"))
+                - (F.col("m_c_post") - F.col("m_c_pre"))
+            ).alias("did_estimate"),
+        )
+    )
+
+
+# --------------------------- tokenizer training: first BPE merge
+_BPE_TOPK = 20
+
+
+@register(
+    "docs_bpe_first_merge",
+    f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w != '' GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(range(length(w) - 1),
+                    i -> w[i + 1 : i + 2])) AS pair, cnt
+      FROM words WHERE length(w) >= 2),
+    agg AS (
+      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY pair)
+    SELECT pair, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair)
+                AS INT) AS rank
+    FROM agg
+    QUALIFY rank <= {_BPE_TOPK}
+    """,
+)
+def docs_bpe_first_merge(spark: SparkSession, sf_dir: str):
+    """The first merge step of BPE tokenizer training: count adjacent
+    character pairs across the corpus weighted by word frequency and
+    rank the merge candidates — the inner loop of training a tokenizer
+    ON the corpus the engine curates (distributed BPE = this exact
+    count-and-rank per round over an evolving symbol vocabulary). The
+    scale-critical rewrite: pair counting runs over the DISTINCT-WORD
+    table with multiplicities (words groupBy first), so a word
+    appearing a million times contributes its bigrams once times its
+    count — corpus size affects only the word-count groupBy, which is
+    the canonical partial-combine shape. Bigrams come from 1-based
+    substring arithmetic identical in both engines; ties rank
+    lexicographically."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("cnt").cast("bigint").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BPE_TOPK)
+    )

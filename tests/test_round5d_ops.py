@@ -669,3 +669,77 @@ def test_decile_migration_is_doubly_balanced(spark, sf_dir):
         col_m[r.decile_1997] = col_m.get(r.decile_1997, 0) + r.n_customers
     assert all(lo <= v <= hi for v in row_m.values())
     assert all(lo <= v <= hi for v in col_m.values())
+
+
+def test_anova_terms_match_numpy(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        lineitem_anova_two_way,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    row = lineitem_anova_two_way(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).collect()
+    x = np.array([r.l_quantity for r in li])
+    a = np.array([r.l_returnflag for r in li])
+    b = np.array([r.l_linestatus for r in li])
+    gm = x.mean()
+    ss_total = ((x - gm) ** 2).sum()
+    ss_a = sum(
+        (x[a == v]).size * (x[a == v].mean() - gm) ** 2 for v in set(a)
+    )
+    ss_b = sum(
+        (x[b == v]).size * (x[b == v].mean() - gm) ** 2 for v in set(b)
+    )
+    cells = {}
+    for v1 in set(a):
+        for v2 in set(b):
+            sel = x[(a == v1) & (b == v2)]
+            if sel.size:
+                cells[(v1, v2)] = sel
+    ss_cells = sum(s.size * (s.mean() - gm) ** 2 for s in cells.values())
+    assert abs(row.ss_total - ss_total) < 1e-3 * max(1, abs(ss_total))
+    assert abs(row.ss_a - ss_a) < 1e-3 * max(1, abs(ss_a)) + 1e-6
+    assert abs(row.ss_b - ss_b) < 1e-3 * max(1, abs(ss_b)) + 1e-6
+    assert abs(row.ss_interaction - (ss_cells - ss_a - ss_b)) < 1e-3 * max(
+        1, abs(ss_cells)
+    )
+    assert abs(row.ss_error - (ss_total - ss_cells)) < 1e-3 * max(
+        1, abs(ss_total)
+    )
+
+
+def test_did_estimate_matches_cell_means(spark, sf_dir):
+    from rad_database_parse_spark.registry.round5d_ops import (
+        events_diff_in_differences,
+    )
+
+    row = events_diff_in_differences(spark, sf_dir).collect()[0]
+    assert row.did_estimate == (row.m_t_post - row.m_t_pre) - (
+        row.m_c_post - row.m_c_pre
+    )
+    for v in (row.m_t_pre, row.m_t_post, row.m_c_pre, row.m_c_post):
+        assert v > 0
+
+
+def test_bpe_first_merge_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from rad_database_parse_spark.registry.round5d_ops import (
+        docs_bpe_first_merge,
+    )
+    from rad_database_parse_spark.catalog.io import load_table
+
+    got = docs_bpe_first_merge(spark, sf_dir).collect()
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    counts: Counter = Counter()
+    for t_ in texts:
+        for w in t_.split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got.sort(key=lambda r: r.rank)
+    assert [(r.pair, r.n_occurrences) for r in got] == expected
