@@ -743,3 +743,69 @@ def test_bpe_first_merge_matches_bruteforce(spark, sf_dir):
     expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got.sort(key=lambda r: r.rank)
     assert [(r.pair, r.n_occurrences) for r in got] == expected
+
+
+def test_late_r5d_plan_guards(spark, sf_dir):
+    from rad_database_parse_spark.plans import (
+        formatted_plan,
+        reads_only_columns,
+        uses_broadcast_join,
+    )
+    from rad_database_parse_spark.registry.round5d_ops import (
+        docs_bpe_first_merge,
+        events_diff_in_differences,
+        lineitem_anova_two_way,
+        lineitem_ks_two_sample,
+        part_laspeyres_price_index,
+    )
+
+    # ANOVA and DiD: single fact scan, no join in the aggregate path
+    anova = formatted_plan(lineitem_anova_two_way(spark, sf_dir))
+    assert "SortMergeJoin" not in anova
+    did = events_diff_in_differences(spark, sf_dir)
+    assert "SortMergeJoin" not in formatted_plan(did)
+    assert reads_only_columns(did, {"user_id", "event_type", "ts", "value"})
+
+    # KS: fact table collapses before the window; scan reads 2 columns
+    ks = lineitem_ks_two_sample(spark, sf_dir)
+    assert reads_only_columns(ks, {"l_returnflag", "l_quantity"})
+
+    # Laspeyres: part dim broadcasts
+    assert uses_broadcast_join(part_laspeyres_price_index(spark, sf_dir))
+
+    # BPE: only the text column is read
+    assert reads_only_columns(docs_bpe_first_merge(spark, sf_dir), {"text"})
+
+
+def test_order_sensitive_ops_stable_under_repartition(spark, sf_dir):
+    """NTILE/rank outputs must not depend on physical partitioning —
+    the determinism contract every order-sensitive op in the repo
+    claims (ties broken on ids)."""
+    from rad_database_parse_spark.registry.round5d_ops import (
+        customer_decile_migration,
+        docs_bpe_first_merge,
+    )
+
+    base_mig = {
+        (r.decile_1996, r.decile_1997): r.n_customers
+        for r in customer_decile_migration(spark, sf_dir).collect()
+    }
+    base_bpe = [
+        (r.rank, r.pair, r.n_occurrences)
+        for r in docs_bpe_first_merge(spark, sf_dir).collect()
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        mig2 = {
+            (r.decile_1996, r.decile_1997): r.n_customers
+            for r in customer_decile_migration(spark, sf_dir).collect()
+        }
+        bpe2 = [
+            (r.rank, r.pair, r.n_occurrences)
+            for r in docs_bpe_first_merge(spark, sf_dir).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert mig2 == base_mig
+    assert sorted(bpe2) == sorted(base_bpe)
