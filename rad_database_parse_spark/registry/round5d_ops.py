@@ -764,7 +764,16 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str):
     e = part_name_neardup(spark, sf_dir).select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
-    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # both edge directions from ONE pass over the (expensive) near-dup
+    # join — a union of two branches would evaluate it twice
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     und = und.persist()
     deg0 = und.groupBy("u").agg(F.count("*").alias("d"))
     kv = deg0.agg(
