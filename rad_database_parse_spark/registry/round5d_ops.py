@@ -2587,94 +2587,81 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str):
 @register(
     "lineitem_anova_two_way",
     """
-    WITH cells AS (
-      SELECT l_returnflag AS a, l_linestatus AS b,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
-             CAST(SUM(CAST(l_quantity AS BIGINT)
-                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
-      FROM lineitem GROUP BY a, b),
-    tot AS (
-      SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
-             CAST(SUM(s) AS BIGINT) AS t,
-             CAST(SUM(ss) AS BIGINT) AS ssq
-      FROM cells),
-    ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
-           FROM cells GROUP BY a),
-    mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
-           FROM cells GROUP BY b),
+    WITH piv AS (
+      SELECT CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ssq,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a_f,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_a_f,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a_o,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_a_o,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s_n_f,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_n_f,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s_n_o,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_n_o,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s_r_f,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_r_f,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s_r_o,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_r_o
+      FROM lineitem),
     terms AS (
-      SELECT
-        (SELECT ssq FROM tot)
-          - CAST((SELECT t FROM tot) AS DOUBLE) * (SELECT t FROM tot)
-            / (SELECT n_tot FROM tot) AS ss_total,
-        (SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM ma)
-          - CAST((SELECT t FROM tot) AS DOUBLE) * (SELECT t FROM tot)
-            / (SELECT n_tot FROM tot) AS ss_a,
-        (SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM mb)
-          - CAST((SELECT t FROM tot) AS DOUBLE) * (SELECT t FROM tot)
-            / (SELECT n_tot FROM tot) AS ss_b,
-        (SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM cells)
-          - CAST((SELECT t FROM tot) AS DOUBLE) * (SELECT t FROM tot)
-            / (SELECT n_tot FROM tot) AS ss_cells)
-    SELECT ss_total, ss_a, ss_b,
-           ss_cells - ss_a - ss_b AS ss_interaction,
-           ss_total - ss_cells AS ss_error
+      SELECT ssq,
+             (s_a_f + s_a_o + s_n_f + s_n_o + s_r_f + s_r_o) AS t,
+             (n_a_f + n_a_o + n_n_f + n_n_o + n_r_f + n_r_o) AS n_tot,
+             ((CASE WHEN n_a_f > 0 THEN CAST(s_a_f AS DOUBLE) * s_a_f / n_a_f ELSE 0.0 END) + (CASE WHEN n_a_o > 0 THEN CAST(s_a_o AS DOUBLE) * s_a_o / n_a_o ELSE 0.0 END) + (CASE WHEN n_n_f > 0 THEN CAST(s_n_f AS DOUBLE) * s_n_f / n_n_f ELSE 0.0 END) + (CASE WHEN n_n_o > 0 THEN CAST(s_n_o AS DOUBLE) * s_n_o / n_n_o ELSE 0.0 END) + (CASE WHEN n_r_f > 0 THEN CAST(s_r_f AS DOUBLE) * s_r_f / n_r_f ELSE 0.0 END) + (CASE WHEN n_r_o > 0 THEN CAST(s_r_o AS DOUBLE) * s_r_o / n_r_o ELSE 0.0 END)) AS mc,
+             ((CASE WHEN (n_a_f + n_a_o) > 0 THEN CAST((s_a_f + s_a_o) AS DOUBLE) * (s_a_f + s_a_o) / (n_a_f + n_a_o) ELSE 0.0 END) + (CASE WHEN (n_n_f + n_n_o) > 0 THEN CAST((s_n_f + s_n_o) AS DOUBLE) * (s_n_f + s_n_o) / (n_n_f + n_n_o) ELSE 0.0 END) + (CASE WHEN (n_r_f + n_r_o) > 0 THEN CAST((s_r_f + s_r_o) AS DOUBLE) * (s_r_f + s_r_o) / (n_r_f + n_r_o) ELSE 0.0 END)) AS ma,
+             ((CASE WHEN (n_a_f + n_n_f + n_r_f) > 0 THEN CAST((s_a_f + s_n_f + s_r_f) AS DOUBLE) * (s_a_f + s_n_f + s_r_f) / (n_a_f + n_n_f + n_r_f) ELSE 0.0 END) + (CASE WHEN (n_a_o + n_n_o + n_r_o) > 0 THEN CAST((s_a_o + s_n_o + s_r_o) AS DOUBLE) * (s_a_o + s_n_o + s_r_o) / (n_a_o + n_n_o + n_r_o) ELSE 0.0 END)) AS mb
+      FROM piv)
+    SELECT ssq - CAST(t AS DOUBLE) * t / n_tot AS ss_total,
+           ma - CAST(t AS DOUBLE) * t / n_tot AS ss_a,
+           mb - CAST(t AS DOUBLE) * t / n_tot AS ss_b,
+           mc - ma - mb + CAST(t AS DOUBLE) * t / n_tot AS ss_interaction,
+           ssq - mc AS ss_error
     FROM terms
     """,
 )
 def lineitem_anova_two_way(spark: SparkSession, sf_dir: str):
     """Two-way ANOVA sum-of-squares decomposition of quantity by
-    (returnflag × linestatus) — the factorial-effects screen that says
+    (returnflag x linestatus) — the factorial-effects screen that says
     which factor (or their interaction) actually moves a metric, the
-    statistical step past per-group means. Parity discipline: all
-    moments (n, Σx, Σx²) accumulate as exact BIGINTs in ONE cell-grain
-    groupBy (quantities are whole integers); every SS term is then a
-    fixed expression of those integers (s²/n sums fit double's exact
-    range), so both engines compute identical doubles. The margin and
-    total aggregates re-roll the 6-row cell table — the fact table is
-    scanned exactly once at any scale, and the cell partials are
-    mergeable."""
+    statistical step past per-group means. Parity discipline, revised
+    after a 1e-9 drift in the first cut: every (cell, margin, total)
+    moment comes from conditional sums over the KNOWN category grid in
+    ONE aggregate row, and the s²/n terms are summed in a FIXED
+    lexicographic expression order — a SUM over a cells table would let
+    each engine (and each Spark partitioning) add the doubles in its
+    own order. All moments are exact BIGINTs; empty cells contribute
+    0.0 by CASE guard; the fact table is scanned exactly once and the
+    partials are mergeable."""
     li = t(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("bigint")
-    cells = li.groupBy(
-        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
-    ).agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(q).cast("bigint").alias("s"),
-        F.sum(q * q).cast("bigint").alias("ss"),
-    )
-    cells = cells.persist()
-    tot = cells.agg(
-        F.sum("n").cast("bigint").alias("n_tot"),
-        F.sum("s").cast("bigint").alias("t"),
-        F.sum("ss").cast("bigint").alias("ssq"),
-    )
-
-    def margin_ss(key):
-        return (
-            cells.groupBy(key)
-            .agg(
-                F.sum("n").cast("bigint").alias("n"),
-                F.sum("s").cast("bigint").alias("s"),
+    aggs = [
+        F.sum(q * q).cast("bigint").alias("ssq"),
+    ]
+    for a in ['A', 'N', 'R']:
+        for b in ['F', 'O']:
+            cond = (F.col("l_returnflag") == a) & (F.col("l_linestatus") == b)
+            suf = f"{a.lower()}_{b.lower()}"
+            aggs.append(
+                F.sum(F.when(cond, q).otherwise(0))
+                .cast("bigint")
+                .alias(f"s_{suf}")
             )
-            .agg(
-                F.sum(
-                    F.col("s").cast("double") * F.col("s") / F.col("n")
-                ).alias("m")
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{suf}")
             )
-        )
-
-    cell_ss = cells.agg(
-        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("m")
-    )
-    base = (
-        tot.crossJoin(margin_ss("a").withColumnRenamed("m", "ma"))
-        .crossJoin(margin_ss("b").withColumnRenamed("m", "mb"))
-        .crossJoin(cell_ss.withColumnRenamed("m", "mc"))
+    piv = li.agg(*aggs)
+    terms = piv.selectExpr(
+        "ssq",
+        "(s_a_f + s_a_o + s_n_f + s_n_o + s_r_f + s_r_o) AS t",
+        "(n_a_f + n_a_o + n_n_f + n_n_o + n_r_f + n_r_o) AS n_tot",
+        """((CASE WHEN n_a_f > 0 THEN CAST(s_a_f AS DOUBLE) * s_a_f / n_a_f ELSE 0.0 END) + (CASE WHEN n_a_o > 0 THEN CAST(s_a_o AS DOUBLE) * s_a_o / n_a_o ELSE 0.0 END) + (CASE WHEN n_n_f > 0 THEN CAST(s_n_f AS DOUBLE) * s_n_f / n_n_f ELSE 0.0 END) + (CASE WHEN n_n_o > 0 THEN CAST(s_n_o AS DOUBLE) * s_n_o / n_n_o ELSE 0.0 END) + (CASE WHEN n_r_f > 0 THEN CAST(s_r_f AS DOUBLE) * s_r_f / n_r_f ELSE 0.0 END) + (CASE WHEN n_r_o > 0 THEN CAST(s_r_o AS DOUBLE) * s_r_o / n_r_o ELSE 0.0 END)) AS mc""",
+        """((CASE WHEN (n_a_f + n_a_o) > 0 THEN CAST((s_a_f + s_a_o) AS DOUBLE) * (s_a_f + s_a_o) / (n_a_f + n_a_o) ELSE 0.0 END) + (CASE WHEN (n_n_f + n_n_o) > 0 THEN CAST((s_n_f + s_n_o) AS DOUBLE) * (s_n_f + s_n_o) / (n_n_f + n_n_o) ELSE 0.0 END) + (CASE WHEN (n_r_f + n_r_o) > 0 THEN CAST((s_r_f + s_r_o) AS DOUBLE) * (s_r_f + s_r_o) / (n_r_f + n_r_o) ELSE 0.0 END)) AS ma""",
+        """((CASE WHEN (n_a_f + n_n_f + n_r_f) > 0 THEN CAST((s_a_f + s_n_f + s_r_f) AS DOUBLE) * (s_a_f + s_n_f + s_r_f) / (n_a_f + n_n_f + n_r_f) ELSE 0.0 END) + (CASE WHEN (n_a_o + n_n_o + n_r_o) > 0 THEN CAST((s_a_o + s_n_o + s_r_o) AS DOUBLE) * (s_a_o + s_n_o + s_r_o) / (n_a_o + n_n_o + n_r_o) ELSE 0.0 END)) AS mb""",
     )
     cf = F.col("t").cast("double") * F.col("t") / F.col("n_tot")
-    return base.select(
+    return terms.select(
         (F.col("ssq") - cf).alias("ss_total"),
         (F.col("ma") - cf).alias("ss_a"),
         (F.col("mb") - cf).alias("ss_b"),
