@@ -35,6 +35,26 @@ from ._util import dbl, dec, t
 _COMPACT_TARGET = 16384
 
 
+def compaction_bins(files, part_col: str, order_col: str, size_col: str,
+                    target: int):
+    """Cumsum-bucket a file inventory into target-size compaction bins:
+    bin = floor(exclusive running size before this file / target), files
+    ordered by ``order_col`` within each ``part_col`` partition. The
+    deterministic distributable core of files_compaction_plan, exposed
+    for property testing on generated inventories."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return files.withColumn(
+        "cum_before", F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    ).withColumn(
+        "bin_id",
+        F.floor(F.col("cum_before") / F.lit(float(target))).cast("bigint"),
+    )
+
+
 @register(
     "files_compaction_plan",
     f"""
@@ -82,18 +102,8 @@ def files_compaction_plan(spark: SparkSession, sf_dir: str):
             F.lit(24) + F.length("event_type") + F.length("props")
         ).cast("bigint").alias("bytes")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    binned = files.withColumn(
-        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
-    ).withColumn(
-        "bin_id",
-        F.floor(F.col("cum_before") / F.lit(float(_COMPACT_TARGET))).cast(
-            "bigint"
-        ),
+    binned = compaction_bins(
+        files, "event_type", "day", "bytes", _COMPACT_TARGET
     )
     return binned.groupBy("event_type", "bin_id").agg(
         F.count("*").cast("bigint").alias("n_files"),
@@ -104,6 +114,39 @@ def files_compaction_plan(spark: SparkSession, sf_dir: str):
 
 
 # ------------------------------------------ CUSUM changepoint detection
+def cusum_argmax(daily, key_col: str, order_col: str, val_col: str):
+    """Exact-integer CUSUM peak per key over an ordered integer series:
+    S_i = n·cumsum_i − i·total (the CUSUM statistic scaled by n — no
+    mean division), argmax |S_i| with ties to the earliest point.
+    Returns (key, <order_col>, cusum_stat, n_points). The core of
+    events_cusum_changepoint, exposed for property testing."""
+    w_ord = Window.partitionBy(key_col).orderBy(order_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(key_col)
+    s = (
+        daily.withColumn("i", F.row_number().over(w_ord).cast("bigint"))
+        .withColumn("cum_v", F.sum(val_col).over(w_run).cast("bigint"))
+        .withColumn("n_points", F.count("*").over(w_all).cast("bigint"))
+        .withColumn("tot_v", F.sum(val_col).over(w_all).cast("bigint"))
+        .select(
+            key_col,
+            order_col,
+            "n_points",
+            (
+                F.col("n_points") * F.col("cum_v") - F.col("i") * F.col("tot_v")
+            ).alias("cusum_stat"),
+        )
+    )
+    w_best = Window.partitionBy(key_col).orderBy(
+        F.abs(F.col("cusum_stat")).desc(), F.col(order_col)
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(key_col, order_col, "cusum_stat", "n_points")
+    )
+
+
 @register(
     "events_cusum_changepoint",
     """
@@ -159,36 +202,11 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str):
     ).agg(
         F.sum((dec("value") * 100).cast("bigint")).cast("bigint").alias("cents")
     )
-    w_ord = Window.partitionBy("event_type").orderBy("day")
-    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy("event_type")
-    s = (
-        daily.withColumn("i", F.row_number().over(w_ord).cast("bigint"))
-        .withColumn("cum_cents", F.sum("cents").over(w_run).cast("bigint"))
-        .withColumn("n_days", F.count("*").over(w_all).cast("bigint"))
-        .withColumn("tot_cents", F.sum("cents").over(w_all).cast("bigint"))
-        .select(
-            "event_type",
-            "day",
-            "n_days",
-            (
-                F.col("n_days") * F.col("cum_cents")
-                - F.col("i") * F.col("tot_cents")
-            ).alias("cusum_cents"),
-        )
-    )
-    w_best = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("cusum_cents")).desc(), F.col("day")
-    )
-    return (
-        s.withColumn("rk", F.row_number().over(w_best))
-        .filter(F.col("rk") == 1)
-        .select(
-            "event_type",
-            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
-            "cusum_cents",
-            "n_days",
-        )
+    return cusum_argmax(daily, "event_type", "day", "cents").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+        F.col("cusum_stat").alias("cusum_cents"),
+        F.col("n_points").alias("n_days"),
     )
 
 
@@ -1551,6 +1569,29 @@ def supplier_shared_customer_graph(spark: SparkSession, sf_dir: str):
 
 
 # ----------------------------------- CDC net-change compaction
+def cdc_squash(log, key_col: str, seq_col: str, op_col: str):
+    """Squash a CDC change log to one net operation per key by
+    first/last-writer analysis (I..D ⇒ NONE, ..D ⇒ D, I.. ⇒ I, else U).
+    Returns (key, net_op, n_changes). The mergeable core of
+    events_cdc_net_changes, exposed for property testing."""
+    per_key = log.groupBy(key_col).agg(
+        F.min_by(op_col, seq_col).alias("first_op"),
+        F.max_by(op_col, seq_col).alias("last_op"),
+        F.count("*").cast("bigint").alias("n_changes"),
+    )
+    return per_key.select(
+        key_col,
+        F.when(
+            (F.col("last_op") == "D") & (F.col("first_op") == "I"), "NONE"
+        )
+        .when(F.col("last_op") == "D", "D")
+        .when(F.col("first_op") == "I", "I")
+        .otherwise("U")
+        .alias("net_op"),
+        "n_changes",
+    )
+
+
 @register(
     "events_cdc_net_changes",
     """
@@ -1603,22 +1644,7 @@ def events_cdc_net_changes(spark: SparkSession, sf_dir: str):
         .otherwise("D")
         .alias("op"),
     )
-    per_key = log.groupBy("key").agg(
-        F.min_by("op", "seq").alias("first_op"),
-        F.max_by("op", "seq").alias("last_op"),
-        F.count("*").cast("bigint").alias("n_changes"),
-    )
-    net = per_key.select(
-        "key",
-        "n_changes",
-        F.when(
-            (F.col("last_op") == "D") & (F.col("first_op") == "I"), "NONE"
-        )
-        .when(F.col("last_op") == "D", "D")
-        .when(F.col("first_op") == "I", "I")
-        .otherwise("U")
-        .alias("net_op"),
-    )
+    net = cdc_squash(log, "key", "seq", "op")
     return net.groupBy("net_op").agg(
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("n_changes").cast("bigint").alias("n_changes"),

@@ -294,3 +294,103 @@ def test_skyline_2d_matches_bruteforce(spark_session_holder, pts):
         )
     }
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),           # partition key
+            st.integers(0, 50),                    # order position
+            st.integers(1, 40000),                 # file size
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(1000, 30000),
+)
+def test_compaction_bins_conserve_and_are_monotone(
+    spark_session_holder, inventory, target
+):
+    """Cumsum bucketing (files_compaction_plan core) on ARBITRARY file
+    inventories: bins conserve every byte, ids start at 0 per partition
+    with no holes, and bin_id is monotone in the order column."""
+    from rad_database_parse_spark.registry.round5d_ops import compaction_bins
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(inventory, ["part", "pos", "bytes"])
+    out = compaction_bins(df, "part", "pos", "bytes", target).collect()
+    by_part: dict[str, list] = {}
+    for r in out:
+        by_part.setdefault(r.part, []).append(r)
+    total_in = sum(b for _, _, b in inventory)
+    assert sum(r.bytes for r in out) == total_in
+    for part, rows in by_part.items():
+        rows.sort(key=lambda r: r.pos)
+        ids = [r.bin_id for r in rows]
+        assert ids[0] == 0
+        assert all(b - a >= 0 for a, b in zip(ids, ids[1:]))  # monotone
+        # (no hole-freeness here: a file LARGER than target legitimately
+        # skips ids — holes only can't occur when every file <= target,
+        # which holds for the fixed-testdata unit test's inventory)
+        # python mirror of the exclusive-cumsum rule
+        cum = 0
+        for r in rows:
+            assert r.bin_id == cum // target
+            cum += r.bytes
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(-10000, 10000), min_size=1, max_size=30),
+)
+def test_cusum_argmax_matches_python_mirror(spark_session_holder, series):
+    from rad_database_parse_spark.registry.round5d_ops import cusum_argmax
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(series)], ["key", "pos", "val"]
+    )
+    row = cusum_argmax(df, "key", "pos", "val").collect()[0]
+    n, tot = len(series), sum(series)
+    cum, best = 0, None
+    for i, v in enumerate(series, start=1):
+        cum += v
+        s = n * cum - i * tot
+        if best is None or abs(s) > abs(best[1]):
+            best = (i - 1, s)
+    assert (row.pos, row.cusum_stat, row.n_points) == (best[0], best[1], n)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["I", "U", "D"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cdc_squash_matches_python_mirror(spark_session_holder, changes):
+    from rad_database_parse_spark.registry.round5d_ops import cdc_squash
+
+    spark = spark_session_holder
+    log = [(k, seq, op) for seq, (k, op) in enumerate(changes)]
+    df = spark.createDataFrame(log, ["key", "seq", "op"])
+    got = {r.key: (r.net_op, r.n_changes) for r in cdc_squash(
+        df, "key", "seq", "op").collect()}
+    per_key: dict[int, list] = {}
+    for k, seq, op in log:
+        per_key.setdefault(k, []).append((seq, op))
+    for k, ops in per_key.items():
+        ops.sort()
+        first, last = ops[0][1], ops[-1][1]
+        if last == "D" and first == "I":
+            net = "NONE"
+        elif last == "D":
+            net = "D"
+        elif first == "I":
+            net = "I"
+        else:
+            net = "U"
+        assert got[k] == (net, len(ops))

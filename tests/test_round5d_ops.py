@@ -25,13 +25,16 @@ def test_compaction_plan_conserves_bytes_and_bins_contiguous(spark, sf_dir):
         F.sum(F.lit(24) + F.length("event_type") + F.length("props")).alias("b")
     ).collect()[0]["b"]
     assert sum(r.bin_bytes for r in plan) == total
-    # bin ids per type are 0..max with no holes (cumsum bucketing is
-    # monotone in day order, so a missing id would mean lost files)
+    # bin ids per type are 0..max with no holes — valid because every
+    # file at this SF is under the target (an oversized file skips ids;
+    # see the generated-inventory property test)
+    max_file = max(r.bin_bytes for r in plan)  # bin >= largest file in it
     by_type: dict[str, list[int]] = {}
     for r in plan:
         by_type.setdefault(r.event_type, []).append(r.bin_id)
-    for ids in by_type.values():
-        assert sorted(ids) == list(range(max(ids) + 1))
+    if max_file <= 16384:
+        for ids in by_type.values():
+            assert sorted(ids) == list(range(max(ids) + 1))
     for r in plan:
         assert r.first_day <= r.last_day
         assert r.n_files >= 1
