@@ -240,6 +240,12 @@ _WINDOW_R6 = [
     "docs_bpe_first_merge",
 ]
 
+# Round-7 window seed: _WINDOW_R6 is full (exactly 50 — the complete set of
+# queries that have never had a driver CORRECTNESS row), so queries
+# registered in round 6 queue here — positions 51+ this round, 1+ next
+# round. CORRECTNESS_r06 failures get prepended when the file lands.
+_WINDOW_R7: list[str] = []
+
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
     "llm_ops",
@@ -268,13 +274,15 @@ def all_queries() -> dict[str, QueryDef]:
     from . import curation_ops  # noqa: F401
     from . import round5d_ops  # noqa: F401
 
-    # round-5 window first (first occurrence wins — R5 re-checks shadow
-    # their old R3 positions), then the prior windows keep their relative
-    # order so positions 24-50 re-confirm already-green queries.
+    # round-6 window first (the 50 queries that have never had a driver
+    # CORRECTNESS row — all r5 checks were green so there is nothing to
+    # re-front), then new round-6 registrations (_WINDOW_R7, positions 51+
+    # this round, 1+ next round), then the prior windows keep their relative
+    # order so any driver overflow re-confirms already-green queries.
     seen: set[str] = set()
     window_order = [
         n
-        for n in _WINDOW_R5 + _WINDOW_R6 + _WINDOW_R3 + _WINDOW_R4
+        for n in _WINDOW_R6 + _WINDOW_R7 + _WINDOW_R5 + _WINDOW_R3 + _WINDOW_R4
         if not (n in seen or seen.add(n))
     ]
     pinned = {n: i for i, n in enumerate(window_order)}

@@ -1,8 +1,9 @@
-"""Driver-window canary: the first 50 registered queries are the round-5
-correctness window — _WINDOW_R4's 19 never-driver-checked queries, the
-broken-now re-checks, then the r3 window padding out the rest. An import
+"""Driver-window canary: the first 50 registered queries are the round-6
+correctness window — the complete set of queries that have never had a
+driver CORRECTNESS row (_WINDOW_R6, pinned at exactly 50). An import
 reorder or a family re-registration must not be able to silently re-run an
-already-green window (VERDICT r2 item 7).
+already-green window (VERDICT r2 item 7). New round-6 registrations queue
+in _WINDOW_R7 at positions 51+ so they lead the round-7 rotation.
 """
 
 from rad_database_parse_spark.registry import (
@@ -10,6 +11,7 @@ from rad_database_parse_spark.registry import (
     _WINDOW_R4,
     _WINDOW_R5,
     _WINDOW_R6,
+    _WINDOW_R7,
     all_queries,
 )
 
@@ -18,17 +20,17 @@ def _expected_order():
     seen = set()
     return [
         n
-        for n in _WINDOW_R5 + _WINDOW_R6 + _WINDOW_R3 + _WINDOW_R4
+        for n in _WINDOW_R6 + _WINDOW_R7 + _WINDOW_R5 + _WINDOW_R3 + _WINDOW_R4
         if not (n in seen or seen.add(n))
     ]
 
 
-def test_r5_window_leads():
+def test_r6_window_leads():
     names = list(all_queries())
-    # the 19 never-checked R4 queries occupy positions 1-19, the broken-now
-    # re-checks follow immediately — all inside the driver's 50-query window
-    assert names[: len(_WINDOW_R5)] == _WINDOW_R5
-    assert len(_WINDOW_R5) <= 50
+    # the 50 never-driver-checked queries occupy positions 1-50 — exactly
+    # the driver's correctness window
+    assert names[: len(_WINDOW_R6)] == _WINDOW_R6
+    assert len(_WINDOW_R6) == 50
 
 
 def test_full_pinned_order_holds():
@@ -43,20 +45,22 @@ def test_window_is_immune_to_direct_module_imports():
     import rad_database_parse_spark.registry.core_relational  # noqa: F401
     import rad_database_parse_spark.registry.llm_ops  # noqa: F401
 
-    assert list(all_queries())[: len(_WINDOW_R5)] == _WINDOW_R5
+    assert list(all_queries())[: len(_WINDOW_R6)] == _WINDOW_R6
 
 
 def test_every_window_name_unique_and_registered():
-    for window in (_WINDOW_R3, _WINDOW_R4, _WINDOW_R5, _WINDOW_R6):
+    for window in (_WINDOW_R3, _WINDOW_R4, _WINDOW_R5, _WINDOW_R6, _WINDOW_R7):
         assert len(set(window)) == len(window)
     registered = set(all_queries())
-    assert set(_WINDOW_R3 + _WINDOW_R4 + _WINDOW_R5 + _WINDOW_R6) <= registered
+    assert (
+        set(_WINDOW_R3 + _WINDOW_R4 + _WINDOW_R5 + _WINDOW_R6 + _WINDOW_R7)
+        <= registered
+    )
 
 
-def test_r6_seed_queues_directly_after_r5():
-    # post-r5 registrations must sit at positions 51+ (never inside the
-    # r5 window, never unpinned) so they lead the round-6 rotation
+def test_r7_seed_queues_directly_after_r6():
+    # post-r6 registrations must sit at positions 51+ (never inside the
+    # r6 window, never unpinned) so they lead the round-7 rotation
     names = list(all_queries())
-    assert len(_WINDOW_R5) == 50
-    for i, q in enumerate(_WINDOW_R6):
+    for i, q in enumerate(_WINDOW_R7):
         assert names[50 + i] == q
