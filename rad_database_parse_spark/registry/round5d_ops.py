@@ -1481,12 +1481,10 @@ def docs_ngram_novelty_decay(spark: SparkSession, sf_dir: str):
     ).distinct()
     first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     per_bucket = grams.groupBy(
-        (F.col("doc_id") / _NOVELTY_BUCKET)
-        .cast("bigint")
-        .alias("bucket")
+        F.expr(f"doc_id div {_NOVELTY_BUCKET}").alias("bucket")
     ).agg(F.count_distinct("gh").cast("bigint").alias("n_distinct_grams"))
     novel = first_seen.groupBy(
-        (F.col("first_doc") / _NOVELTY_BUCKET).cast("bigint").alias("bucket")
+        F.expr(f"first_doc div {_NOVELTY_BUCKET}").alias("bucket")
     ).agg(F.count("*").cast("bigint").alias("n_novel"))
     return (
         per_bucket.join(novel, "bucket", "left")
@@ -1684,14 +1682,17 @@ def stream_ivm_rollup_maintenance(spark: SparkSession, sf_dir: str):
     table is one row per month and each batch's fold is one tiny merge
     after a map-side partial agg of the batch."""
     import os
+    import shutil
     import tempfile
 
     from ..streaming.events import build_time_ordered_replay
 
     o = t(spark, sf_dir, "orders")
-    replay = tempfile.mkdtemp(prefix="orders_ivm_replay_") + "/orders"
+    scratch = tempfile.mkdtemp(prefix="orders_ivm_")
+    replay = os.path.join(scratch, "replay", "orders")
     build_time_ordered_replay(o, replay, ts_col="o_orderdate", n_slices=3)
-    state_root = tempfile.mkdtemp(prefix="orders_ivm_state_")
+    state_root = os.path.join(scratch, "state")
+    os.makedirs(state_root, exist_ok=True)
     last_dir: list[str | None] = [None]
 
     def fold_batch(batch, batch_id: int):
@@ -1715,25 +1716,32 @@ def stream_ivm_rollup_maintenance(spark: SparkSession, sf_dir: str):
         part.write.mode("overwrite").parquet(nxt)
         last_dir[0] = nxt
 
-    q = (
-        spark.readStream.schema(o.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay)
-        .writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", os.path.join(state_root, "ckpt"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.read.parquet(last_dir[0]).select(
-        "month",
-        "n_orders",
-        "total_cents",
-        (
-            F.col("total_cents").cast("double")
-            / (F.lit(100.0) * F.col("n_orders"))
-        ).alias("avg_price"),
-    )
+    try:
+        q = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", os.path.join(state_root, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        final = spark.read.parquet(last_dir[0]).select(
+            "month",
+            "n_orders",
+            "total_cents",
+            (
+                F.col("total_cents").cast("double")
+                / (F.lit(100.0) * F.col("n_orders"))
+            ).alias("avg_price"),
+        )
+        # materialize the per-month state (bounded: one row per month in
+        # the order history) so the scratch root can be deleted — the
+        # returned plan must not depend on files a finally removes
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 # ------------------------------- windowed (24h-bounded) funnel
@@ -1881,10 +1889,7 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str):
         )
         .cast("bigint")
         .alias("skew_ratio_fp"),
-        (
-            (F.col("max_cnt") * F.col("n_keys") + F.col("n_rows") - 1)
-            / F.col("n_rows")
-        )
+        F.expr("(max_cnt * n_keys + n_rows - 1) div n_rows")
         .cast("bigint")
         .alias("recommended_salt"),
     )
@@ -2717,14 +2722,15 @@ _DID_CUT = "2024-01-15"
       GROUP BY treated, post),
     m AS (
       SELECT
-        (SELECT CAST(cents AS DOUBLE) / n / 100.0 FROM cell
-         WHERE treated = 1 AND post = 0) AS m_t_pre,
-        (SELECT CAST(cents AS DOUBLE) / n / 100.0 FROM cell
-         WHERE treated = 1 AND post = 1) AS m_t_post,
-        (SELECT CAST(cents AS DOUBLE) / n / 100.0 FROM cell
-         WHERE treated = 0 AND post = 0) AS m_c_pre,
-        (SELECT CAST(cents AS DOUBLE) / n / 100.0 FROM cell
-         WHERE treated = 0 AND post = 1) AS m_c_post)
+        MAX(CASE WHEN treated = 1 AND post = 0
+                 THEN CAST(cents AS DOUBLE) / n / 100.0 END) AS m_t_pre,
+        MAX(CASE WHEN treated = 1 AND post = 1
+                 THEN CAST(cents AS DOUBLE) / n / 100.0 END) AS m_t_post,
+        MAX(CASE WHEN treated = 0 AND post = 0
+                 THEN CAST(cents AS DOUBLE) / n / 100.0 END) AS m_c_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1
+                 THEN CAST(cents AS DOUBLE) / n / 100.0 END) AS m_c_post
+      FROM cell)
     SELECT m_t_pre, m_t_post, m_c_pre, m_c_post,
            (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_estimate
     FROM m
@@ -2764,16 +2770,20 @@ def events_diff_in_differences(spark: SparkSession, sf_dir: str):
     piv = cell.select("treated", "post", mean.alias("m"))
 
     def cell_mean(tr: int, po: int, name: str):
-        return (
-            piv.filter((F.col("treated") == tr) & (F.col("post") == po))
-            .select(F.col("m").alias(name))
-        )
+        # conditional pivot from the single ≤4-row cell table: a missing
+        # (treated, post) cell surfaces as NULL — identical to the
+        # oracle's conditional MAX, with no 0-row crossJoin collapse
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), F.col("m"))
+        ).alias(name)
 
     return (
-        cell_mean(1, 0, "m_t_pre")
-        .crossJoin(cell_mean(1, 1, "m_t_post"))
-        .crossJoin(cell_mean(0, 0, "m_c_pre"))
-        .crossJoin(cell_mean(0, 1, "m_c_post"))
+        piv.agg(
+            cell_mean(1, 0, "m_t_pre"),
+            cell_mean(1, 1, "m_t_post"),
+            cell_mean(0, 0, "m_c_pre"),
+            cell_mean(0, 1, "m_c_post"),
+        )
         .select(
             "m_t_pre",
             "m_t_post",
