@@ -1,8 +1,13 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Runs a representative spread of the registry (relational, window, events,
-ETL, LLM-pipeline ops) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+ETL, LLM-pipeline ops) on local[$SPARK_GRAFT_CPUS] and prints TWO JSON
+lines: first the full result including the per-query map
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+then a compact summary (same fields, `slowest10` instead of `queries`) as
+the LAST line — the driver preserves only the final ~2000 bytes of stdout
+and parses the last line, so the headline `value` must live on a line that
+fits that tail.
 
 Each query is forced through the `noop` sink — full distributed execution,
 zero driver-side collection — so the timing reflects what a cluster would do,
@@ -146,7 +151,10 @@ EXTENDED_R5C = [
 # their own family so prior sums stay comparable. Deliberately absent:
 # graph_kcore_decomposition (re-runs the already-benched
 # part_name_neardup levenshtein join — the docs_curation_funnel
-# double-count rationale).
+# double-count rationale) and stream_ivm_rollup_maintenance (streaming
+# replay whose wall time is dominated by fixed micro-batch scheduling
+# overhead, not data volume, and which materializes checkpoint/state
+# dirs as a side effect — timing it would measure the trigger loop).
 EXTENDED_R5D = [
     "files_compaction_plan",
     "events_cusum_changepoint",
@@ -244,24 +252,37 @@ def main() -> int:
     extended_r5 = run(EXTENDED_R5)
     extended_r5c = run(EXTENDED_R5C)
     extended_r5d = run(EXTENDED_R5D)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": {**timings, **extended, **extended_r3, **extended_r5, **extended_r5c, **extended_r5d},
-                "headline_n": len(HEADLINE),
-                "value_extended": round(sum(extended.values()), 3),
-                "value_extended_r3": round(sum(extended_r3.values()), 3),
-                "value_extended_r5": round(sum(extended_r5.values()), 3),
-                "value_extended_r5c": round(sum(extended_r5c.values()), 3),
-                "value_extended_r5d": round(sum(extended_r5d.values()), 3),
-                "calib_sec": round(calib, 3),
-                "sf": sf,
-            }
-        )
+    all_timings = {
+        **timings,
+        **extended,
+        **extended_r3,
+        **extended_r5,
+        **extended_r5c,
+        **extended_r5d,
+    }
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "headline_n": len(HEADLINE),
+        "value_extended": round(sum(extended.values()), 3),
+        "value_extended_r3": round(sum(extended_r3.values()), 3),
+        "value_extended_r5": round(sum(extended_r5.values()), 3),
+        "value_extended_r5c": round(sum(extended_r5c.values()), 3),
+        "value_extended_r5d": round(sum(extended_r5d.values()), 3),
+        "calib_sec": round(calib, 3),
+        "sf": sf,
+    }
+    # Full per-query map FIRST (for humans / local archives), compact
+    # summary LAST: the driver preserves only the final ~2000 bytes of
+    # stdout and JSON-parses the last line, so the line carrying the
+    # headline value must be small enough to survive that tail intact
+    # (BENCH_r05's single 5KB line lost its head, including `value`).
+    print(json.dumps({**summary, "queries": all_timings}))
+    slowest = dict(
+        sorted(all_timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    print(json.dumps({**summary, "slowest10": slowest}))
     return 0
 
 
