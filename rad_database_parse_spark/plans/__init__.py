@@ -43,3 +43,21 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return formatted_plan(df).count("WholeStageCodegen")
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of WindowExec nodes with an empty partitionSpec — each one
+    funnels its entire input through a single task (the
+    "No Partition Defined for Window operation" warning)."""
+    count = [0]
+
+    def rec(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            count[0] += 1
+        for i in range(node.children().size()):
+            rec(node.children().apply(i))
+        if node.nodeName() == "AdaptiveSparkPlan":
+            rec(node.inputPlan())
+
+    rec(df._jdf.queryExecution().executedPlan())
+    return count[0]

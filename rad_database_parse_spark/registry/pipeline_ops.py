@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ._util import dbl, dec, t
+from ..operators.ranking import exact_ntile
 
 # ------------------------------------------------------ CDC snapshot diff
 @register(
@@ -728,16 +729,16 @@ def event_type_transitions(spark: SparkSession, sf_dir: str):
 )
 def ntile_decile_stats(spark: SparkSession, sf_dir: str):
     """Decile profiling via NTILE: deterministic total order (value, key
-    tie-break), ten equal-height buckets, per-bucket range and mass. The
-    global NTILE window is the one intentionally serial step (rank needs a
-    total order); at 100 TB you'd swap it for quantile cut points from
-    approx_percentile and a scan-local bucket assignment — same output
-    contract, no global sort."""
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    ranked = c.select(
-        "c_acctbal", F.ntile(10).over(w).alias("decile")
-    )
+    tie-break), ten equal-height buckets, per-bucket range and mass.
+    Ranking runs through operators/ranking.exact_ntile — approximate
+    range-bucket cut points, per-bucket counts folded into cumulative
+    offsets, then a PARTITIONED window — bit-identical to the oracle's
+    global NTILE with no single-partition sort (plan-guarded in
+    tests/test_plans.py)."""
+    c = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked = exact_ntile(
+        c, 10, F.col("c_acctbal"), ["c_custkey"], "decile"
+    ).select("c_acctbal", "decile")
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n"),
         dbl(F.min(dec("c_acctbal"))).alias("lo"),
@@ -1199,7 +1200,10 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str):
     on the aggregate, never the fact volume), concatenated segment label.
     Recency is integer microseconds against the corpus max (broadcast
     scalar); monetary aggregates in DECIMAL; every NTILE order carries a
-    key tie-break."""
+    key tie-break. Each quartile score runs through exact_ntile (no
+    single-partition window — plan-guarded); the user-grain table is
+    persisted because the three rankings each scan it for cut points,
+    counts, and the final pass."""
     e = t(spark, sf_dir, "events")
     ref = e.agg(F.max("ts").alias("now_ts"))
     rfm = (
@@ -1219,17 +1223,20 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str):
             "monetary_dec",
         )
     )
-    w_r = Window.orderBy(F.col("recency_us").asc(), F.col("user_id"))
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
-    w_m = Window.orderBy(F.col("monetary_dec").desc(), F.col("user_id"))
-    scored = rfm.select(
+    rfm = rfm.persist()
+    scored = exact_ntile(rfm, 4, F.col("recency_us"), ["user_id"], "r_score")
+    scored = exact_ntile(scored, 4, -F.col("frequency"), ["user_id"], "f_score")
+    scored = exact_ntile(
+        scored, 4, -F.col("monetary_dec"), ["user_id"], "m_score"
+    )
+    scored = scored.select(
         "user_id",
         "recency_us",
         "frequency",
         dbl(F.col("monetary_dec")).alias("monetary"),
-        F.ntile(4).over(w_r).alias("r_score"),
-        F.ntile(4).over(w_f).alias("f_score"),
-        F.ntile(4).over(w_m).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.withColumn(
         "segment",

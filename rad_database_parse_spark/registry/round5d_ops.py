@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ._util import dbl, dec, t
+from ..operators.ranking import exact_ntile
 
 # ------------------------------------------ small-file compaction plan
 # Target bin size for the packer (bytes). Deliberately small so the plan
@@ -2584,11 +2585,11 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str):
     (spend, custkey) so bucket boundaries are deterministic in both
     engines — a bare spend ordering would tie-break arbitrarily and
     break cross-engine parity. Plan: two pruned year scans partial-agg
-    to customer grain, one customer join, two window ranks over the
-    same (small) matched-customer table, and a ≤100-row rollup. The
-    NTILE windows are single-partition by design over customer-grain
-    rows — at 100 TB swap for percent_rank bucketing from the mergeable
-    spend histogram (same output contract)."""
+    to customer grain, one customer join (persisted — each ranking
+    scans it for cut points, counts, and the final pass), two
+    exact_ntile rankings (range-bucketed, PARTITIONED windows — no
+    single-partition sort, plan-guarded in tests/test_plans.py), and a
+    ≤100-row rollup."""
     o = t(spark, sf_dir, "orders")
 
     def spend(yr: int, col: str):
@@ -2602,13 +2603,11 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str):
             )
         )
 
-    both = spend(1996, "c0").join(spend(1997, "c1"), "o_custkey")
-    d0 = Window.orderBy("c0", "o_custkey")
-    d1 = Window.orderBy("c1", "o_custkey")
-    ranked = both.select(
-        F.ntile(10).over(d0).cast("int").alias("decile_1996"),
-        F.ntile(10).over(d1).cast("int").alias("decile_1997"),
-    )
+    both = spend(1996, "c0").join(spend(1997, "c1"), "o_custkey").persist()
+    ranked = exact_ntile(both, 10, F.col("c0"), ["o_custkey"], "decile_1996")
+    ranked = exact_ntile(
+        ranked, 10, F.col("c1"), ["o_custkey"], "decile_1997"
+    ).select("decile_1996", "decile_1997")
     return ranked.groupBy("decile_1996", "decile_1997").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )

@@ -371,3 +371,22 @@ def test_drift_monitor_prunes_scan_columns(spark, sf_dir):
     # both window aggregations read only (o_orderdate, o_orderpriority)
     tail = plan.split("ReadSchema")[-1]
     assert "o_totalprice" not in tail and "o_custkey" not in tail
+
+
+def test_ntile_family_has_no_unpartitioned_window(spark, sf_dir):
+    # VERDICT r5: the three exact-NTILE queries used to funnel their whole
+    # (customer/user-grain) input through ONE task. They now rank via
+    # operators/ranking.exact_ntile — every Window in their plans must
+    # carry a partitionSpec (the range bucket).
+    from rad_database_parse_spark.plans import unpartitioned_window_count
+    from rad_database_parse_spark.registry.pipeline_ops import (
+        events_rfm_segmentation,
+        ntile_decile_stats,
+    )
+    from rad_database_parse_spark.registry.round5d_ops import (
+        customer_decile_migration,
+    )
+
+    for fn in (ntile_decile_stats, events_rfm_segmentation,
+               customer_decile_migration):
+        assert unpartitioned_window_count(fn(spark, sf_dir)) == 0, fn.__name__

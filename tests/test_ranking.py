@@ -1,0 +1,85 @@
+"""Parity tests for operators/ranking — the scale-safe exact NTILE /
+row_number must be bit-identical to the single-partition window forms it
+replaces (VERDICT r5: the NTILE trio was the last scale-killer class)."""
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rad_database_parse_spark.operators.ranking import (
+    exact_global_rank,
+    exact_ntile,
+)
+from rad_database_parse_spark.plans import unpartitioned_window_count
+
+
+def _corpus(spark, seed: int, n: int, values):
+    rng = random.Random(seed)
+    rows = [(i, rng.choice(values)) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v double")
+
+
+@pytest.mark.parametrize("n_tiles", [1, 3, 4, 10, 37])
+def test_ntile_matches_window_form(spark, n_tiles):
+    df = _corpus(spark, seed=11, n=509, values=[1.5, 2.5, 2.5, 9.0, -3.0, 0.0])
+    got = exact_ntile(df, n_tiles, F.col("v"), ["id"], "tile")
+    exp = df.withColumn(
+        "tile", F.ntile(n_tiles).over(Window.orderBy("v", "id"))
+    )
+    assert (
+        got.select("id", "tile").exceptAll(exp.select("id", "tile")).count()
+        == 0
+    )
+
+
+def test_ntile_more_tiles_than_rows(spark):
+    df = _corpus(spark, seed=3, n=7, values=[1.0, 2.0])
+    got = exact_ntile(df, 100, F.col("v"), ["id"], "tile")
+    exp = df.withColumn("tile", F.ntile(100).over(Window.orderBy("v", "id")))
+    assert (
+        got.select("id", "tile").exceptAll(exp.select("id", "tile")).count()
+        == 0
+    )
+
+
+def test_ntile_all_ties_single_bucket_degenerate(spark):
+    # one distinct value → one range bucket; still exact, just serial
+    # (inherent: ties cannot be split without breaking determinism)
+    df = _corpus(spark, seed=5, n=40, values=[7.0])
+    got = exact_ntile(df, 4, F.col("v"), ["id"], "tile")
+    exp = df.withColumn("tile", F.ntile(4).over(Window.orderBy("v", "id")))
+    assert (
+        got.select("id", "tile").exceptAll(exp.select("id", "tile")).count()
+        == 0
+    )
+
+
+def test_ntile_empty_input(spark):
+    df = _corpus(spark, seed=1, n=10, values=[1.0]).filter("v > 99")
+    assert exact_ntile(df, 4, F.col("v"), ["id"], "tile").count() == 0
+
+
+def test_descending_rank_via_negated_expr(spark):
+    df = _corpus(spark, seed=23, n=311, values=[float(x) for x in range(9)])
+    got, total = exact_global_rank(df, -F.col("v"), ["id"], "rnk")
+    exp = df.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), "id"))
+        .cast("bigint"),
+    )
+    assert total == 311
+    assert (
+        got.select("id", "rnk").exceptAll(exp.select("id", "rnk")).count()
+        == 0
+    )
+
+
+def test_rank_has_no_unpartitioned_window(spark):
+    df = _corpus(spark, seed=2, n=200, values=[1.0, 2.0, 3.0, 4.0])
+    got, _ = exact_global_rank(df, F.col("v"), ["id"], "rnk")
+    assert unpartitioned_window_count(got) == 0
+    tiled = exact_ntile(df, 10, F.col("v"), ["id"], "tile")
+    assert unpartitioned_window_count(tiled) == 0
