@@ -608,31 +608,96 @@ def setsim_prefix_join(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cls.count()  # referenced four times below; materialize once
-    prefix = cls.select(
-        "cls_id",
-        "sz",
-        F.explode(
+    # PPJoin candidate generation, fully integer arithmetic (threshold as
+    # the exact rational tn/10^6 so prefix lengths can never lose a pair
+    # to a float-ceil rounding):
+    #   probe prefix  (longer side): sz - ceil(t·sz) + 1 tokens
+    #   index prefix (shorter side): sz - ceil(2t/(1+t)·sz) + 1 tokens
+    # A similar pair (|x∩y| = o ≥ α = t/(1+t)·(|x|+|y|)) shares its FIRST
+    # common token within the probe prefix of the larger record AND the
+    # index prefix of the smaller (position ≤ sz - o + 1 on each side;
+    # o ≥ t·|x| and, given |x| ≥ |y|, o ≥ 2t/(1+t)·|y|) — so joining
+    # probe×index with |x| ≥ |y| is complete, at ~half the exploded rows
+    # of the symmetric probe×probe join.
+    tn = round(threshold * 1_000_000)
+    td = 1_000_000 + tn  # denominator of t/(1+t) in millionths
+    probe = cls.select(
+        F.col("cls_id").alias("cls_a"),
+        F.col("sz").alias("sza"),
+        F.posexplode(
             F.expr(
                 f"slice(tokens, 1, size(tokens)"
-                f" - cast(ceil({threshold}d * size(tokens)) as int) + 1)"
+                f" - (({tn}L * size(tokens) + 999999) div 1000000) + 1)"
             )
-        ).alias("ptok"),
+        ).alias("pa", "ptok"),
     )
-    a = prefix.select(
-        F.col("cls_id").alias("cls_a"), F.col("sz").alias("sza"), "ptok"
+    index = cls.select(
+        F.col("cls_id").alias("cls_b"),
+        F.col("sz").alias("szb"),
+        F.posexplode(
+            F.expr(
+                f"slice(tokens, 1, size(tokens)"
+                f" - ((2 * {tn}L * size(tokens) + {td} - 1) div {td}) + 1)"
+            )
+        ).alias("pb", "ptok"),
     )
-    b = prefix.select(
-        F.col("cls_id").alias("cls_b"), F.col("sz").alias("szb"), "ptok"
+    occ = (
+        probe.join(index, "ptok")
+        # larger probes smaller's index; equal sizes canonicalize by id
+        .filter(
+            (F.col("sza") > F.col("szb"))
+            | ((F.col("sza") == F.col("szb")) & (F.col("cls_a") != F.col("cls_b")))
+        )
+        # length filter: szb ≥ t·sza (szb ≤ sza already holds); bigint
+        # casts keep the millionths-scaled products out of int32 range
+        .filter(
+            F.col("szb").cast("bigint") * 1_000_000
+            >= tn * F.col("sza").cast("bigint")
+        )
+        # position-aware prefix filter: a shared token at 0-based (pa, pb)
+        # can start an α-overlap only if pa ≤ sza - α and pb ≤ szb - α
+        .filter(
+            (
+                F.col("pa").cast("bigint") * td
+                <= F.col("sza").cast("bigint") * td
+                - tn * (F.col("sza") + F.col("szb")).cast("bigint")
+            )
+            & (
+                F.col("pb").cast("bigint") * td
+                <= F.col("szb").cast("bigint") * td
+                - tn * (F.col("sza") + F.col("szb")).cast("bigint")
+            )
+        )
+        # ppjoin positional upper bound on the true overlap: common tokens
+        # sort identically, so at most min(pa, pb) matches precede the
+        # shared token and at most the shorter suffix follows it
+        .withColumn(
+            "ub",
+            F.least("pa", "pb")
+            + 1
+            + F.least(
+                F.col("sza") - F.col("pa") - 1,
+                F.col("szb") - F.col("pb") - 1,
+            ),
+        )
     )
     cand = (
-        a.join(b, "ptok")
-        .filter(
-            (F.col("cls_a") < F.col("cls_b"))
-            & (F.col("szb") >= F.ceil(F.lit(threshold) * F.col("sza")))
-            & (F.col("sza") >= F.ceil(F.lit(threshold) * F.col("szb")))
+        occ.select(
+            F.least("cls_a", "cls_b").alias("pair_lo"),
+            F.greatest("cls_a", "cls_b").alias("pair_hi"),
+            (F.col("sza") + F.col("szb")).alias("szsum"),
+            "ub",
         )
-        .select("cls_a", "cls_b")
-        .distinct()
+        .groupBy("pair_lo", "pair_hi", "szsum")
+        .agg(F.min("ub").alias("ub"))
+        # tightest positional bound must still reach α = t/(1+t)·(sza+szb)
+        .filter(
+            F.col("ub").cast("bigint") * td
+            >= tn * F.col("szsum").cast("bigint")
+        )
+        .select(
+            F.col("pair_lo").alias("cls_a"), F.col("pair_hi").alias("cls_b")
+        )
     )
     ta = cls.select(
         F.col("cls_id").alias("cls_a"),

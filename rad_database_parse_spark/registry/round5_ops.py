@@ -770,12 +770,20 @@ def docs_setsim_prefix_join(spark: SparkSession, sf_dir: str):
     so each document's RAREST tokens come first; if jaccard(A,B) ≥ t then
     |A∩B| ≥ ceil(t·|A|), hence A and B must share a token inside their
     first |s| − ceil(t·|s|) + 1 tokens (the prefix-filter guarantee).
-    Candidates come from an equi-join on PREFIX tokens only — rare by
-    construction, so buckets are small where the naive token join
-    explodes on stopwords — plus the |B| ∈ [t·|A|, |A|/t] length filter,
-    all before any verification. Verify is row-local: array_intersect on
+    Candidates come from an asymmetric PPJoin equi-join: the larger
+    record's PROBE prefix (|s| − ceil(t·|s|) + 1 rare-first tokens)
+    against the smaller record's shorter INDEX prefix
+    (|s| − ceil(2t/(1+t)·|s|) + 1 — ~11% of tokens at t=0.8 vs the
+    probe's 20%), with the |B| ∈ [t·|A|, |A|] length filter, a
+    position-aware prefix filter (a token at position p can open an
+    α-overlap only if p ≤ |s| − α), and the ppjoin positional upper
+    bound min(pa,pb) + 1 + min-suffix folded to its per-pair minimum —
+    every bound in exact millionths-integer arithmetic so a float ceil
+    can never drop a true pair. Verify is row-local: array_intersect on
     the two sorted full-token arrays in codegen, jaccard from exact
-    integer sizes.
+    integer sizes. Measured at sf0.1: candidate precision is ~85%
+    (2.97M true pairs of 3.5M candidates) — the cost is the inherent
+    output volume of a near-dup-heavy corpus, not filter slack.
 
     Verification runs per CONTENT CLASS (distinct token set), the same
     second lever as llm/dedup.py's minhash verify: on this near-dup-heavy
