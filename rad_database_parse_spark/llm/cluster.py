@@ -33,10 +33,20 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, src: str, dst: str, max_iter: int = 25
+    pairs: DataFrame, src: str, dst: str, max_iter: int = 25,
+    probe_every: int = 2,
 ) -> DataFrame:
     """(node, component) for every node in `pairs`, component = min reachable
-    node id. Exact fixpoint (driver-checked), ≤ max_iter rounds."""
+    node id. Exact fixpoint (driver-checked), ≤ max_iter rounds.
+
+    The fixpoint probe (a count job + eager checkpoint) runs every
+    `probe_every` iterations, not every one — pointer jumping converges in
+    O(log n) rounds, so per-round probing spends half the driver
+    round-trips discovering "not done yet" (VERDICT r5 item 5). Off-probe
+    rounds stay fully lazy (persist marks, no jobs); the next probe's
+    checkpoint materializes the 2-round lineage once. Worst case this runs
+    one extra (idempotent) iteration after convergence — assignments are
+    identical either way."""
     # the distinct() looks redundant (pairs are already unique and MIN is
     # duplicate-insensitive) but measured FASTER end-to-end: its shuffle
     # leaves the persisted edge list compactly partitioned for the
@@ -53,7 +63,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(max_iter):
+    retired: list[DataFrame] = []
+    for i in range(1, max_iter + 1):
         # (1) min label among direct neighbors
         nbr = (
             edges.join(labels, edges.v == labels.node)
@@ -70,26 +81,36 @@ def connected_components(
         parents = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        jumped = (
-            stepped.join(parents, stepped.label == parents.p_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
+        jumped = stepped.join(
+            parents, stepped.label == parents.p_node, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+            ).alias("label"),
+        )
+        if i % probe_every == 0 or i == max_iter:
+            jumped = jumped.localCheckpoint(eager=True)
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = jumped.persist(StorageLevel.MEMORY_AND_DISK)
-        if changed == 0:
-            break
+            # the checkpoint materialized everything downstream of the
+            # retired caches — safe to release them (and the probe base)
+            for d in retired:
+                d.unpersist()
+            retired = []
+            labels.unpersist()
+            labels = jumped.persist(StorageLevel.MEMORY_AND_DISK)
+            if changed == 0:
+                break
+        else:
+            # off-probe round: no job — persist() is a lazy mark, the old
+            # labels stay cached until the next probe materializes
+            retired.append(labels)
+            labels = jumped.persist(StorageLevel.MEMORY_AND_DISK)
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
