@@ -190,6 +190,20 @@ EXTENDED_R5D = [
 ]
 
 
+# Round-6 additions (registry/round6_ops.py), their own family so prior
+# sums stay comparable. Deliberately absent: txn_snapshot_merge_upsert and
+# txn_time_travel_read (their builders run the commit protocol eagerly —
+# temp-dir writes + a bounded collect — so the generic sink-timing harness
+# would re-run the side effects and time the control plane, not a query).
+EXTENDED_R6 = [
+    "events_shapley_channel_attribution",
+    "events_ab_cuped_adjustment",
+    "docs_rake_keyphrases",
+    "orders_weighted_percentile_exact",
+    "emb_ivf_pq_adc_topk",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -252,6 +266,7 @@ def main() -> int:
     extended_r5 = run(EXTENDED_R5)
     extended_r5c = run(EXTENDED_R5C)
     extended_r5d = run(EXTENDED_R5D)
+    extended_r6 = run(EXTENDED_R6)
     all_timings = {
         **timings,
         **extended,
@@ -259,6 +274,7 @@ def main() -> int:
         **extended_r5,
         **extended_r5c,
         **extended_r5d,
+        **extended_r6,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -270,6 +286,7 @@ def main() -> int:
         "value_extended_r5": round(sum(extended_r5.values()), 3),
         "value_extended_r5c": round(sum(extended_r5c.values()), 3),
         "value_extended_r5d": round(sum(extended_r5d.values()), 3),
+        "value_extended_r6": round(sum(extended_r6.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

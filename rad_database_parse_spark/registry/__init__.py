@@ -244,7 +244,15 @@ _WINDOW_R6 = [
 # queries that have never had a driver CORRECTNESS row), so queries
 # registered in round 6 queue here — positions 51+ this round, 1+ next
 # round. CORRECTNESS_r06 failures get prepended when the file lands.
-_WINDOW_R7: list[str] = []
+_WINDOW_R7: list[str] = [
+    "txn_snapshot_merge_upsert",
+    "txn_time_travel_read",
+    "events_shapley_channel_attribution",
+    "events_ab_cuped_adjustment",
+    "docs_rake_keyphrases",
+    "orders_weighted_percentile_exact",
+    "emb_ivf_pq_adc_topk",
+]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
@@ -273,6 +281,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round5_ops  # noqa: F401
     from . import curation_ops  # noqa: F401
     from . import round5d_ops  # noqa: F401
+    from . import round6_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

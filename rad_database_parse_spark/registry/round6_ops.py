@@ -1,0 +1,840 @@
+"""Round-6 operators: transactional snapshot tables (the ACID layer VERDICT
+r5 named as missing #2), experimentation-platform readouts (Shapley channel
+attribution, CUPED variance reduction), RAKE keyphrase extraction, exact
+weighted percentiles, and the IVF+PQ asymmetric-distance serving path.
+
+Float-parity policy as registry/__init__.py: exact integer/decimal
+aggregation, fixed-point comparisons for every ranking, doubles only as
+final expressions of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import dbl, dec, t
+
+# ---------------------------------------------------------------- txn layer
+
+
+@register(
+    "txn_snapshot_merge_upsert",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM customer WHERE c_custkey <= 1000),
+    fin AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey > 500 THEN cents + 22222
+                  WHEN c_custkey > 250 THEN cents + 11111
+                  ELSE cents END AS cents
+      FROM base)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM fin GROUP BY c_mktsegment
+    """,
+)
+def txn_snapshot_merge_upsert(spark: SparkSession, sf_dir: str):
+    """Transactional MERGE through the optimistic snapshot layer
+    (catalog/txn.py — versioned manifests + atomic create-if-absent
+    publish, the protocol shape under Delta/Iceberg): create the table at
+    v0, apply two copy-on-write merge_upsert transactions (overlapping
+    key ranges, so the second overwrites part of the first), and read the
+    final snapshot. The ORACLE computes the expected end state straight
+    from the raw table — so the gate validates the full
+    read-merge-commit-read cycle, not just the arithmetic. Concurrent
+    writers are covered by tests/test_txn.py (lost-update-free retry).
+    At 100 TB the data plane is ordinary parquet scans; the control plane
+    is one tiny JSON per commit."""
+    import shutil
+    import tempfile
+
+    from ..catalog.txn import commit, merge_upsert_txn, read_snapshot
+
+    c = t(spark, sf_dir, "customer")
+    cents = (dec("c_acctbal") * 100).cast("bigint")
+    scratch = tempfile.mkdtemp(prefix="txn_merge_q_")
+    try:
+        base = c.filter(F.col("c_custkey") <= 500).select(
+            "c_custkey", "c_mktsegment", cents.alias("cents")
+        )
+        commit(spark, scratch, base, "create", expected_version=None)
+        upd1 = c.filter(
+            (F.col("c_custkey") > 250) & (F.col("c_custkey") <= 750)
+        ).select(
+            "c_custkey", "c_mktsegment", (cents + 11111).alias("cents")
+        )
+        merge_upsert_txn(spark, scratch, upd1, "c_custkey")
+        upd2 = c.filter(
+            (F.col("c_custkey") > 500) & (F.col("c_custkey") <= 1000)
+        ).select(
+            "c_custkey", "c_mktsegment", (cents + 22222).alias("cents")
+        )
+        merge_upsert_txn(spark, scratch, upd2, "c_custkey")
+        final = (
+            read_snapshot(spark, scratch)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_customers"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+        )
+        # segment-grain (≤5 rows): materialize so the scratch table can go
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "txn_time_travel_read",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders WHERE year(o_orderdate) = 1996
+    GROUP BY month
+    """,
+)
+def txn_time_travel_read(spark: SparkSession, sf_dir: str):
+    """Time travel: commit v0 (1996 monthly rollup), overwrite with v1
+    (1996+1997), then read VERSION 0 — the manifest log keeps every
+    committed snapshot addressable, so the query must return the 1996-only
+    numbers even though the table's head has moved on. The oracle is the
+    1996 rollup computed directly; a v1 leak into the v0 read fails the
+    hash. This is the audit/debug read pattern (what did the table say
+    when the model trained?) that in-place mutation cannot answer."""
+    import shutil
+    import tempfile
+
+    from ..catalog.txn import commit, read_snapshot
+
+    o = t(spark, sf_dir, "orders")
+
+    def rollup(years: list[int]):
+        return (
+            o.filter(F.year("o_orderdate").isin(years))
+            .groupBy(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+                .alias("month")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum((dec("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("total_cents"),
+            )
+        )
+
+    scratch = tempfile.mkdtemp(prefix="txn_tt_q_")
+    try:
+        commit(spark, scratch, rollup([1996]), "create", expected_version=None)
+        commit(spark, scratch, rollup([1996, 1997]), "overwrite", expected_version=0)
+        v0 = read_snapshot(spark, scratch, version=0)
+        return spark.createDataFrame(v0.collect(), v0.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ------------------------------------------ Shapley channel attribution
+# channel bits: view=1, click=2, signup=4, error=8 (n=4 channels, 16
+# coalitions). Shapley weights w(|S|) = |S|!·(n-1-|S|)! over n! = 24.
+_SHAP_V_SCALE = 1_000_000_000
+
+
+@register(
+    "events_shapley_channel_attribution",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             BIT_OR(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+                    ELSE 0 END) AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT mask,
+             ({_SHAP_V_SCALE} * CAST(SUM(conv) AS BIGINT))
+               // CAST(COUNT(*) AS BIGINT) AS v_fp
+      FROM per_user WHERE mask > 0 GROUP BY mask),
+    subsets AS (SELECT CAST(range AS BIGINT) AS s FROM range(16)),
+    channels AS (
+      SELECT * FROM (VALUES ('view', CAST(1 AS BIGINT)),
+                            ('click', CAST(2 AS BIGINT)),
+                            ('signup', CAST(4 AS BIGINT)),
+                            ('error', CAST(8 AS BIGINT)))
+        AS t(channel, bit)),
+    terms AS (
+      SELECT c.channel,
+             (CASE ((s & 1) + ((s // 2) & 1) + ((s // 4) & 1)
+                    + ((s // 8) & 1))
+                WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+             * (COALESCE(v1.v_fp, 0) - COALESCE(v0.v_fp, 0)) AS term_fp
+      FROM subsets sub
+      CROSS JOIN channels c
+      LEFT JOIN v v0 ON v0.mask = sub.s
+      LEFT JOIN v v1 ON v1.mask = (sub.s | c.bit)
+      WHERE (sub.s & c.bit) = 0)
+    SELECT channel,
+           CAST(SUM(term_fp) // 24 AS BIGINT) AS shapley_fp
+    FROM terms GROUP BY channel
+    """,
+)
+def events_shapley_channel_attribution(spark: SparkSession, sf_dir: str):
+    """Data-driven Shapley channel attribution — the game-theoretic
+    alternative to last-touch (events_attribution_last_touch) and decay
+    (events_multitouch_decay_attribution): each channel's credit is its
+    average marginal lift to the conversion rate across every coalition
+    of other channels. Coalition value v(S) is the observed conversion
+    rate of users whose touched-channel set is exactly S (v(∅) = 0,
+    unobserved coalitions 0 — the standard empirical estimator).
+
+    Scale shape: ONE scan partial-aggregates users to (mask, conv) via
+    BIT_OR — per-user state is an int; coalition space is 2^4 = 16 rows,
+    so the Shapley combination (16 subsets × 4 channels, factorial
+    weights) is a broadcast of a tiny table, free at any corpus size.
+    Parity: v as fixed-point integer (10^9·conv div users), weights and
+    the final div-24 all integer — no float path anywhere."""
+    ev = t(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.bit_or(bit).alias("mask"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    v = (
+        per_user.filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(
+            F.expr(
+                f"({_SHAP_V_SCALE}L * cast(sum(conv) as bigint))"
+                " div cast(count(*) as bigint)"
+            ).alias("v_fp")
+        )
+    )
+    subsets = spark.range(16).select(F.col("id").alias("s"))
+    channels = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit bigint",
+    )
+    popcnt = F.expr("(s & 1) + ((s div 2) & 1) + ((s div 4) & 1) + ((s div 8) & 1)")
+    weight = (
+        F.when(popcnt == 0, 6)
+        .when(popcnt == 1, 2)
+        .when(popcnt == 2, 2)
+        .otherwise(6)
+    )
+    v0 = v.select(F.col("mask").alias("m0"), F.col("v_fp").alias("v0_fp"))
+    v1 = v.select(F.col("mask").alias("m1"), F.col("v_fp").alias("v1_fp"))
+    terms = (
+        subsets.crossJoin(F.broadcast(channels))
+        .filter(F.expr("(s & bit) = 0"))
+        .join(F.broadcast(v0), F.expr("m0 = s"), "left")
+        .join(F.broadcast(v1), F.expr("m1 = (s | bit)"), "left")
+        .select(
+            "channel",
+            (
+                weight
+                * (
+                    F.coalesce(F.col("v1_fp"), F.lit(0))
+                    - F.coalesce(F.col("v0_fp"), F.lit(0))
+                )
+            ).alias("term_fp"),
+        )
+    )
+    return terms.groupBy("channel").agg(
+        F.expr("cast(sum(term_fp) div 24 as bigint)").alias("shapley_fp")
+    )
+
+
+# ------------------------------------------------- CUPED adjusted readout
+_CUPED_CUT = "2024-01-15"
+
+
+@register(
+    "events_ab_cuped_adjustment",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND ts < TIMESTAMP '{_CUPED_CUT}'
+                           THEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS pre_c,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '{_CUPED_CUT}'
+                           THEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS post_c
+      FROM events GROUP BY user_id),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre_c) AS BIGINT) AS sp,
+             CAST(SUM(post_c) AS BIGINT) AS so,
+             CAST(SUM(CAST(pre_c AS DECIMAL(38,0))
+                      * CAST(pre_c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS spp,
+             CAST(SUM(CAST(pre_c AS DECIMAL(38,0))
+                      * CAST(post_c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS spo,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 0 THEN pre_c ELSE 0 END) AS BIGINT)
+               AS sp0,
+             CAST(SUM(CASE WHEN arm = 0 THEN post_c ELSE 0 END) AS BIGINT)
+               AS so0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 1 THEN pre_c ELSE 0 END) AS BIGINT)
+               AS sp1,
+             CAST(SUM(CASE WHEN arm = 1 THEN post_c ELSE 0 END) AS BIGINT)
+               AS so1
+      FROM per_user),
+    th AS (
+      SELECT *,
+             (CAST(n AS DOUBLE) * CAST(spo AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(so AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) AS theta
+      FROM cells)
+    SELECT theta,
+           CAST(so0 AS DOUBLE) / n0 / 100.0 AS mean_post_control,
+           CAST(so1 AS DOUBLE) / n1 / 100.0 AS mean_post_treat,
+           (CAST(so0 AS DOUBLE) / n0
+            - theta * (CAST(sp0 AS DOUBLE) / n0 - CAST(sp AS DOUBLE) / n))
+             / 100.0 AS mean_adj_control,
+           (CAST(so1 AS DOUBLE) / n1
+            - theta * (CAST(sp1 AS DOUBLE) / n1 - CAST(sp AS DOUBLE) / n))
+             / 100.0 AS mean_adj_treat
+    FROM th
+    """,
+)
+def events_ab_cuped_adjustment(spark: SparkSession, sf_dir: str):
+    """CUPED variance-reduced experiment readout — the standard trick for
+    shipping A/B decisions faster: regress the post-period metric on the
+    PRE-period metric (θ = cov(pre, post)/var(pre), pooled across arms —
+    pre-period data is assignment-independent, so pooling is unbiased)
+    and report each arm's adjusted mean post − θ·(pre − pooled-pre-mean).
+    Pairs with events_diff_in_differences as the experimentation tier.
+
+    Scale shape: one fact scan to per-user (pre, post) exact-cents
+    partials, then ONE conditional aggregate row carrying every moment
+    (n/Σpre/Σpost per arm, pooled Σpre², Σpre·post in DECIMAL(38,0) so
+    cents-squared cannot overflow at any SF). θ and the adjusted means
+    are fixed double expressions of those exact integers — the adjusted
+    per-user column never materializes, because the adjusted MEAN is an
+    algebraic function of the moments."""
+    ev = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    is_pur = F.col("event_type") == "purchase"
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_pur & (F.col("ts") < cut), cents).otherwise(0))
+        .cast("bigint")
+        .alias("pre_c"),
+        F.sum(F.when(is_pur & (F.col("ts") >= cut), cents).otherwise(0))
+        .cast("bigint")
+        .alias("post_c"),
+    ).withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    d38 = "decimal(38,0)"
+    cells = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pre_c").cast("bigint").alias("sp"),
+        F.sum("post_c").cast("bigint").alias("so"),
+        F.sum(F.col("pre_c").cast(d38) * F.col("pre_c").cast(d38))
+        .cast(d38)
+        .alias("spp"),
+        F.sum(F.col("pre_c").cast(d38) * F.col("post_c").cast(d38))
+        .cast(d38)
+        .alias("spo"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre_c")).otherwise(0))
+        .cast("bigint")
+        .alias("sp0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post_c")).otherwise(0))
+        .cast("bigint")
+        .alias("so0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre_c")).otherwise(0))
+        .cast("bigint")
+        .alias("sp1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post_c")).otherwise(0))
+        .cast("bigint")
+        .alias("so1"),
+    )
+    theta = (
+        dbl(F.col("n")) * dbl(F.col("spo")) - dbl(F.col("sp")) * dbl(F.col("so"))
+    ) / (
+        dbl(F.col("n")) * dbl(F.col("spp")) - dbl(F.col("sp")) * dbl(F.col("sp"))
+    )
+    th = cells.withColumn("theta", theta)
+
+    def adj(so_col: str, sp_col: str, n_col: str):
+        return (
+            dbl(F.col(so_col)) / F.col(n_col)
+            - F.col("theta")
+            * (dbl(F.col(sp_col)) / F.col(n_col) - dbl(F.col("sp")) / F.col("n"))
+        ) / F.lit(100.0)
+
+    return th.select(
+        "theta",
+        (dbl(F.col("so0")) / F.col("n0") / F.lit(100.0)).alias(
+            "mean_post_control"
+        ),
+        (dbl(F.col("so1")) / F.col("n1") / F.lit(100.0)).alias(
+            "mean_post_treat"
+        ),
+        adj("so0", "sp0", "n0").alias("mean_adj_control"),
+        adj("so1", "sp1", "n1").alias("mean_adj_treat"),
+    )
+
+
+# ------------------------------------------------- RAKE keyphrase extract
+_RAKE_STOPWORDS = (
+    "the of and to in a is that for it as was with be by on not he i this "
+    "are or his from at which but have an they you were her she we all"
+).split()
+_RAKE_TOPK = 25
+_RAKE_MAX_WORDS = 4
+
+
+def _rake_stoplist_sql() -> str:
+    return ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+
+
+@register(
+    "docs_rake_keyphrases",
+    f"""
+    WITH words AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN word IN ({_rake_stoplist_sql()}) THEN 1 ELSE 0 END
+               AS is_stop
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(
+                 regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '))
+                 AS word,
+               generate_subscripts(string_split_regex(
+                 regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '), 1)
+                 AS pos
+        FROM documents)
+      WHERE word != ''),
+    grouped AS (
+      SELECT doc_id, pos, word, grp FROM (
+        SELECT doc_id, pos, word, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+        FROM words)
+      WHERE is_stop = 0),
+    sized AS (
+      SELECT doc_id, grp, pos, word,
+             COUNT(*) OVER (PARTITION BY doc_id, grp) AS phrase_len
+      FROM grouped),
+    kept AS (SELECT * FROM sized WHERE phrase_len <= {_RAKE_MAX_WORDS}),
+    wstats AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(phrase_len) AS BIGINT) AS deg
+      FROM kept GROUP BY word),
+    phrase_scores AS (
+      SELECT k.doc_id, k.grp,
+             STRING_AGG(k.word, ' ' ORDER BY k.pos) AS phrase,
+             CAST(SUM((1000000 * w.deg) // w.freq) AS BIGINT) AS score_fp
+      FROM kept k JOIN wstats w ON w.word = k.word
+      GROUP BY k.doc_id, k.grp)
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MAX(score_fp) AS score_fp
+    FROM phrase_scores
+    GROUP BY phrase
+    ORDER BY score_fp DESC, phrase
+    LIMIT {_RAKE_TOPK}
+    """,
+)
+def docs_rake_keyphrases(spark: SparkSession, sf_dir: str):
+    """RAKE keyphrase extraction (Rose et al. 2010) — the classic
+    unsupervised keyword miner for corpus triage: candidate phrases are
+    maximal stopword-free word runs; each word scores degree/frequency
+    (degree = Σ length of phrases containing it); a phrase scores the sum
+    of its word scores. Top-25 corpus keyphrases by score.
+
+    Fully relational and scale-safe: tokenize (one regexp + posexplode),
+    running stopword count per doc assigns phrase group ids (window
+    PARTITIONED by doc), two hash aggregates build word stats, one
+    broadcast-able join scores phrases, TakeOrdered lands the top-k.
+    Parity: word scores are integer fixed-point ((10^6·deg) div freq)
+    summed exactly — no float accumulation anywhere."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "),
+                    " ",
+                )
+            ).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+        .withColumn(
+            "is_stop",
+            F.col("word").isin(_RAKE_STOPWORDS).cast("int"),
+        )
+    )
+    w_grp = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = words.withColumn("grp", F.sum("is_stop").over(w_grp)).filter(
+        F.col("is_stop") == 0
+    )
+    sized = grouped.withColumn(
+        "phrase_len", F.count("*").over(Window.partitionBy("doc_id", "grp"))
+    )
+    kept = sized.filter(F.col("phrase_len") <= _RAKE_MAX_WORDS)
+    wstats = kept.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("phrase_len").cast("bigint").alias("deg"),
+    )
+    phrase_scores = (
+        kept.join(wstats, "word")
+        .withColumn(
+            "word_score_fp", F.expr("(1000000 * deg) div freq")
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"),
+            ).alias("phrase"),
+            F.sum("word_score_fp").cast("bigint").alias("score_fp"),
+        )
+    )
+    return (
+        phrase_scores.groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.max("score_fp").alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+# ------------------------------------------- exact weighted percentiles
+@register(
+    "orders_weighted_percentile_exact",
+    """
+    WITH w AS (
+      SELECT o.o_orderkey, c.c_mktsegment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_c,
+             CAST(COUNT(l.l_orderkey) AS BIGINT) AS wt
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, c.c_mktsegment, price_c),
+    cum AS (
+      SELECT c_mktsegment, price_c, wt,
+             SUM(wt) OVER (PARTITION BY c_mktsegment
+                           ORDER BY price_c, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY c_mktsegment) AS total_w
+      FROM w)
+    SELECT c_mktsegment,
+           CAST(MIN(CASE WHEN 2 * cw >= total_w THEN price_c END)
+                AS DOUBLE) / 100.0 AS p50_weighted,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * total_w THEN price_c END)
+                AS DOUBLE) / 100.0 AS p90_weighted,
+           CAST(MAX(total_w) AS BIGINT) AS total_weight
+    FROM cum GROUP BY c_mktsegment
+    """,
+)
+def orders_weighted_percentile_exact(spark: SparkSession, sf_dir: str):
+    """EXACT weighted percentiles per market segment — order price
+    weighted by line count, the 'how big is the median UNIT of work'
+    question that unweighted percentiles (and Spark's approx sketches)
+    answer wrongly when weights vary. Lower-weighted-median convention:
+    the smallest price whose cumulative weight reaches q·W, evaluated as
+    exact integer cross-multiplication (2·cw ≥ W, 10·cw ≥ 9·W) so no
+    float quantile boundary exists to disagree across engines.
+
+    Scale shape: line counts partial-aggregate to order grain; the
+    cumulative weight is a window PARTITIONED by segment (parallel across
+    segments, no global sort); the percentile pick is a conditional MIN —
+    one pass, no per-row collect. Skewed segment sizes degrade only that
+    segment's partition, same as any per-key ranking."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "c_mktsegment",
+            (dec("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        )
+        .agg(F.count("l_orderkey").cast("bigint").alias("wt"))
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("price_c", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("c_mktsegment")
+    cum = w.withColumn("cw", F.sum("wt").over(w_cum)).withColumn(
+        "total_w", F.sum("wt").over(w_tot)
+    )
+    return cum.groupBy("c_mktsegment").agg(
+        (
+            dbl(
+                F.min(
+                    F.when(2 * F.col("cw") >= F.col("total_w"), F.col("price_c"))
+                )
+            )
+            / 100.0
+        ).alias("p50_weighted"),
+        (
+            dbl(
+                F.min(
+                    F.when(
+                        10 * F.col("cw") >= 9 * F.col("total_w"),
+                        F.col("price_c"),
+                    )
+                )
+            )
+            / 100.0
+        ).alias("p90_weighted"),
+        F.max("total_w").cast("bigint").alias("total_weight"),
+    )
+
+
+# --------------------------------- IVF + PQ asymmetric-distance top-k
+# Constants align with round5_ops PQ (8 subspaces × 8 dims, 16 codes) and
+# the llm/similarity IVF provenance trick (first-N vectors as centroids) so
+# the SQL oracle reproduces identical codes and lists.
+_ADC_LISTS = 8
+_ADC_NPROBE = 2
+_ADC_K = 5
+_ADC_QMOD = 50
+_ADC_SCALE = 1_000_000_000
+
+
+def _adc_oracle_sql() -> str:
+    from .round5_ops import PQ_CODES, PQ_SUBDIM, PQ_SUBSPACES
+
+    full_d = f"""
+      CAST(floor(list_sum(list_transform(range(64),
+        j -> (CAST(e.embedding[j + 1] AS DOUBLE)
+              - CAST(c.lv[j + 1] AS DOUBLE))
+             * (CAST(e.embedding[j + 1] AS DOUBLE)
+                - CAST(c.lv[j + 1] AS DOUBLE))))
+        * {_ADC_SCALE} + 0.5) AS BIGINT)"""
+    sub_d = f"""
+      CAST(floor(list_sum(list_transform(range({PQ_SUBDIM}),
+        j -> (CAST(q.embedding[s.range * {PQ_SUBDIM} + j + 1] AS DOUBLE)
+              - CAST(cb.cv[s.range * {PQ_SUBDIM} + j + 1] AS DOUBLE))
+             * (CAST(q.embedding[s.range * {PQ_SUBDIM} + j + 1] AS DOUBLE)
+                - CAST(cb.cv[s.range * {PQ_SUBDIM} + j + 1] AS DOUBLE))))
+        * {_ADC_SCALE} + 0.5) AS BIGINT)"""
+    return f"""
+    WITH coarse AS (
+      SELECT vec_id AS list_id, embedding AS lv FROM embeddings
+      WHERE vec_id < {_ADC_LISTS}),
+    cb AS (
+      SELECT vec_id AS code, embedding AS cv FROM embeddings
+      WHERE vec_id < {PQ_CODES}),
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {full_d}, c.list_id) AS rn
+        FROM embeddings e CROSS JOIN coarse c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {full_d}, c.list_id) AS rn
+        FROM embeddings e CROSS JOIN coarse c
+        WHERE e.vec_id % {_ADC_QMOD} = 0)
+      WHERE rn <= {_ADC_NPROBE}),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT e.vec_id, s.range AS subspace, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.range
+                 ORDER BY
+                   CAST(floor(list_sum(list_transform(range({PQ_SUBDIM}),
+                     j -> (CAST(e.embedding[s.range * {PQ_SUBDIM} + j + 1]
+                                AS DOUBLE)
+                           - CAST(cb.cv[s.range * {PQ_SUBDIM} + j + 1]
+                                  AS DOUBLE))
+                          * (CAST(e.embedding[s.range * {PQ_SUBDIM} + j + 1]
+                                  AS DOUBLE)
+                             - CAST(cb.cv[s.range * {PQ_SUBDIM} + j + 1]
+                                    AS DOUBLE))))
+                     * {_ADC_SCALE} + 0.5) AS BIGINT), cb.code) AS rn
+        FROM embeddings e
+        CROSS JOIN range({PQ_SUBSPACES}) s
+        CROSS JOIN cb)
+      WHERE rn = 1),
+    dt AS (
+      SELECT q.vec_id AS q_id, s.range AS subspace, cb.code,
+             {sub_d} AS d_fp
+      FROM embeddings q
+      CROSS JOIN range({PQ_SUBSPACES}) s
+      CROSS JOIN cb
+      WHERE q.vec_id % {_ADC_QMOD} = 0),
+    cands AS (
+      SELECT p.q_id, a.vec_id
+      FROM probes p JOIN assign a ON a.list_id = p.list_id
+      WHERE a.vec_id != p.q_id),
+    adc AS (
+      SELECT cd.q_id, cd.vec_id,
+             CAST(SUM(dt.d_fp) AS BIGINT) AS adc_fp
+      FROM cands cd
+      JOIN codes k ON k.vec_id = cd.vec_id
+      JOIN dt ON dt.q_id = cd.q_id AND dt.subspace = k.subspace
+             AND dt.code = k.code
+      GROUP BY cd.q_id, cd.vec_id)
+    SELECT q_id, vec_id, adc_fp, CAST(rnk AS INT) AS rank FROM (
+      SELECT q_id, vec_id, adc_fp,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc_fp, vec_id) AS rnk
+      FROM adc)
+    WHERE rnk <= {_ADC_K}
+    """
+
+
+@register("emb_ivf_pq_adc_topk", _adc_oracle_sql())
+def emb_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str):
+    """The production ANN SERVING shape: IVF coarse routing + product-
+    quantization codes + asymmetric distance computation (ADC). Queries
+    probe their NPROBE nearest inverted lists; candidates are compared
+    not on raw vectors but on their 8-byte PQ codes, with per-query
+    distance TABLES (query subvector × codebook entry, 8×16 entries)
+    turning each candidate's distance into 8 integer lookups + a sum.
+    This composes the repo's IVF (emb_cosine_topk_ivf), PQ
+    (emb_pq_quantize), and rerank-cascade tiers into the full
+    FAISS-style IVFPQ pipeline.
+
+    Scale shape: codebook (16) and coarse centroids (8) broadcast; the
+    coarse assignment is one scan-local argmin; candidates are
+    |Q|·nprobe·(n/nlists) narrow (q, v) rows; ADC is one broadcast join
+    against the per-query 128-row distance table and a hash aggregate —
+    no full-dimension vector ever moves for a candidate. Parity: every
+    distance is fixed-point floor(d·1e9 + 0.5) BIGINT (the established
+    cross-engine argmin convention), sums exact, ranks tie-broken on
+    ids."""
+    from .round5_ops import PQ_CODES, PQ_SUBDIM, PQ_SUBSPACES, emb_pq_quantize
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def fp_l2(a, b):
+        return F.floor(
+            F.aggregate(
+                F.zip_with(
+                    a,
+                    b,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * _ADC_SCALE
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    coarse = e.filter(F.col("vec_id") < _ADC_LISTS).select(
+        F.col("vec_id").alias("list_id"), F.col("embedding").alias("lv")
+    )
+    # nearest list per vector (scan × broadcast(8), bounded window per vec)
+    w_assign = Window.partitionBy("vec_id").orderBy("d_fp", "list_id")
+    assign = (
+        e.crossJoin(F.broadcast(coarse))
+        .withColumn("d_fp", fp_l2(F.col("embedding"), F.col("lv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "list_id")
+    )
+    queries = e.filter(F.col("vec_id") % _ADC_QMOD == 0)
+    probes = (
+        queries.crossJoin(F.broadcast(coarse))
+        .withColumn("d_fp", fp_l2(F.col("embedding"), F.col("lv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= _ADC_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), "list_id")
+    )
+    cb = e.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+    )
+    # per-query ADC distance table: 8 subspaces × 16 codes = 128 rows/query
+    sub_idx = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias(
+        "subspace"
+    )
+    dt = (
+        queries.select(F.col("vec_id").alias("q_id"), "embedding")
+        .select("q_id", sub_idx, "embedding")
+        .select(
+            "q_id",
+            "subspace",
+            F.expr(
+                f"slice(embedding, subspace * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+            ).alias("qsub"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cb.select(
+                    "code",
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))
+                    ).alias("subspace"),
+                    "cv",
+                ).select(
+                    "code",
+                    "subspace",
+                    F.expr(
+                        f"slice(cv, subspace * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+                    ).alias("csub"),
+                )
+            ).withColumnRenamed("subspace", "cb_subspace")
+        )
+        .filter(F.col("subspace") == F.col("cb_subspace"))
+        .select(
+            "q_id",
+            "subspace",
+            "code",
+            fp_l2(F.col("qsub"), F.col("csub")).alias("d_fp"),
+        )
+    )
+    codes = emb_pq_quantize(spark, sf_dir)  # (vec_id, subspace, code)
+    # probes is |Q|·nprobe rows — broadcast it against the n-row assignment
+    cands = (
+        assign.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    adc = (
+        cands.join(codes, "vec_id")
+        .join(F.broadcast(dt), ["q_id", "subspace", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d_fp").cast("bigint").alias("adc_fp"))
+    )
+    w_rank = Window.partitionBy("q_id").orderBy("adc_fp", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("q_id", "vec_id", "adc_fp", "rank")
+    )
