@@ -104,6 +104,65 @@ def exact_global_rank(
     return ranked, total
 
 
+def exact_prefix_sum(
+    df: DataFrame,
+    order_expr: Column,
+    tiebreaks: list[str],
+    value_col: str,
+    out_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact running SUM(value) over (order_expr ASC, *tiebreaks ASC)
+    without an unpartitioned window — the distributed prefix-sum.
+
+    Same range-bucket construction as exact_global_rank, but the
+    collected per-bucket quantity is the bucket's value SUM (exact:
+    bigint/decimal come back as Python int/Decimal); each row's prefix
+    sum = Σ(sums of earlier buckets) + running sum within its own bucket
+    (window PARTITIONED by bucket). Sum is associative over exact types,
+    so the result is bit-identical to the serial window."""
+    bucketed = _range_bucketed(df, order_expr, n_buckets)
+    per_bucket = {
+        r[_BUCKET]: r["s"]
+        for r in bucketed.groupBy(_BUCKET)
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    if not per_bucket:
+        return df.withColumn(out_col, F.lit(None).cast(df.schema[value_col].dataType))
+    value_type = bucketed.select(F.sum(value_col).alias("s")).schema["s"].dataType
+    offset = None
+    offsets: dict[int, object] = {}
+    for b in sorted(per_bucket):
+        offsets[b] = offset  # None for the first bucket → coalesce(0)
+        offset = per_bucket[b] if offset is None else offset + per_bucket[b]
+    offset_map = F.create_map(
+        *[
+            x
+            for b, off in offsets.items()
+            for x in (
+                F.lit(b),
+                F.lit(off).cast(value_type)
+                if off is not None
+                else F.lit(0).cast(value_type),
+            )
+        ]
+    )
+    w = Window.partitionBy(_BUCKET).orderBy(
+        F.col(_ORD).asc(), *[F.col(c).asc() for c in tiebreaks]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        bucketed.withColumn(
+            out_col,
+            (
+                F.element_at(offset_map, F.col(_BUCKET))
+                + F.sum(value_col).over(w)
+            ).cast(value_type),
+        )
+        .drop(_ORD, _BUCKET)
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     n: int,

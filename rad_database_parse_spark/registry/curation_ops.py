@@ -548,10 +548,12 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str):
     est = probes.groupBy("user_id").agg(
         F.min("true_n").alias("true_n"), F.min("c").alias("est")
     )
+    # rank() == row_number() under the user_id tie-break; rank() gets the
+    # map-side WindowGroupLimit top-k prune (see docs_bm25_topk)
     w = Window.orderBy(F.desc("est"), F.asc("user_id"))
     return (
         est.withColumn("est_ge_true", (F.col("est") >= F.col("true_n")).cast("int"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.rank().over(w))
         .filter(F.col("rn") <= _CMS_K)
         .select("user_id", "est", "true_n", "est_ge_true", "rn")
     )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ._util import dbl, dec, t
-from ..operators.ranking import exact_ntile
+from ..operators.ranking import exact_ntile, exact_prefix_sum
 
 # ------------------------------------------------------ CDC snapshot diff
 @register(
@@ -1082,21 +1082,21 @@ def agg_string_concat_groups(spark: SparkSession, sf_dir: str):
 )
 def supplier_abc_classification(spark: SparkSession, sf_dir: str):
     """ABC (Pareto) classification: revenue per supplier, cumulative share
-    over the descending-revenue order, threshold classes. The window runs
-    over the AGGREGATED supplier table (|suppliers| rows, not the fact
-    volume), so the serial ordered-window step is dimension-sized; the
-    grand total broadcasts. Cumulative sums stay in DECIMAL (exact), the
-    share divides in double and rounds (float policy), ties break on the
-    key."""
+    over the descending-revenue order, threshold classes. The cumulative
+    sum runs through operators/ranking.exact_prefix_sum (range buckets +
+    per-bucket exact DECIMAL offsets + a window PARTITIONED by bucket), so
+    even a dimension that outgrows one task never serializes — r6 swap
+    from the single-partition window, bit-identical values (decimal sums
+    are associative). The grand total broadcasts; the share divides in
+    double and rounds (float policy); ties break on the key."""
     li = t(spark, sf_dir, "lineitem")
     totals = li.groupBy("l_suppkey").agg(
         F.sum(dec("l_extendedprice")).alias("rev_dec")
     )
     grand = totals.agg(F.sum("rev_dec").alias("g"))
-    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_suppkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked = exact_prefix_sum(
+        totals, -F.col("rev_dec"), ["l_suppkey"], "rev_dec", "cum_dec"
     )
-    ranked = totals.withColumn("cum_dec", F.sum("rev_dec").over(w))
     share = dbl(F.col("cum_dec")) / dbl(F.col("g"))
     return (
         ranked.crossJoin(F.broadcast(grand))

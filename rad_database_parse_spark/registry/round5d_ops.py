@@ -541,10 +541,16 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str):
             .alias("score_fp"),
         )
     )
+    # rank() not row_number(): identical under the doc_id tie-break (total
+    # order), but InferWindowGroupLimit only prunes the GLOBAL top-k
+    # map-side for rank-like functions (verified on 4.1.2: WindowGroupLimit
+    # appears for rank, not for row_number) — each partition forwards at
+    # most k rows to the single-partition sort instead of the whole corpus
     w = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.withColumn("rank", F.rank().over(w))
         .filter(F.col("rank") <= _BM25_TOPK)
+        .withColumn("rank", F.col("rank").cast("int"))
         .select("doc_id", "dl", "score_fp", "rank")
     )
 
@@ -2856,8 +2862,11 @@ def docs_bpe_first_merge(spark: SparkSession, sf_dir: str):
     agg = pairs.groupBy("pair").agg(
         F.sum("cnt").cast("bigint").alias("n_occurrences")
     )
+    # rank() == row_number() under the pair tie-break; rank() additionally
+    # gets the map-side WindowGroupLimit top-k prune (see docs_bm25_topk)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        agg.withColumn("rank", F.rank().over(w))
         .filter(F.col("rank") <= _BPE_TOPK)
+        .withColumn("rank", F.col("rank").cast("int"))
     )

@@ -390,3 +390,47 @@ def test_ntile_family_has_no_unpartitioned_window(spark, sf_dir):
     for fn in (ntile_decile_stats, events_rfm_segmentation,
                customer_decile_migration):
         assert unpartitioned_window_count(fn(spark, sf_dir)) == 0, fn.__name__
+
+
+def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
+    # Repo-wide scale audit (r6): every unpartitioned WindowExec left in
+    # the registry is either bounded-input by construction or map-side
+    # top-k pruned. A NEW query introducing a global window over
+    # fact-grain rows must fail here and justify itself.
+    from rad_database_parse_spark.plans import unpartitioned_window_count
+    from rad_database_parse_spark.registry import all_queries
+
+    # builders with eager side effects (streaming replay, txn commits,
+    # Observation sinks) — plan inspection would re-run the side effects
+    eager = {
+        "stream_ivm_rollup_maintenance", "txn_snapshot_merge_upsert",
+        "txn_time_travel_read", "stateful_sessionizer_stream",
+        "stream_foreachbatch_upsert", "dq_observe_metrics",
+    }
+    whitelist = {
+        # bounded input grain at ANY corpus size:
+        "orders_backlog_sweepline",     # calendar-day grain deltas
+        "lineitem_ks_two_sample",       # distinct l_quantity values (~50)
+        "null_semantics_suite",         # fixed test battery rows
+        "histogram_totalprice",         # fixed bin count
+        "events_type_share",            # |event types| rows
+        "paper_dim_join",               # dimension-grain surrogate keys
+        "part_skyline_pareto",          # distinct-price grain (formula-bounded)
+        # map-side top-k pruned (WindowGroupLimit asserted below):
+        "docs_bm25_topk",
+        "docs_bpe_first_merge",
+        "events_cms_heavy_hitters",
+    }
+    pruned = {"docs_bm25_topk", "docs_bpe_first_merge", "events_cms_heavy_hitters"}
+    offenders = {}
+    for name, qd in all_queries().items():
+        if name in eager:
+            continue
+        df = qd.fn(spark, sf_dir)
+        n = unpartitioned_window_count(df)
+        if n:
+            offenders[name] = n
+            if name in pruned:
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert "WindowGroupLimit" in plan, name
+    assert set(offenders) <= whitelist, offenders
