@@ -191,10 +191,13 @@ EXTENDED_R5D = [
 
 
 # Round-6 additions (registry/round6_ops.py), their own family so prior
-# sums stay comparable. Deliberately absent: txn_snapshot_merge_upsert and
-# txn_time_travel_read (their builders run the commit protocol eagerly —
-# temp-dir writes + a bounded collect — so the generic sink-timing harness
-# would re-run the side effects and time the control plane, not a query).
+# sums stay comparable. Deliberately absent: the txn trio
+# (txn_snapshot_merge_upsert, txn_time_travel_read, txn_vacuum_retention)
+# and stream_txn_exactly_once_sink — their builders run the commit
+# protocol / streaming replay eagerly (temp-dir writes + bounded
+# collects), so the generic sink-timing harness would re-run the side
+# effects and time the control plane, not a query — and
+# events_funnel_wilson_ci (three count() actions in the builder).
 EXTENDED_R6 = [
     "events_shapley_channel_attribution",
     "events_ab_cuped_adjustment",

@@ -112,6 +112,65 @@ def commit(
     return new_version
 
 
+def list_versions(root: str) -> list[int]:
+    mdir = _manifest_dir(root)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(name[1:11])
+        for name in os.listdir(mdir)
+        if name.startswith("v") and name.endswith(".json")
+    )
+
+
+def committed_ops(root: str) -> set[str]:
+    """The op tags of every committed manifest — the idempotence ledger a
+    replayed writer checks before re-applying a batch (exactly-once sinks
+    tag commits with their batch id)."""
+    ops = set()
+    for v in list_versions(root):
+        with open(_manifest_path(root, v)) as f:
+            ops.add(json.load(f)["op"])
+    return ops
+
+
+def vacuum(root: str, keep_last: int = 1) -> dict:
+    """Expire all but the newest `keep_last` versions: drop their
+    manifests, then delete every data dir no surviving manifest
+    references. Mirrors Delta/Iceberg VACUUM semantics (time travel to an
+    expired version stops working; the head and its files are untouched).
+    Order matters for crash safety: manifests are removed FIRST, so a
+    crash mid-vacuum can orphan data files (harmless, re-vacuumable) but
+    can never leave a manifest pointing at deleted data."""
+    import shutil
+
+    versions = list_versions(root)
+    if not versions:
+        return {"removed_versions": 0, "removed_data_dirs": 0}
+    kept = versions[-keep_last:]
+    referenced: set[str] = set()
+    for v in kept:
+        with open(_manifest_path(root, v)) as f:
+            referenced.update(json.load(f)["files"])
+    removed_versions = 0
+    for v in versions[:-keep_last]:
+        os.unlink(_manifest_path(root, v))
+        removed_versions += 1
+    removed_dirs = 0
+    data_root = os.path.join(root, "data")
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            path = os.path.join(data_root, name)
+            if path not in referenced:
+                shutil.rmtree(path, ignore_errors=True)
+                removed_dirs += 1
+    return {
+        "removed_versions": removed_versions,
+        "removed_data_dirs": removed_dirs,
+        "head_version": kept[-1],
+    }
+
+
 def merge_upsert_txn(
     spark: SparkSession,
     root: str,

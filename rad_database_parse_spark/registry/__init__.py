@@ -252,6 +252,9 @@ _WINDOW_R7: list[str] = [
     "docs_rake_keyphrases",
     "orders_weighted_percentile_exact",
     "emb_ivf_pq_adc_topk",
+    "txn_vacuum_retention",
+    "stream_txn_exactly_once_sink",
+    "events_funnel_wilson_ci",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

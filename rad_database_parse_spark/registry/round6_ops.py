@@ -838,3 +838,252 @@ def emb_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank") <= _ADC_K)
         .select("q_id", "vec_id", "adc_fp", "rank")
     )
+
+
+# --------------------------------------------- txn vacuum (version GC)
+@register(
+    "txn_vacuum_retention",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY month
+    """,
+)
+def txn_vacuum_retention(spark: SparkSession, sf_dir: str):
+    """VACUUM — the GC half of the snapshot-table lifecycle: commit three
+    versions (1996 / +1997 / +1997 re-grouped), vacuum keep-last-1, and
+    read the surviving head. The builder asserts the expired versions are
+    actually unreadable and their data dirs gone (crash-safe order:
+    manifests drop before files, so an interrupted vacuum can orphan
+    bytes but never corrupt the head). The oracle is the head rollup
+    computed directly — a vacuum that touched live files would fail the
+    hash; a vacuum that missed dead files would fail the builder's
+    orphan assertion. At 100 TB vacuum is one manifest-list diff + a
+    bounded file delete, never a data scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog.txn import commit, latest_version, read_snapshot, vacuum
+
+    o = t(spark, sf_dir, "orders")
+
+    def rollup(years: list[int]):
+        return (
+            o.filter(F.year("o_orderdate").isin(years))
+            .groupBy(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+                .alias("month")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum((dec("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("total_cents"),
+            )
+        )
+
+    scratch = tempfile.mkdtemp(prefix="txn_vac_q_")
+    try:
+        commit(spark, scratch, rollup([1996]), "create", expected_version=None)
+        commit(spark, scratch, rollup([1997]), "w1", expected_version=0)
+        commit(
+            spark, scratch, rollup([1996, 1997]), "w2", expected_version=1
+        )
+        stats = vacuum(scratch, keep_last=1)
+        assert stats["removed_versions"] == 2 and stats["head_version"] == 2
+        # expired versions must be gone, head intact, no orphan data dirs
+        for old in (0, 1):
+            try:
+                read_snapshot(spark, scratch, version=old)
+                raise AssertionError(f"expired version {old} still readable")
+            except FileNotFoundError:
+                pass
+        assert latest_version(scratch) == 2
+        assert len(os.listdir(os.path.join(scratch, "data"))) == 1
+        head = read_snapshot(spark, scratch)
+        return spark.createDataFrame(head.collect(), head.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------- streaming exactly-once sink via txn commits
+@register(
+    "stream_txn_exactly_once_sink",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY month
+    """,
+)
+def stream_txn_exactly_once_sink(spark: SparkSession, sf_dir: str):
+    """EXACTLY-ONCE streaming sink built from the txn commit log: each
+    micro-batch folds its partial aggregates into the snapshot table via
+    an optimistic commit TAGGED with the batch id; a redelivered batch
+    finds its tag in the committed-ops ledger and SKIPS — the Delta-sink
+    txnVersion/txnAppId idempotence pattern on this repo's own txn layer.
+    The builder proves it by re-delivering the final batch after the
+    stream stops (state must not change), then returns the maintained
+    table; the oracle is the one-shot batch recompute, so double-apply or
+    lost-batch bugs fail the hash. Composes stream_ivm_rollup_maintenance
+    (per-batch partial-agg folding) with catalog/txn.py (atomic publish +
+    ledger). At 100 TB each fold is a map-side partial agg of the batch +
+    a merge against one row per month."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog.txn import (
+        commit,
+        committed_ops,
+        latest_version,
+        read_snapshot,
+    )
+    from ..streaming.events import build_time_ordered_replay
+
+    o = t(spark, sf_dir, "orders")
+    scratch = tempfile.mkdtemp(prefix="txn_stream_q_")
+    replay = os.path.join(scratch, "replay", "orders")
+    table = os.path.join(scratch, "table")
+
+    def fold_batch(batch, batch_id: int):
+        tag = f"batch_{batch_id}"
+        if tag in committed_ops(table):
+            return  # redelivered batch: already in the ledger, skip
+        part = batch.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                  .cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        base_version = latest_version(table)
+        if base_version is not None:
+            part = (
+                read_snapshot(batch.sparkSession, table)
+                .unionByName(part)
+                .groupBy("month")
+                .agg(
+                    F.sum("n_orders").cast("bigint").alias("n_orders"),
+                    F.sum("total_cents").cast("bigint").alias("total_cents"),
+                )
+            )
+        commit(batch.sparkSession, table, part, tag, base_version)
+
+    try:
+        build_time_ordered_replay(o, replay, ts_col="o_orderdate", n_slices=3)
+        q = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        head_before = latest_version(table)
+        # simulate at-least-once redelivery of the last batch: the ledger
+        # check must make it a no-op
+        last_slice = spark.read.parquet(replay).limit(0)
+        fold_batch(spark.read.parquet(replay), 2)
+        assert latest_version(table) == head_before, "redelivery re-applied!"
+        _ = last_slice  # replay dir must stay alive until here
+        final = read_snapshot(spark, table)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ------------------------------------- funnel with Wilson 95% intervals
+_WILSON_Z = 1.96
+
+
+@register(
+    "events_funnel_wilson_ci",
+    f"""
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT DISTINCT e.user_id FROM events e
+          JOIN v ON v.user_id = e.user_id WHERE e.event_type = 'click'),
+    p AS (SELECT DISTINCT e.user_id FROM events e
+          JOIN c ON c.user_id = e.user_id WHERE e.event_type = 'purchase'),
+    counts AS (
+      SELECT 1 AS stage_ord, 'view->click' AS stage,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS k
+      UNION ALL
+      SELECT 2, 'click->purchase',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p)),
+    wilson AS (
+      SELECT stage_ord, stage, n, k,
+             CAST(k AS DOUBLE) / n AS rate,
+             {_WILSON_Z} * {_WILSON_Z} AS z2
+      FROM counts)
+    SELECT stage, n, k, rate,
+           (rate + z2 / (2 * n)
+            - {_WILSON_Z} * sqrt(rate * (1 - rate) / n + z2 / (4.0 * n * n)))
+             / (1 + z2 / n) AS ci_lo,
+           (rate + z2 / (2 * n)
+            + {_WILSON_Z} * sqrt(rate * (1 - rate) / n + z2 / (4.0 * n * n)))
+             / (1 + z2 / n) AS ci_hi
+    FROM wilson
+    """,
+)
+def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str):
+    """Funnel conversion rates with Wilson 95% score intervals — the
+    uncertainty-aware funnel readout (a raw rate over 40 users and over
+    40M users print the same number; the Wilson interval is what makes
+    the small-n stage honest, and unlike the normal approximation it
+    never leaves [0,1]). Parity note: sqrt is correctly rounded under
+    IEEE-754 in both engines, and its inputs are fixed double
+    expressions of exact integer counts, so the intervals are
+    bit-identical cross-engine — the same reasoning that admits division
+    but excludes ln/exp from the float-parity policy.
+
+    Scale shape: three semi-join stage audiences (each one distinct-agg
+    on user_id), a 2-row counts table, scan-local arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id", "left_semi")
+        .select("user_id")
+        .distinct()
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id", "left_semi")
+        .select("user_id")
+        .distinct()
+    )
+    nv, nc, np_ = v.count(), c.count(), p.count()
+    counts = spark.createDataFrame(
+        [(1, "view->click", nv, nc), (2, "click->purchase", nc, np_)],
+        "stage_ord int, stage string, n bigint, k bigint",
+    )
+    z2 = F.lit(_WILSON_Z * _WILSON_Z)
+    rate = F.col("k").cast("double") / F.col("n")
+    half = F.lit(_WILSON_Z) * F.sqrt(
+        rate * (1 - rate) / F.col("n")
+        + z2 / (F.lit(4.0) * F.col("n") * F.col("n"))
+    )
+    center = rate + z2 / (2 * F.col("n"))
+    denom = 1 + z2 / F.col("n")
+    return counts.select(
+        "stage",
+        "n",
+        "k",
+        rate.alias("rate"),
+        ((center - half) / denom).alias("ci_lo"),
+        ((center + half) / denom).alias("ci_hi"),
+    )

@@ -406,6 +406,8 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "stream_ivm_rollup_maintenance", "txn_snapshot_merge_upsert",
         "txn_time_travel_read", "stateful_sessionizer_stream",
         "stream_foreachbatch_upsert", "dq_observe_metrics",
+        "txn_vacuum_retention", "stream_txn_exactly_once_sink",
+        "events_funnel_wilson_ci",  # three count() actions in the builder
     }
     whitelist = {
         # bounded input grain at ANY corpus size:

@@ -96,3 +96,45 @@ def test_concurrent_merges_lose_no_update(spark, root):
     assert latest_version(root) == 2
     final = {r.k: r.v for r in read_snapshot(spark, root).collect()}
     assert final == {1: 111, 2: 222, 3: 30, 4: 40, 5: 50}
+
+
+def test_vacuum_expires_old_versions_keeps_head(spark, root):
+    import os
+
+    from rad_database_parse_spark.catalog.txn import vacuum
+
+    commit(spark, root, _base(spark), "create", expected_version=None)
+    commit(spark, root, _base(spark).withColumn("v", F.col("v") + 1), "w1", 0)
+    commit(spark, root, _base(spark).withColumn("v", F.col("v") + 2), "w2", 1)
+    stats = vacuum(root, keep_last=1)
+    assert stats == {
+        "removed_versions": 2, "removed_data_dirs": 2, "head_version": 2,
+    }
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=0)
+    assert sorted(r.v for r in read_snapshot(spark, root).collect()) == [
+        12, 22, 32,
+    ]
+    assert len(os.listdir(os.path.join(root, "data"))) == 1
+
+
+def test_vacuum_removes_orphaned_staging_dirs(spark, root):
+    import os
+
+    from rad_database_parse_spark.catalog.txn import vacuum
+
+    commit(spark, root, _base(spark), "create", expected_version=None)
+    _base(spark).write.parquet(os.path.join(root, "data", "crashed_writer"))
+    stats = vacuum(root, keep_last=1)
+    assert stats["removed_versions"] == 0
+    assert stats["removed_data_dirs"] == 1  # the orphan, not the head
+    assert read_snapshot(spark, root).count() == 3
+
+
+def test_committed_ops_ledger(spark, root):
+    from rad_database_parse_spark.catalog.txn import committed_ops
+
+    assert committed_ops(root) == set()
+    commit(spark, root, _base(spark), "create", expected_version=None)
+    commit(spark, root, _base(spark), "batch_0", expected_version=0)
+    assert committed_ops(root) == {"create", "batch_0"}
