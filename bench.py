@@ -204,6 +204,7 @@ EXTENDED_R6 = [
     "docs_rake_keyphrases",
     "orders_weighted_percentile_exact",
     "emb_ivf_pq_adc_topk",
+    "orders_mann_whitney_u",
 ]
 
 

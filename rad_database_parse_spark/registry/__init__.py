@@ -255,6 +255,7 @@ _WINDOW_R7: list[str] = [
     "txn_vacuum_retention",
     "stream_txn_exactly_once_sink",
     "events_funnel_wilson_ci",
+    "orders_mann_whitney_u",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

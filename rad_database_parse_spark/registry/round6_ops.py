@@ -1087,3 +1087,109 @@ def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str):
         ((center - half) / denom).alias("ci_lo"),
         ((center + half) / denom).alias("ci_hi"),
     )
+
+
+# ------------------------- Mann-Whitney U (rank-sum) distribution test
+@register(
+    "orders_mann_whitney_u",
+    """
+    WITH tagged AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_c,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS g
+      FROM orders),
+    vals AS (
+      SELECT price_c,
+             CAST(SUM(g) AS BIGINT) AS n1v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tagged GROUP BY price_c),
+    ranked AS (
+      SELECT price_c, n1v, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY price_c
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM vals),
+    moments AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(cnt - n1v) AS BIGINT) AS n0,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(n1v * (2 * cum_before + cnt + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+      FROM ranked)
+    SELECT n1, n0,
+           CAST(2 * n1 * n0 + n1 * (n1 + 1) - r1x2 AS BIGINT) AS u1_x2,
+           (CAST(2 * n1 * n0 + n1 * (n1 + 1) - r1x2 AS DOUBLE) / 2.0
+            - CAST(n1 AS DOUBLE) * n0 / 2.0)
+           / sqrt(CAST(n1 AS DOUBLE) * n0 / 12.0
+                  * ((n + 1) - CAST(tie3 AS DOUBLE) / (n * (n - 1.0))))
+             AS z_score
+    FROM moments
+    """,
+)
+def orders_mann_whitney_u(spark: SparkSession, sf_dir: str):
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric 'did the
+    distribution shift' test between two arms (here urgent/high-priority
+    vs other order values), the robust sibling of the repo's KS test
+    (lineitem_ks_two_sample): U detects location shifts with full
+    efficiency under ties, KS detects any shape change. Midranks come
+    from the DISTINCT-VALUE table (n1/count per value), whose exclusive
+    cumulative count runs through operators/ranking.exact_prefix_sum —
+    the distributed prefix-sum, no single-partition window even though
+    distinct prices grow with the corpus (plan-guarded). Everything
+    stays integer: midranks ×2 (2·cum_before + cnt + 1), rank-sum ×2,
+    U ×2; the tie-corrected z uses only exact moments + one sqrt
+    (IEEE correctly-rounded — admissible, unlike ln/exp)."""
+    from ..operators.ranking import exact_prefix_sum
+
+    o = t(spark, sf_dir, "orders")
+    tagged = o.select(
+        (dec("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("g"),
+    )
+    vals = tagged.groupBy("price_c").agg(
+        F.sum("g").cast("bigint").alias("n1v"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    ranked = exact_prefix_sum(
+        vals, F.col("price_c"), [], "cnt", "cum_incl"
+    ).withColumn("cum_before", F.col("cum_incl") - F.col("cnt"))
+    m = ranked.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).cast("bigint").alias("n0"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    u1x2 = (
+        2 * F.col("n1") * F.col("n0")
+        + F.col("n1") * (F.col("n1") + 1)
+        - F.col("r1x2")
+    )
+    mean_u = dbl(F.col("n1")) * F.col("n0") / F.lit(2.0)
+    var_u = (
+        dbl(F.col("n1")) * F.col("n0") / F.lit(12.0)
+        * (
+            (F.col("n") + 1)
+            - dbl(F.col("tie3")) / (F.col("n") * (F.col("n") - F.lit(1.0)))
+        )
+    )
+    return m.select(
+        "n1",
+        "n0",
+        u1x2.cast("bigint").alias("u1_x2"),
+        ((u1x2.cast("double") / F.lit(2.0) - mean_u) / F.sqrt(var_u)).alias(
+            "z_score"
+        ),
+    )

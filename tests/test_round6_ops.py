@@ -163,3 +163,30 @@ def test_adc_topk_structure_and_probe_containment(spark, sf_dir):
         assert len(rows) <= _ADC_K
         fps = [r.adc_fp for r in rows]
         assert fps == sorted(fps)
+
+
+def test_mann_whitney_matches_bruteforce_midranks(spark, sf_dir):
+    from rad_database_parse_spark.registry.round6_ops import (
+        orders_mann_whitney_u,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rows = [
+        (int(round(r.o_totalprice * 100)), r.o_orderpriority in ("1-URGENT", "2-HIGH"))
+        for r in o.select("o_totalprice", "o_orderpriority").collect()
+    ]
+    values = sorted(set(v for v, _ in rows))
+    from collections import Counter
+
+    cnt = Counter(v for v, _ in rows)
+    cum = 0
+    mid2 = {}
+    for v in values:
+        mid2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    n1 = sum(1 for _, g in rows if g)
+    n0 = len(rows) - n1
+    r1x2 = sum(mid2[v] for v, g in rows if g)
+    u1x2 = 2 * n1 * n0 + n1 * (n1 + 1) - r1x2
+    got = orders_mann_whitney_u(spark, sf_dir).collect()[0]
+    assert (got.n1, got.n0, got.u1_x2) == (n1, n0, u1x2)
