@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ._util import dbl, dec, t
-from ..operators.ranking import exact_ntile, exact_prefix_sum
+from ..operators.ranking import exact_ntile, exact_ntile_multi, exact_prefix_sum
 
 # ------------------------------------------------------ CDC snapshot diff
 @register(
@@ -1224,10 +1224,14 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str):
         )
     )
     rfm = rfm.persist()
-    scored = exact_ntile(rfm, 4, F.col("recency_us"), ["user_id"], "r_score")
-    scored = exact_ntile(scored, 4, -F.col("frequency"), ["user_id"], "f_score")
-    scored = exact_ntile(
-        scored, 4, -F.col("monetary_dec"), ["user_id"], "m_score"
+    scored = exact_ntile_multi(
+        rfm,
+        4,
+        [
+            (F.col("recency_us"), ["user_id"], "r_score"),
+            (-F.col("frequency"), ["user_id"], "f_score"),
+            (-F.col("monetary_dec"), ["user_id"], "m_score"),
+        ],
     )
     scored = scored.select(
         "user_id",

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ._util import dbl, dec, t
-from ..operators.ranking import exact_ntile
+from ..operators.ranking import exact_ntile, exact_ntile_multi
 
 # ------------------------------------------ small-file compaction plan
 # Target bin size for the packer (bytes). Deliberately small so the plan
@@ -2610,9 +2610,13 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str):
         )
 
     both = spend(1996, "c0").join(spend(1997, "c1"), "o_custkey").persist()
-    ranked = exact_ntile(both, 10, F.col("c0"), ["o_custkey"], "decile_1996")
-    ranked = exact_ntile(
-        ranked, 10, F.col("c1"), ["o_custkey"], "decile_1997"
+    ranked = exact_ntile_multi(
+        both,
+        10,
+        [
+            (F.col("c0"), ["o_custkey"], "decile_1996"),
+            (F.col("c1"), ["o_custkey"], "decile_1997"),
+        ],
     ).select("decile_1996", "decile_1997")
     return ranked.groupBy("decile_1996", "decile_1997").agg(
         F.count("*").cast("bigint").alias("n_customers")
