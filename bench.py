@@ -205,6 +205,8 @@ EXTENDED_R6 = [
     "orders_weighted_percentile_exact",
     "emb_ivf_pq_adc_topk",
     "orders_mann_whitney_u",
+    "docs_curriculum_buckets",
+    "emb_label_centroid_drift",
 ]
 
 

@@ -256,6 +256,8 @@ _WINDOW_R7: list[str] = [
     "stream_txn_exactly_once_sink",
     "events_funnel_wilson_ci",
     "orders_mann_whitney_u",
+    "docs_curriculum_buckets",
+    "emb_label_centroid_drift",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1193,3 +1193,167 @@ def orders_mann_whitney_u(spark: SparkSession, sf_dir: str):
             "z_score"
         ),
     )
+
+
+# ---------------------------------------- curriculum staging (exact NTILE)
+_CURR_STAGES = 10
+
+
+@register(
+    "docs_curriculum_buckets",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                  AS BIGINT) AS n_nonspace,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(string_split_regex(trim(text), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             (1000000 * n_alpha) // greatest(n_chars, 1)
+             + n_tokens AS score_fp
+      FROM m),
+    ranked AS (
+      SELECT doc_id, n_tokens, score_fp,
+             NTILE({_CURR_STAGES}) OVER (ORDER BY score_fp, doc_id) AS stage
+      FROM scored)
+    SELECT CAST(stage AS INT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score_fp) AS BIGINT) AS min_score_fp,
+           CAST(MAX(score_fp) AS BIGINT) AS max_score_fp,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM ranked GROUP BY stage
+    """,
+)
+def docs_curriculum_buckets(spark: SparkSession, sf_dir: str):
+    """Curriculum staging: order the corpus by an integer quality proxy
+    (alpha-character share in millionths + token count — cleaner, longer
+    documents score higher) and cut it into 10 equal-height stages — the
+    data-ordering half of curriculum training (stage 1 feeds early
+    epochs, stage 10 late). Ranking runs through exact_ntile (range
+    buckets, partitioned windows — no serial sort of a corpus-sized
+    table, plan-guarded by the repo-wide whitelist test); the proxy is
+    exact integer arithmetic, so both engines cut identical stages.
+    Per-stage output: size, score range, token mass (the token budget
+    each curriculum phase contributes)."""
+    from ..operators.ranking import exact_ntile
+
+    d = t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.length(F.col("text")).cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    scored = m.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.expr("(1000000 * n_alpha) div greatest(n_chars, 1)")
+            + F.col("n_tokens")
+        ).alias("score_fp"),
+    )
+    ranked = exact_ntile(
+        scored, _CURR_STAGES, F.col("score_fp"), ["doc_id"], "stage"
+    )
+    return ranked.groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("score_fp").cast("bigint").alias("min_score_fp"),
+        F.max("score_fp").cast("bigint").alias("max_score_fp"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# ----------------------------- embedding centroid drift (train vs serve)
+_DRIFT_SCALE = 1_000_000
+
+
+@register(
+    "emb_label_centroid_drift",
+    f"""
+    WITH expl AS (
+      SELECT label, vec_id % 2 AS half, r.range AS pos,
+             CAST(floor(CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE)
+                        * {_DRIFT_SCALE} + 0.5) AS BIGINT) AS v_fp
+      FROM embeddings CROSS JOIN range(64) r),
+    per_dim AS (
+      SELECT label, half, pos,
+             CAST(SUM(v_fp) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM expl GROUP BY label, half, pos),
+    means AS (
+      SELECT label, pos,
+             CAST(floor(CAST(MAX(CASE WHEN half = 0 THEN s END) AS DOUBLE)
+                        / MAX(CASE WHEN half = 0 THEN n END) + 0.5)
+                  AS BIGINT) AS m0,
+             CAST(floor(CAST(MAX(CASE WHEN half = 1 THEN s END) AS DOUBLE)
+                        / MAX(CASE WHEN half = 1 THEN n END) + 0.5)
+                  AS BIGINT) AS m1,
+             MAX(CASE WHEN half = 0 THEN n END) AS n0,
+             MAX(CASE WHEN half = 1 THEN n END) AS n1
+      FROM per_dim GROUP BY label, pos)
+    SELECT label,
+           CAST(MIN(n0) AS BIGINT) AS n_half0,
+           CAST(MIN(n1) AS BIGINT) AS n_half1,
+           CAST(SUM((m0 - m1) * (m0 - m1)) AS BIGINT) AS drift_sq_fp
+    FROM means GROUP BY label
+    """,
+)
+def emb_label_centroid_drift(spark: SparkSession, sf_dir: str):
+    """Embedding-space drift monitor: per label, the squared L2 distance
+    between the centroid of even vec_ids and odd vec_ids (a deterministic
+    stand-in for train-corpus vs serving-traffic halves) — the
+    embedding-column sibling of the repo's drift tier
+    (orders_priority_drift_chi2 for categoricals, lineitem_ks_two_sample /
+    orders_mann_whitney_u for numerics): a label whose two halves'
+    prototypes diverge is shifting under the model. Same fixed-point
+    discipline as emb_label_centroids: values floor(v·1e6 + 0.5) to exact
+    integers before summation (float sum order can't drift), per-dim
+    means re-floored, the distance an exact BIGINT at 1e6 scale. One
+    posexplode (map-side) + two bounded aggregations."""
+    e = t(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).withColumn(
+        "v_fp",
+        F.floor(F.col("v").cast("double") * _DRIFT_SCALE + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    per_dim = expl.groupBy("label", "half", "pos").agg(
+        F.sum("v_fp").alias("s"), F.count("*").alias("n")
+    )
+    mean_fp = lambda h, col: F.max(  # noqa: E731
+        F.when(F.col("half") == h, F.col(col))
+    )
+    means = per_dim.groupBy("label", "pos").agg(
+        F.floor(
+            mean_fp(0, "s").cast("double") / mean_fp(0, "n") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("m0"),
+        F.floor(
+            mean_fp(1, "s").cast("double") / mean_fp(1, "n") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("m1"),
+        mean_fp(0, "n").alias("n0"),
+        mean_fp(1, "n").alias("n1"),
+    )
+    return means.groupBy("label").agg(
+        F.min("n0").cast("bigint").alias("n_half0"),
+        F.min("n1").cast("bigint").alias("n_half1"),
+        F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))
+        .cast("bigint")
+        .alias("drift_sq_fp"),
+    )
