@@ -207,6 +207,7 @@ EXTENDED_R6 = [
     "orders_mann_whitney_u",
     "docs_curriculum_buckets",
     "emb_label_centroid_drift",
+    "docs_hybrid_rrf_fusion",
 ]
 
 

@@ -258,6 +258,7 @@ _WINDOW_R7: list[str] = [
     "orders_mann_whitney_u",
     "docs_curriculum_buckets",
     "emb_label_centroid_drift",
+    "docs_hybrid_rrf_fusion",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1357,3 +1357,94 @@ def emb_label_centroid_drift(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("drift_sq_fp"),
     )
+
+
+# ------------------------- hybrid retrieval: BM25 + cosine RRF fusion
+_RRF_K = 60
+_RRF_COS_K = 20
+_RRF_TOPN = 10
+_RRF_SCALE = 1_000_000_000
+
+
+def _rrf_oracle_sql() -> str:
+    from . import _REGISTRY
+    from . import round5d_ops as _r5d  # noqa: F401 — ensures bm25 registered
+
+    bm25 = _REGISTRY["docs_bm25_topk"].oracle
+    return f"""
+    WITH bm AS (
+      SELECT doc_id AS id, rank AS bm25_rank
+      FROM ({bm25})),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS id,
+             round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   6) AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0),
+    cos AS (
+      SELECT id, rank AS cos_rank FROM (
+        SELECT id, sim,
+               ROW_NUMBER() OVER (ORDER BY sim DESC, id) AS rank
+        FROM sims)
+      WHERE rank <= {_RRF_COS_K}),
+    fused AS (
+      SELECT COALESCE(bm.id, cos.id) AS id,
+             CAST(bm25_rank AS INT) AS bm25_rank,
+             CAST(cos_rank AS INT) AS cos_rank,
+             CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + bm25_rank), 0)
+                  + COALESCE({_RRF_SCALE} // ({_RRF_K} + cos_rank), 0)
+                  AS BIGINT) AS rrf_fp
+      FROM bm FULL OUTER JOIN cos ON bm.id = cos.id)
+    SELECT id, bm25_rank, cos_rank, rrf_fp
+    FROM fused ORDER BY rrf_fp DESC, id LIMIT {_RRF_TOPN}
+    """
+
+
+@register("docs_hybrid_rrf_fusion", _rrf_oracle_sql())
+def docs_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str):
+    """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    serving recipe: a lexical arm (BM25 top-20, docs_bm25_topk's exact
+    scorer) and a semantic arm (exact cosine top-20 against a fixed query
+    vector) fuse by RRF(d) = Σ 1/(60 + rank_arm(d)) — rank-based, so the
+    incomparable score scales never need calibration. Ranks are the only
+    inputs, so fusion is exact integer arithmetic (10^9 div (60+rank));
+    the final top-10 is a TakeOrdered, no window.
+
+    Scale shape: each arm is an already-characterized top-k (BM25's
+    rank-filter is WindowGroupLimit-pruned; the cosine arm broadcasts the
+    single query); fusion joins two ≤k-row lists. The doc_id/vec_id
+    identification reflects the testdata convention that embeddings[i]
+    embeds documents[i]."""
+    from ..llm.similarity import brute_force_cosine_topk
+    from .round5d_ops import docs_bm25_topk
+
+    bm = docs_bm25_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("bm25_rank")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    cos = brute_force_cosine_topk(
+        e.filter(F.col("vec_id") == 0), e, k=_RRF_COS_K
+    ).select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("cos_rank")
+    )
+    fused = bm.join(cos, "id", "full_outer").select(
+        "id",
+        F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        F.col("cos_rank").cast("int").alias("cos_rank"),
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_SCALE}L div ({_RRF_K} + bm25_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE}L div ({_RRF_K} + cos_rank)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_fp"),
+    )
+    return fused.orderBy(F.col("rrf_fp").desc(), "id").limit(_RRF_TOPN)
