@@ -259,6 +259,7 @@ _WINDOW_R7: list[str] = [
     "docs_curriculum_buckets",
     "emb_label_centroid_drift",
     "docs_hybrid_rrf_fusion",
+    "pyds_jsonl_roundtrip_nation",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1448,3 +1448,51 @@ def docs_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str):
         .alias("rrf_fp"),
     )
     return fused.orderBy(F.col("rrf_fp").desc(), "id").limit(_RRF_TOPN)
+
+
+# ----------------------- Python DataSource writer: JSONL manifest sink
+@register(
+    "pyds_jsonl_roundtrip_nation",
+    """
+    SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def pyds_jsonl_roundtrip_nation(spark: SparkSession, sf_dir: str):
+    """Round-trip through the Python DataSource WRITER
+    (sources/jsonl_sink.py — ``format("jsonl_manifest")``): nation writes
+    as manifested JSONL (per-task staged part files, atomic driver-side
+    publish + _MANIFEST.json, the stage-then-commit discipline of
+    catalog/txn.py expressed through Spark's WriterCommitMessage
+    contract), then reads back with spark.read.json against the direct
+    oracle. Completes the Python DataSource API surface next to the
+    reader (sources/pdf_datasource.py). The builder also checks the
+    manifest's row accounting matches the table."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("bigint")
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_sink_q_")
+    try:
+        n.write.format("jsonl_manifest").mode("append").save(out)
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert sum(m["n_rows"] for m in manifest) == n.count()
+        assert not os.path.isdir(os.path.join(out, "_staging"))
+        back = (
+            spark.read.json(os.path.join(out, "part-*.jsonl"))
+            .select(
+                F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+                "n_name",
+                F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+            )
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

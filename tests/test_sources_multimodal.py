@@ -87,3 +87,26 @@ def test_pdf_python_datasource_stub_grid(spark, tmp_path):
     # graceful degrade: no stub, no toolchain -> zero rows, same schema
     empty = spark.read.format("pdf").load(str(d))
     assert empty.count() == 0 and empty.columns == cells.columns
+
+
+def test_jsonl_manifest_sink_atomic_publish(spark, tmp_path):
+    import json
+    import os
+
+    from rad_database_parse_spark.sources.jsonl_sink import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").repartition(8)
+    df.write.format("jsonl_manifest").mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(m["n_rows"] for m in manifest) == 100
+    # every manifest entry exists, no staging residue, no unlisted parts
+    parts = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert parts == {m["file"] for m in manifest}
+    assert not os.path.isdir(os.path.join(out, "_staging"))
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 100
+    assert back.selectExpr("sum(v)").collect()[0][0] == sum(2 * i for i in range(100))
