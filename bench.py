@@ -208,6 +208,7 @@ EXTENDED_R6 = [
     "docs_curriculum_buckets",
     "emb_label_centroid_drift",
     "docs_hybrid_rrf_fusion",
+    "multimodal_audio_frame_energy",
 ]
 
 

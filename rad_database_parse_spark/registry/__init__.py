@@ -260,6 +260,7 @@ _WINDOW_R7: list[str] = [
     "emb_label_centroid_drift",
     "docs_hybrid_rrf_fusion",
     "pyds_jsonl_roundtrip_nation",
+    "multimodal_audio_frame_energy",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

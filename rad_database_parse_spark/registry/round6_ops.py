@@ -1496,3 +1496,41 @@ def pyds_jsonl_roundtrip_nation(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(back.collect(), back.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# --------------------- multimodal: real numpy frame-energy extraction
+@register(
+    "multimodal_audio_frame_energy",
+    """
+    WITH b AS (
+      SELECT doc_id, least(length(text), 256) AS n, text FROM documents),
+    samples AS (
+      SELECT doc_id, CAST(gs.i AS BIGINT) AS i,
+             ord(substr(text, CAST(gs.i AS INT) + 1, 1)) AS s
+      FROM b LEFT JOIN LATERAL
+           (SELECT unnest(range(n)) AS i) gs ON TRUE
+      WHERE gs.i IS NOT NULL)
+    SELECT doc_id, i // 32 AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN s >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_loud
+    FROM samples GROUP BY doc_id, frame_idx
+    """,
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str):
+    """Frame-level energy profile over binary payloads — REAL numpy DSP
+    through the Arrow mapInPandas boundary, fully value-gated: bytes are
+    8-bit PCM samples (payloads are ASCII, so DuckDB reproduces every
+    sample via ord(substr) and the gate hashes exact integers), frames of
+    32, per-frame Σs² energy and loud-sample count. This closes the gap
+    the stubbed image/video decoders leave: the multimodal tier now has
+    one extractor whose MATH is real (np.frombuffer + vectorized int64
+    square-sum), proving the batch plumbing end-to-end; a codec-backed
+    extractor swaps frombuffer for the decoder and keeps everything else
+    (llm/multimodal.py frame_energy). 1→N row expansion happens inside
+    the Arrow batch, the same shape as multimodal_frame_sample."""
+    from ..llm.multimodal import attach_binary_payload, frame_energy
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
+    return frame_energy(d, payload_col="payload", id_col="doc_id")
