@@ -423,8 +423,14 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
         "events_cms_heavy_hitters",
+        "docs_hybrid_rrf_fusion",  # composes docs_bm25_topk's pruned window
     }
-    pruned = {"docs_bm25_topk", "docs_bpe_first_merge", "events_cms_heavy_hitters"}
+    pruned = {
+        "docs_bm25_topk",
+        "docs_bpe_first_merge",
+        "events_cms_heavy_hitters",
+        "docs_hybrid_rrf_fusion",
+    }
     offenders = {}
     for name, qd in all_queries().items():
         if name in eager:

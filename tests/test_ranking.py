@@ -83,3 +83,59 @@ def test_rank_has_no_unpartitioned_window(spark):
     assert unpartitioned_window_count(got) == 0
     tiled = exact_ntile(df, 10, F.col("v"), ["id"], "tile")
     assert unpartitioned_window_count(tiled) == 0
+
+
+# ------------- hypothesis properties (bounded examples — Spark jobs)
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_vals = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(deadline=None, max_examples=8)
+@given(_vals, st.integers(1, 12), st.integers(2, 9))
+def test_ntile_property_matches_window(spark, vals, n_tiles, n_buckets):
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = exact_ntile(
+        df, n_tiles, F.col("v"), ["id"], "tile", n_buckets=n_buckets
+    )
+    exp = df.withColumn(
+        "tile", F.ntile(n_tiles).over(Window.orderBy("v", "id"))
+    )
+    assert (
+        got.select("id", "tile").exceptAll(exp.select("id", "tile")).count()
+        == 0
+    )
+
+
+@settings(deadline=None, max_examples=8)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=120),
+    st.integers(2, 9),
+)
+def test_prefix_sum_property_matches_window(spark, weights, n_buckets):
+    from rad_database_parse_spark.operators.ranking import exact_prefix_sum
+
+    rows = [(i, w, (w * 7919 + i) % 101) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w long, key long")
+    got = exact_prefix_sum(
+        df, F.col("key"), ["id"], "w", "cum", n_buckets=n_buckets
+    )
+    exp = df.withColumn(
+        "cum",
+        F.sum("w").over(
+            Window.orderBy("key", "id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    assert (
+        got.select("id", "cum").exceptAll(exp.select("id", "cum")).count()
+        == 0
+    )
