@@ -261,6 +261,7 @@ _WINDOW_R7: list[str] = [
     "docs_hybrid_rrf_fusion",
     "pyds_jsonl_roundtrip_nation",
     "multimodal_audio_frame_energy",
+    "txn_change_data_feed",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

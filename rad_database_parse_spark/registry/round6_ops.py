@@ -1534,3 +1534,91 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str):
 
     d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
     return frame_energy(d, payload_col="payload", id_col="doc_id")
+
+
+# ------------------------- txn change-data-feed (version-to-version diff)
+@register(
+    "txn_change_data_feed",
+    """
+    WITH v0 AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM customer WHERE c_custkey <= 600),
+    v1 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN cents + 505 ELSE cents END
+               AS cents
+      FROM (SELECT c_custkey,
+                   CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     AS cents
+            FROM customer WHERE c_custkey <= 800)
+      WHERE c_custkey % 10 != 0)
+    SELECT COALESCE(v0.c_custkey, v1.c_custkey) AS c_custkey,
+           CASE WHEN v0.c_custkey IS NULL THEN 'insert'
+                WHEN v1.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v0.cents AS old_cents, v1.cents AS new_cents
+    FROM v0 FULL OUTER JOIN v1 ON v0.c_custkey = v1.c_custkey
+    WHERE v0.c_custkey IS NULL OR v1.c_custkey IS NULL
+       OR v0.cents != v1.cents
+    """,
+)
+def txn_change_data_feed(spark: SparkSession, sf_dir: str):
+    """Change data feed between two committed txn versions — Delta's CDF
+    read, derived rather than stored: because every version stays
+    addressable in the manifest log, the changes v0→v1 are one
+    key-co-partitioned full outer join of the two snapshots, classified
+    insert/update/delete with old/new values (the snapshot_diff_customers
+    shape applied to the txn log). Downstream consumers get incremental
+    inputs from a table that only ever wrote full snapshots. Output is
+    change-volume-sized; at 100 TB bucket both snapshots on the key and
+    the diff is shuffle-free."""
+    import shutil
+    import tempfile
+
+    from ..catalog.txn import commit, read_snapshot
+
+    c = t(spark, sf_dir, "customer")
+    cents = (dec("c_acctbal") * 100).cast("bigint")
+    v0_df = c.filter(F.col("c_custkey") <= 600).select(
+        "c_custkey", cents.alias("cents")
+    )
+    v1_df = (
+        c.filter((F.col("c_custkey") <= 800) & (F.col("c_custkey") % 10 != 0))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 3 == 0, cents + 505)
+            .otherwise(cents)
+            .alias("cents"),
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="txn_cdf_q_")
+    try:
+        commit(spark, scratch, v0_df, "create", expected_version=None)
+        commit(spark, scratch, v1_df, "overwrite", expected_version=0)
+        v0 = read_snapshot(spark, scratch, version=0).alias("v0")
+        v1 = read_snapshot(spark, scratch, version=1).alias("v1")
+        diff = (
+            v0.join(
+                v1, F.col("v0.c_custkey") == F.col("v1.c_custkey"), "full_outer"
+            )
+            .select(
+                F.coalesce(F.col("v0.c_custkey"), F.col("v1.c_custkey")).alias(
+                    "c_custkey"
+                ),
+                F.when(F.col("v0.c_custkey").isNull(), "insert")
+                .when(F.col("v1.c_custkey").isNull(), "delete")
+                .otherwise("update")
+                .alias("change_type"),
+                F.col("v0.cents").alias("old_cents"),
+                F.col("v1.cents").alias("new_cents"),
+            )
+            .filter(
+                F.col("old_cents").isNull()
+                | F.col("new_cents").isNull()
+                | (F.col("old_cents") != F.col("new_cents"))
+            )
+        )
+        return spark.createDataFrame(diff.collect(), diff.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

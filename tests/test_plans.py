@@ -409,6 +409,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "txn_vacuum_retention", "stream_txn_exactly_once_sink",
         "events_funnel_wilson_ci",  # three count() actions in the builder
         "pyds_jsonl_roundtrip_nation",  # writes through the sink eagerly
+        "txn_change_data_feed",  # runs the commit protocol eagerly
     }
     whitelist = {
         # bounded input grain at ANY corpus size:
