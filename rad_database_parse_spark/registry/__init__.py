@@ -262,6 +262,7 @@ _WINDOW_R7: list[str] = [
     "pyds_jsonl_roundtrip_nation",
     "multimodal_audio_frame_energy",
     "txn_change_data_feed",
+    "docs_minhash_recall_vs_exact",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

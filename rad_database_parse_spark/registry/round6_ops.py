@@ -1622,3 +1622,78 @@ def txn_change_data_feed(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(diff.collect(), diff.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------- dedup-tier evaluation: MinHash recall vs exact truth
+_PR_THRESH = 0.8
+
+
+def _minhash_pr_oracle() -> str:
+    from . import _REGISTRY
+    from . import llm_ops as _llm  # noqa: F401
+    from . import round5_ops as _r5  # noqa: F401
+
+    mh = _REGISTRY["docs_minhash_lsh"].oracle
+    exact = _REGISTRY["docs_setsim_prefix_join"].oracle
+    return f"""
+    WITH truth AS (
+      SELECT id_a, id_b FROM ({exact})),
+    pred AS (
+      SELECT id_a, id_b FROM ({mh}) WHERE jaccard >= {_PR_THRESH}),
+    hit AS (
+      SELECT t.id_a, t.id_b FROM truth t JOIN pred p
+        ON p.id_a = t.id_a AND p.id_b = t.id_b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_predicted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+           (1000000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM hit))
+             // greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM truth), 1)
+             AS recall_fp,
+           (1000000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM hit))
+             // greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM pred), 1)
+             AS precision_fp
+    """
+
+
+@register("docs_minhash_recall_vs_exact", _minhash_pr_oracle())
+def docs_minhash_recall_vs_exact(spark: SparkSession, sf_dir: str):
+    """Dedup-tier EVALUATION: MinHash-LSH's recall measured against the
+    EXACT prefix-filter join as ground truth, at the same Jaccard ≥ 0.8
+    operating point — the number a curation owner actually needs before
+    trusting the probabilistic tier on a new corpus (the 16-hash/4-band
+    banding admits a theoretical miss rate; this measures the realized
+    one). Precision is 1 by construction (both tiers verify exact
+    Jaccard on candidates — asserted in tests), so the single honest
+    dial is recall: banding misses. Fixed-point integer ratios; both
+    arms are this repo's own operators, so the oracle composes their
+    registered oracles verbatim. Excluded from the bench (it re-runs two
+    already-benched pipelines — the docs_curation_funnel rationale)."""
+    from ..llm.dedup import minhash_lsh_candidates, setsim_prefix_join
+
+    d = t(spark, sf_dir, "documents")
+    truth = setsim_prefix_join(d, "text", "doc_id", threshold=_PR_THRESH).select(
+        "id_a", "id_b"
+    )
+    pred = (
+        minhash_lsh_candidates(
+            d, "text", "doc_id", num_hashes=16, band_size=4, threshold=0.5
+        )
+        .filter(F.col("jaccard") >= _PR_THRESH)
+        .select("id_a", "id_b")
+    )
+    truth_n = truth.count()
+    pred_n = pred.count()
+    hit_n = truth.join(pred, ["id_a", "id_b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                truth_n,
+                pred_n,
+                hit_n,
+                (1_000_000 * hit_n) // max(truth_n, 1),
+                (1_000_000 * hit_n) // max(pred_n, 1),
+            )
+        ],
+        "n_truth bigint, n_predicted bigint, n_hit bigint, "
+        "recall_fp bigint, precision_fp bigint",
+    )

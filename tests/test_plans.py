@@ -410,6 +410,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "events_funnel_wilson_ci",  # three count() actions in the builder
         "pyds_jsonl_roundtrip_nation",  # writes through the sink eagerly
         "txn_change_data_feed",  # runs the commit protocol eagerly
+        "docs_minhash_recall_vs_exact",  # three count() actions in builder
     }
     whitelist = {
         # bounded input grain at ANY corpus size:

@@ -190,3 +190,17 @@ def test_mann_whitney_matches_bruteforce_midranks(spark, sf_dir):
     u1x2 = 2 * n1 * n0 + n1 * (n1 + 1) - r1x2
     got = orders_mann_whitney_u(spark, sf_dir).collect()[0]
     assert (got.n1, got.n0, got.u1_x2) == (n1, n0, u1x2)
+
+
+def test_minhash_pr_precision_is_one_and_recall_sane(spark, sf_dir):
+    from rad_database_parse_spark.registry.round6_ops import (
+        docs_minhash_recall_vs_exact,
+    )
+
+    r = docs_minhash_recall_vs_exact(spark, sf_dir).collect()[0]
+    # both tiers verify exact Jaccard -> predicted ⊆ truth -> precision 1
+    assert r.precision_fp == 1_000_000
+    assert r.n_hit == r.n_predicted <= r.n_truth
+    # 16-hash/4-band at J>=0.8: theory says ~1-(1-0.8^4)^4 ≈ 0.87 minimum;
+    # anything below would mean the banding is wired wrong
+    assert r.recall_fp >= 850_000
