@@ -263,6 +263,15 @@ _WINDOW_R7: list[str] = [
     "multimodal_audio_frame_energy",
     "txn_change_data_feed",
     "docs_minhash_recall_vs_exact",
+    # round-6b continuation ops (registry/round6b_ops.py)
+    "sketch_kmv_set_ops",
+    "orders_gini_best_split_stump",
+    "docs_mixture_sampling_plan",
+    "asof_nearest_event_join",
+    "graph_label_propagation",
+    "docs_kanon_shingle_suppression",
+    "emb_cosine_threshold_sweep",
+    "files_zone_map_prune_stats",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -293,6 +302,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import curation_ops  # noqa: F401
     from . import round5d_ops  # noqa: F401
     from . import round6_ops  # noqa: F401
+    from . import round6b_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

@@ -1,0 +1,778 @@
+"""Round-6b operators: KMV theta-sketch set algebra, decision-stump
+split search, training-mixture sampling planner, and nearest-as-of joins.
+
+Extends the reference's aggregate/join surface (SURVEY §2A A14/A15 dedup
+probes, A23 argmin) toward the curation/analytics tiers the north star
+names. Float-parity policy as registry/__init__.py: exact integer/decimal
+arithmetic everywhere a ranking or a division feeds a comparison; doubles
+only as final presentation casts of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import t
+from .llm_ops import _BUCKET_DIMS, _BUCKET_SQL
+
+# 60-bit hash space: first 15 hex chars of md5, identically computable in
+# Spark (conv) and DuckDB (0x-prefixed cast).
+_MAXH = 1 << 60
+_KMV_K = 64
+
+
+def _h60(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+@register(
+    "sketch_kmv_set_ops",
+    f"""
+    WITH tagged AS (
+      SELECT DISTINCT event_type AS tag, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    ska AS (SELECT h FROM tagged WHERE tag = 'view'
+            ORDER BY h LIMIT {_KMV_K}),
+    skb AS (SELECT h FROM tagged WHERE tag = 'purchase'
+            ORDER BY h LIMIT {_KMV_K}),
+    sku AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+            ORDER BY h LIMIT {_KMV_K}),
+    hk AS (SELECT MAX(h) AS hk, COUNT(*) AS ku FROM sku),
+    both_cnt AS (
+      SELECT COUNT(*) AS c FROM sku
+      WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+    exact AS (
+      SELECT
+        COUNT(DISTINCT CASE WHEN tag = 'view' THEN user_id END) AS a_exact,
+        COUNT(DISTINCT CASE WHEN tag = 'purchase' THEN user_id END) AS b_exact,
+        COUNT(DISTINCT user_id) AS union_exact
+      FROM tagged),
+    inter AS (
+      SELECT COUNT(*) AS inter_exact FROM (
+        SELECT user_id FROM tagged GROUP BY user_id HAVING COUNT(DISTINCT tag) = 2))
+    SELECT
+      CAST({_KMV_K} AS BIGINT) AS k,
+      CAST(a_exact AS BIGINT) AS a_exact,
+      CAST(b_exact AS BIGINT) AS b_exact,
+      CAST(union_exact AS BIGINT) AS union_exact,
+      CAST(inter_exact AS BIGINT) AS inter_exact,
+      CAST(((ku - 1)::HUGEINT * {_MAXH}) // hk AS BIGINT) AS union_est,
+      CAST((c::HUGEINT * (((ku - 1)::HUGEINT * {_MAXH}) // hk)) // ku
+           AS BIGINT) AS inter_est
+    FROM hk, both_cnt, exact, inter
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str):
+    """KMV (k-minimum-values / theta) sketch set algebra: estimate the
+    distinct-user cardinality of `view` UNION `purchase` and their
+    INTERSECTION from two 64-value sketches, next to the exact answers.
+    This is the mergeable-sketch contract behind Theta/HLL set operations
+    (Datasketches): each set keeps only its k smallest 60-bit hashes, the
+    union sketch is the k smallest of the merged value set, and the
+    Jaccard estimate is the fraction of union-sketch values present in
+    both input sketches. Every k-smallest is a global `ORDER BY h LIMIT k`
+    — Spark plans TakeOrderedAndProject (per-partition top-k, merged at
+    the driver), so no full sort and no single giant partition at any
+    scale; the sketch joins are 64-row broadcasts. Estimator arithmetic is
+    exact integer: est = (k-1)*2^60 div h_k in DECIMAL(38,0), identically
+    truncated by DuckDB's HUGEINT floor-div (operands positive).
+    Reference tie-in: A15's existence probe generalized to cardinality
+    estimation (database.py:43-61)."""
+    ev = t(spark, sf_dir, "events")
+    tagged = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select(F.col("event_type").alias("tag"), "user_id")
+        .distinct()
+        .withColumn("h", _h60(F.col("user_id")))
+    )
+    ska = tagged.filter(F.col("tag") == "view").select("h").orderBy("h").limit(
+        _KMV_K
+    )
+    skb = (
+        tagged.filter(F.col("tag") == "purchase")
+        .select("h")
+        .orderBy("h")
+        .limit(_KMV_K)
+    )
+    sku = ska.unionAll(skb).distinct().orderBy("h").limit(_KMV_K)
+    hk = sku.agg(
+        F.max("h").alias("hk"), F.count("*").cast("bigint").alias("ku")
+    )
+    both_cnt = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    exact = tagged.agg(
+        F.countDistinct(
+            F.when(F.col("tag") == "view", F.col("user_id"))
+        ).alias("a_exact"),
+        F.countDistinct(
+            F.when(F.col("tag") == "purchase", F.col("user_id"))
+        ).alias("b_exact"),
+        F.countDistinct("user_id").alias("union_exact"),
+    )
+    inter = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("tag").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count("*").cast("bigint").alias("inter_exact"))
+    )
+    est_union = F.expr(
+        f"CAST((CAST(ku - 1 AS DECIMAL(38,0)) * {_MAXH}) div hk AS BIGINT)"
+    )
+    return (
+        hk.crossJoin(both_cnt)
+        .crossJoin(exact)
+        .crossJoin(inter)
+        .select(
+            F.lit(_KMV_K).cast("bigint").alias("k"),
+            F.col("a_exact").cast("bigint"),
+            F.col("b_exact").cast("bigint"),
+            F.col("union_exact").cast("bigint"),
+            F.col("inter_exact").cast("bigint"),
+            est_union.alias("union_est"),
+            F.expr(
+                f"CAST((CAST(c AS DECIMAL(38,0)) * "
+                f"(CAST((CAST(ku - 1 AS DECIMAL(38,0)) * {_MAXH}) div hk "
+                f"AS DECIMAL(38,0)))) div ku AS BIGINT)"
+            ).alias("inter_est"),
+        )
+    )
+
+
+_STUMP_BUCKET = 20000
+
+
+@register(
+    "orders_gini_best_split_stump",
+    f"""
+    WITH labeled AS (
+      SELECT CAST(FLOOR(o_totalprice / {_STUMP_BUCKET}) AS BIGINT)
+               * {_STUMP_BUCKET} AS bucket,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders),
+    grid AS (
+      SELECT bucket, COUNT(*) AS n, SUM(pos) AS p
+      FROM labeled GROUP BY bucket),
+    cum AS (
+      SELECT bucket,
+             COALESCE(SUM(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nl,
+             COALESCE(SUM(p) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pl,
+             SUM(n) OVER () AS nt,
+             SUM(p) OVER () AS pt
+      FROM grid),
+    scored AS (
+      SELECT bucket AS threshold, nl AS n_left, pl AS pos_left,
+             nt - nl AS n_right, pt - pl AS pos_right,
+             CAST((pl::HUGEINT * (nl - pl) * (nt - nl)
+                   + (pt - pl)::HUGEINT * ((nt - nl) - (pt - pl)) * nl)
+                  * 1000000 // (nl::HUGEINT * (nt - nl)) AS BIGINT)
+               AS impurity_fp
+      FROM cum WHERE nl > 0 AND nt - nl > 0)
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_right AS BIGINT) AS pos_right,
+           impurity_fp
+    FROM scored
+    ORDER BY impurity_fp, threshold LIMIT 5
+    """,
+)
+def orders_gini_best_split_stump(spark: SparkSession, sf_dir: str):
+    """Decision-stump split search by weighted Gini impurity — the inner
+    loop of distributed tree training (XGBoost/LightGBM histogram-based
+    split finding): bucket the feature (o_totalprice, fixed 20k-wide
+    histogram bins, the standard scale trick — candidate thresholds are
+    bin edges, not distinct values), build the per-bin (count, positives)
+    histogram in ONE map-side-combinable groupBy, then evaluate every
+    threshold from the exclusive prefix sums of the tiny bin table.
+    Weighted Gini 2*(pl*(nl-pl)/nl + pr*(nr-pr)/nr) is ranked in exact
+    fixed point: numerator cross-multiplied onto the common denominator
+    nl*nr and integer-divided at 1e6 scale in DECIMAL(38,0) — identical
+    truncation in DuckDB HUGEINT. The window runs over O(#bins) rows, not
+    the fact table, so the single unpartitioned window is bounded (~60
+    rows) at any data scale. Label = order priority in {URGENT, HIGH}.
+    Returns the 5 best thresholds (TakeOrdered)."""
+    o = t(spark, sf_dir, "orders")
+    labeled = o.select(
+        (
+            F.floor(F.col("o_totalprice") / _STUMP_BUCKET).cast("bigint")
+            * _STUMP_BUCKET
+        ).alias("bucket"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    grid = labeled.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("p")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("nl"),
+        F.coalesce(F.sum("p").over(w), F.lit(0)).alias("pl"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("p").over(wt).alias("pt"),
+    )
+    scored = cum.filter(
+        (F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0)
+    ).select(
+        F.col("bucket").cast("bigint").alias("threshold"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("pl").cast("bigint").alias("pos_left"),
+        (F.col("nt") - F.col("nl")).cast("bigint").alias("n_right"),
+        (F.col("pt") - F.col("pl")).cast("bigint").alias("pos_right"),
+        F.expr(
+            "CAST((CAST(pl AS DECIMAL(38,0)) * (nl - pl) * (nt - nl)"
+            " + CAST(pt - pl AS DECIMAL(38,0)) * ((nt - nl) - (pt - pl)) * nl)"
+            " * 1000000 div (CAST(nl AS DECIMAL(38,0)) * (nt - nl)) AS BIGINT)"
+        ).alias("impurity_fp"),
+    )
+    return scored.orderBy("impurity_fp", "threshold").limit(5)
+
+
+_MIX_TARGET_PPM = {0: 400000, 1: 300000, 2: 200000, 3: 100000}
+
+
+@register(
+    "docs_mixture_sampling_plan",
+    f"""
+    WITH grouped AS (
+      SELECT CAST(substr(source, 4) AS INT) % 4 AS domain,
+             SUM(n_chars) AS tokens
+      FROM documents GROUP BY 1),
+    targeted AS (
+      SELECT domain, tokens,
+             CASE domain WHEN 0 THEN {_MIX_TARGET_PPM[0]}
+                         WHEN 1 THEN {_MIX_TARGET_PPM[1]}
+                         WHEN 2 THEN {_MIX_TARGET_PPM[2]}
+                         ELSE {_MIX_TARGET_PPM[3]} END AS target_ppm
+      FROM grouped),
+    lim AS (
+      SELECT MIN(tokens * 1000000 // target_ppm) AS final_total FROM targeted)
+    SELECT CAST(domain AS INT) AS domain,
+           CAST(tokens AS BIGINT) AS tokens,
+           CAST(target_ppm AS BIGINT) AS target_ppm,
+           CAST(final_total * target_ppm // 1000000 AS BIGINT) AS kept_tokens,
+           CAST((final_total * target_ppm // 1000000) * 1000000 // tokens
+                AS BIGINT) AS rate_ppm
+    FROM targeted, lim
+    ORDER BY domain
+    """,
+)
+def docs_mixture_sampling_plan(spark: SparkSession, sf_dir: str):
+    """Training-mixture sampling planner — the data-recipe step of every
+    LLM pretraining run (Dolma/Pile-style domain weighting): given target
+    mixture weights per domain (ppm literals) and the observed token mass
+    per domain (n_chars as the token proxy), find the largest total corpus
+    honoring the weights with NO upsampling: the binding domain is the one
+    with the smallest tokens/target ratio; every domain then keeps
+    target_ppm of that total. Downsample rates come out as exact ppm
+    integers (floor at each step, identical truncation both engines).
+    Pure metadata arithmetic: one map-side-combinable groupBy over the
+    corpus, a 4-row broadcastable plan table, zero shuffles beyond the
+    aggregate — at 100 TB the plan feeds a deterministic-hash row filter
+    (registry/sampling_profile.py) rather than materializing samples."""
+    d = t(spark, sf_dir, "documents")
+    grouped = d.groupBy(
+        (F.substring("source", 4, 10).cast("int") % 4).alias("domain")
+    ).agg(F.sum("n_chars").alias("tokens"))
+    target = (
+        F.when(F.col("domain") == 0, _MIX_TARGET_PPM[0])
+        .when(F.col("domain") == 1, _MIX_TARGET_PPM[1])
+        .when(F.col("domain") == 2, _MIX_TARGET_PPM[2])
+        .otherwise(_MIX_TARGET_PPM[3])
+    )
+    targeted = grouped.select(
+        "domain", "tokens", target.alias("target_ppm")
+    )
+    lim = targeted.agg(
+        F.min(F.expr("tokens * 1000000 div target_ppm")).alias("final_total")
+    )
+    kept = F.expr("final_total * target_ppm div 1000000")
+    return (
+        targeted.crossJoin(F.broadcast(lim))
+        .select(
+            F.col("domain").cast("int"),
+            F.col("tokens").cast("bigint"),
+            F.col("target_ppm").cast("bigint"),
+            kept.cast("bigint").alias("kept_tokens"),
+            F.expr(
+                "(final_total * target_ppm div 1000000) * 1000000 div tokens"
+            )
+            .cast("bigint")
+            .alias("rate_ppm"),
+        )
+        .orderBy("domain")
+    )
+
+
+@register(
+    "asof_nearest_event_join",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    marked AS (
+      SELECT user_id, ts, event_id, side,
+             LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_view_id,
+             LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_view_ts,
+             FIRST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_view_id,
+             FIRST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_view_ts
+      FROM ordered)
+    SELECT CAST(event_id AS BIGINT) AS purchase_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(CASE
+             WHEN prev_view_id IS NULL THEN next_view_id
+             WHEN next_view_id IS NULL THEN prev_view_id
+             WHEN epoch_us(ts) - epoch_us(prev_view_ts)
+                  <= epoch_us(next_view_ts) - epoch_us(ts)
+               THEN prev_view_id ELSE next_view_id END AS BIGINT)
+             AS view_id,
+           CAST(CASE
+             WHEN prev_view_id IS NULL AND next_view_id IS NULL THEN NULL
+             WHEN prev_view_id IS NULL THEN epoch_us(next_view_ts) - epoch_us(ts)
+             WHEN next_view_id IS NULL THEN epoch_us(ts) - epoch_us(prev_view_ts)
+             WHEN epoch_us(ts) - epoch_us(prev_view_ts)
+                  <= epoch_us(next_view_ts) - epoch_us(ts)
+               THEN epoch_us(ts) - epoch_us(prev_view_ts)
+             ELSE epoch_us(next_view_ts) - epoch_us(ts) END AS BIGINT) AS gap_us
+    FROM marked WHERE side = 1
+    """,
+)
+def asof_nearest_event_join(spark: SparkSession, sf_dir: str):
+    """Nearest-as-of join — the bidirectional sibling of the backward-only
+    as-of operator (operators/asof.py, itself generalizing the reference's
+    nearest-text argmin, tables.py:33-46): for every purchase, the nearest
+    view by ABSOLUTE time distance per user; ties prefer the earlier
+    (backward) view. Implemented as the union-sort pattern: one shuffle on
+    user_id, one window sorted (ts, side, event_id) — the tiebreak on
+    event_id pins a total order so both engines resolve equal-timestamp
+    neighbors identically — carrying last-view-before and first-view-after
+    with ignorenulls frames; the nearer side wins in an exact integer
+    epoch-microseconds comparison. No self-join, no range explosion: cost is
+    one sort per user partition at any scale."""
+    ev = t(spark, sf_dir, "events")
+    ordered = ev.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side"),
+    )
+    order = [F.col("ts"), F.col("side"), F.col("event_id")]
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    vid = F.when(F.col("side") == 0, F.col("event_id"))
+    vts = F.when(F.col("side") == 0, F.col("ts"))
+    marked = ordered.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "side",
+        F.last(vid, ignorenulls=True).over(wprev).alias("prev_view_id"),
+        F.last(vts, ignorenulls=True).over(wprev).alias("prev_view_ts"),
+        F.first(vid, ignorenulls=True).over(wnext).alias("next_view_id"),
+        F.first(vts, ignorenulls=True).over(wnext).alias("next_view_ts"),
+    )
+    gap_prev = (
+        F.unix_micros("ts") - F.unix_micros("prev_view_ts")
+    ).cast("bigint")
+    gap_next = (
+        F.unix_micros("next_view_ts") - F.unix_micros("ts")
+    ).cast("bigint")
+    prev_wins = F.col("next_view_id").isNull() | (
+        F.col("prev_view_id").isNotNull() & (gap_prev <= gap_next)
+    )
+    return marked.filter(F.col("side") == 1).select(
+        F.col("event_id").cast("bigint").alias("purchase_id"),
+        F.col("user_id").cast("bigint"),
+        F.when(prev_wins, F.col("prev_view_id"))
+        .otherwise(F.col("next_view_id"))
+        .cast("bigint")
+        .alias("view_id"),
+        F.when(
+            F.col("prev_view_id").isNull() & F.col("next_view_id").isNull(),
+            F.lit(None),
+        )
+        .when(prev_wins, gap_prev)
+        .otherwise(gap_next)
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+@register(
+    "graph_label_propagation",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+    und AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    nodes AS (SELECT DISTINCT u AS node FROM und),
+    r1 AS (
+      SELECT n.node,
+             LEAST(n.node, COALESCE(MIN(e.v), n.node)) AS label
+      FROM nodes n LEFT JOIN und e ON e.u = n.node
+      GROUP BY n.node),
+    r2 AS (
+      SELECT n.node,
+             LEAST(n.label, COALESCE(MIN(nb.label), n.label)) AS label
+      FROM r1 n LEFT JOIN und e ON e.u = n.node
+      LEFT JOIN r1 nb ON nb.node = e.v
+      GROUP BY n.node, n.label),
+    sized AS (
+      SELECT label, COUNT(*) AS community_size FROM r2 GROUP BY label)
+    SELECT CAST(r2.node AS BIGINT) AS part_key,
+           CAST(r2.label AS BIGINT) AS community,
+           CAST(sized.community_size AS BIGINT) AS community_size
+    FROM r2 JOIN sized USING (label)
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str):
+    """Synchronous min-label propagation (2 unrolled rounds) over the
+    part co-purchase graph — the community-detection sibling of the
+    connected-components canonicalizer (llm/cluster.py): edges are part
+    pairs sharing >= 2 orders (the same bounded-width per-order pair
+    expansion as basket_part_association — order width is O(lines/order),
+    never O(n²)), labels start as node ids and each round every node takes
+    the min of its own and its neighbors' labels. Deterministic (min is
+    order-free), fully unrolled in one lazy plan: two join+groupBy rounds
+    over the edge list — the fixed-iteration-count variant of the
+    driver-paced CC fixpoint, which is the right shape when the graph
+    diameter is known-small. Output: node -> community + community size."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    r1 = (
+        nodes.join(und, nodes.node == und.u, "left")
+        .groupBy("node")
+        .agg(
+            F.least(
+                F.col("node"), F.coalesce(F.min("v"), F.col("node"))
+            ).alias("label")
+        )
+    )
+    nb_labels = r1.select(
+        F.col("node").alias("nb_node"), F.col("label").alias("nb_label")
+    )
+    und2 = und.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    r2 = (
+        r1.join(und2, r1.node == und2.u2, "left")
+        .join(nb_labels, und2.v2 == nb_labels.nb_node, "left")
+        .groupBy("node", "label")
+        .agg(
+            F.least(
+                F.col("label"), F.coalesce(F.min("nb_label"), F.col("label"))
+            ).alias("label2")
+        )
+        .select("node", F.col("label2").alias("label"))
+    )
+    sized = r2.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return r2.join(sized, "label").select(
+        F.col("node").cast("bigint").alias("part_key"),
+        F.col("label").cast("bigint").alias("community"),
+        "community_size",
+    )
+
+
+_KANON_N = 3
+_KANON_K = 3
+
+
+@register(
+    "docs_kanon_shingle_suppression",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i + 1 : i + {_KANON_N}], ' ')) AS gh
+      FROM w, UNNEST(range(len(toks) - {_KANON_N} + 1)) AS t(i)
+      WHERE len(toks) >= {_KANON_N}),
+    dfreq AS (
+      SELECT gh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY gh),
+    flagged AS (
+      SELECT s.doc_id, s.pos, s.gh, d.df < {_KANON_K} AS rare
+      FROM sh s JOIN dfreq d USING (gh))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN rare THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS suppressed_ppm,
+           md5(COALESCE(
+             string_agg(CASE WHEN NOT rare THEN gh END, ',' ORDER BY pos), ''))
+             AS kept_fp
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def docs_kanon_shingle_suppression(spark: SparkSession, sf_dir: str):
+    """K-anonymity shingle suppression — the privacy-scrub tier of a
+    training-data pipeline (suppress any span whose corpus frequency is
+    below k, since rare spans are the memorization/PII risk): word
+    {n}-gram shingles (the repo's shared md5-shingle stream), document
+    frequency per shingle in one groupBy, and each document reports how
+    much of its content survives k>={k} suppression plus an order-exact
+    fingerprint of the kept stream (md5 over pos-sorted kept hashes —
+    Spark re-assembles with the sort-struct trick, DuckDB with
+    string_agg ORDER BY). All counts exact integers; the shuffle keys are
+    shingle hash then doc_id — the same two-exchange shape as TF-IDF, no
+    self-joins, collect_list bounded by document length."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= _KANON_N)
+    sh = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.size("toks") - F.lit(_KANON_N)
+                ),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(F.col("toks"), i + 1, _KANON_N), " "
+                    )
+                ),
+            )
+        ).alias("pos", "gh"),
+    )
+    dfreq = sh.groupBy("gh").agg(F.countDistinct("doc_id").alias("df"))
+    flagged = sh.join(dfreq, "gh").withColumn(
+        "rare", F.col("df") < _KANON_K
+    )
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("rare"), F.struct("pos", "gh")
+                    )
+                )
+            ),
+            lambda s: s.gh,
+        ),
+        ",",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum(F.col("rare").cast("int")).cast("bigint").alias("n_rare"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rare THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("suppressed_ppm"),
+        F.md5(kept).alias("kept_fp"),
+    ).select(
+        F.col("doc_id").cast("bigint"),
+        "n_shingles",
+        "n_rare",
+        "suppressed_ppm",
+        "kept_fp",
+    )
+
+
+_SWEEP_GRID = list(range(0, 100, 10))  # cosine threshold pct 0..90
+
+
+@register(
+    "emb_cosine_threshold_sweep",
+    f"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.0),
+    tot AS (SELECT COUNT(*) AS total FROM pairs)
+    SELECT CAST(g.t AS INT) AS threshold_pct,
+           CAST(COUNT(CASE WHEN p.sim >= g.t / 100.0 THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(CASE WHEN p.sim >= g.t / 100.0 THEN 1 END)::HUGEINT
+                * 1000000 // MAX(tot.total) AS BIGINT) AS share_ppm
+    FROM (SELECT unnest({_SWEEP_GRID}) AS t) g, pairs p, tot
+    GROUP BY g.t
+    """,
+)
+def emb_cosine_threshold_sweep(spark: SparkSession, sf_dir: str):
+    """Near-duplicate threshold calibration sweep — the tuning dial for
+    the embedding-cosine dedup tier (emb_cosine_neardup): over the SAME
+    sign-bucket LSH candidate pairs, count how many survive each cosine
+    threshold in a 0..0.9 grid, with the share of all candidates in exact
+    ppm. This is the curve a curator reads before committing to a dedup
+    threshold at 100 TB — pair volume vs strictness on real data, at
+    bucketed (never all-pairs) cost. Candidate generation reuses
+    llm/similarity.cosine_neardup_pairs (one bucket-keyed shuffle,
+    row-local codegen cosine); the 10-point grid multiplies only the tiny
+    (sim) projection, not the vectors. Counts and shares exact integers;
+    cosines rounded to 6dp before every comparison (the repo's proven
+    cross-engine float contract)."""
+    from ..llm.similarity import cosine_neardup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(e, threshold=0.0, dims=_BUCKET_DIMS).select(
+        "sim"
+    )
+    grid = F.explode(
+        F.array(*[F.lit(x) for x in _SWEEP_GRID])
+    ).alias("t")
+    tot = pairs.agg(F.count("*").cast("bigint").alias("total"))
+    swept = (
+        pairs.select("sim", grid)
+        .groupBy("t")
+        .agg(
+            F.count(
+                F.when(F.col("sim") >= F.col("t") / 100.0, 1)
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )
+    return swept.crossJoin(F.broadcast(tot)).select(
+        F.col("t").cast("int").alias("threshold_pct"),
+        "n_pairs",
+        F.expr("CAST(n_pairs * 1000000 div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+_ZONE_GRID = [50, 100, 150, 200, 250, 300, 350, 400]
+
+
+@register(
+    "files_zone_map_prune_stats",
+    f"""
+    WITH inv AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_rows, MAX(value) AS max_v
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT COUNT(*) AS n_files, SUM(n_rows) AS total_rows FROM inv)
+    SELECT CAST(g.c AS INT) AS cutoff,
+           CAST(COUNT(CASE WHEN inv.max_v < g.c THEN 1 END) AS BIGINT)
+             AS files_skipped,
+           CAST(MAX(tot.n_files) AS BIGINT) AS files_total,
+           CAST(COUNT(CASE WHEN inv.max_v < g.c THEN 1 END)::HUGEINT
+                * 1000000 // MAX(tot.n_files) AS BIGINT) AS file_skip_ppm,
+           CAST(COALESCE(SUM(CASE WHEN inv.max_v < g.c
+                                  THEN inv.n_rows END), 0) AS BIGINT)
+             AS rows_skipped,
+           CAST(COALESCE(SUM(CASE WHEN inv.max_v < g.c
+                                  THEN inv.n_rows END), 0)::HUGEINT
+                * 1000000 // MAX(tot.total_rows) AS BIGINT) AS row_skip_ppm
+    FROM (SELECT unnest({_ZONE_GRID}) AS c) g, inv, tot
+    GROUP BY g.c
+    """,
+)
+def files_zone_map_prune_stats(spark: SparkSession, sf_dir: str):
+    """Zone-map (min/max file-statistics) prune-effectiveness profiler —
+    the data-skipping audit every lakehouse layout decision rests on
+    (parquet row-group stats, Delta/Iceberg file stats, the reason
+    zorder_layout_orders exists): simulate the file inventory at
+    (event_type, day) grain with per-file MAX(value) zone stats, then for
+    each `value >= c` predicate cutoff report how many files and rows a
+    stats-aware scanner would skip outright. Pure metadata arithmetic —
+    one map-side-combinable groupBy builds the inventory (at scale this
+    reads the manifest/footer stats, not data), and the 8-point cutoff
+    grid multiplies only the tiny inventory. Exact integer ppm shares.
+    Complements files_compaction_plan (bin-packing) with the
+    read-path-side layout quality metric."""
+    ev = t(spark, sf_dir, "events")
+    inv = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_rows"), F.max("value").alias("max_v")
+    )
+    tot = inv.agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+    )
+    grid = F.explode(F.array(*[F.lit(x) for x in _ZONE_GRID])).alias("c")
+    swept = (
+        inv.select("n_rows", "max_v", grid)
+        .groupBy("c")
+        .agg(
+            F.count(F.when(F.col("max_v") < F.col("c"), 1))
+            .cast("bigint")
+            .alias("files_skipped"),
+            F.coalesce(
+                F.sum(F.when(F.col("max_v") < F.col("c"), F.col("n_rows"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("rows_skipped"),
+        )
+    )
+    return swept.crossJoin(F.broadcast(tot)).select(
+        F.col("c").cast("int").alias("cutoff"),
+        "files_skipped",
+        F.col("n_files").alias("files_total"),
+        F.expr("CAST(files_skipped * 1000000 div n_files AS BIGINT)").alias(
+            "file_skip_ppm"
+        ),
+        "rows_skipped",
+        F.expr("CAST(rows_skipped * 1000000 div total_rows AS BIGINT)").alias(
+            "row_skip_ppm"
+        ),
+    )
