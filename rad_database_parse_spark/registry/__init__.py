@@ -272,6 +272,9 @@ _WINDOW_R7: list[str] = [
     "docs_kanon_shingle_suppression",
     "emb_cosine_threshold_sweep",
     "files_zone_map_prune_stats",
+    "txn_optimize_compact",
+    "events_linear_interp_resample",
+    "orders_holt_recursive_forecast",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

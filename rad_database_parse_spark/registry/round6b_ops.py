@@ -776,3 +776,326 @@ def files_zone_map_prune_stats(spark: SparkSession, sf_dir: str):
             "row_skip_ppm"
         ),
     )
+
+
+@register(
+    "txn_optimize_compact",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem WHERE l_orderkey <= 3000)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(1 AS INT) AS version,
+           CAST(8 AS INT) AS files_before,
+           CAST(1 AS INT) AS files_after
+    FROM base GROUP BY l_returnflag
+    """,
+)
+def txn_optimize_compact(spark: SparkSession, sf_dir: str):
+    """OPTIMIZE (small-file compaction) as a TRANSACTION on the snapshot
+    layer (catalog/txn.py) — the write-path twin of files_compaction_plan:
+    create the table at v0 deliberately fragmented (repartition(8) → 8
+    part files), then commit an `optimize` version that rewrites the SAME
+    rows as one file (copy-on-write, snapshot-isolated: a reader pinned
+    to v0 still sees the 8-file layout). The gate validates that the
+    post-OPTIMIZE snapshot is byte-equivalent to the pre-OPTIMIZE data
+    (aggregates straight off the raw table) AND that the physical layout
+    collapsed (part-file counts read from the committed data dirs).
+    At 100 TB, OPTIMIZE scopes rewrite groups per partition from manifest
+    stats (the compaction-planner op) — the data plane stays ordinary
+    parquet; this op proves the transactional publish around it."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..catalog.txn import commit, read_snapshot, _manifest_path
+
+    li = t(spark, sf_dir, "lineitem")
+    scratch = tempfile.mkdtemp(prefix="txn_optimize_q_")
+    try:
+        base = li.filter(F.col("l_orderkey") <= 3000).select(
+            "l_returnflag",
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)") * 100
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        commit(spark, scratch, base.repartition(8), "create", None)
+
+        def _nfiles(version: int) -> int:
+            with open(_manifest_path(scratch, version)) as f:
+                dirs = _json.load(f)["files"]
+            return sum(
+                len(_glob.glob(_os.path.join(d, "part-*.parquet")))
+                for d in dirs
+            )
+
+        files_before = _nfiles(0)
+        compacted = read_snapshot(spark, scratch).coalesce(1)
+        version = commit(spark, scratch, compacted, "optimize", 0)
+        files_after = _nfiles(version)
+        out = (
+            read_snapshot(spark, scratch)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+            .select(
+                "l_returnflag",
+                "n_rows",
+                "total_cents",
+                F.lit(version).cast("int").alias("version"),
+                F.lit(files_before).cast("int").alias("files_before"),
+                F.lit(files_after).cast("int").alias("files_after"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "events_linear_interp_resample",
+    """
+    WITH samp AS (SELECT * FROM events WHERE user_id % 20 = 1),
+    pts AS (
+      SELECT user_id, epoch_us(ts) AS t_us, value AS v, 0 AS is_grid,
+             event_id
+      FROM samp),
+    bounds AS (
+      SELECT user_id,
+             CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS d0,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS d1
+      FROM samp GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds),
+    gridpts AS (
+      SELECT user_id, epoch_us(hour) AS t_us, CAST(NULL AS DOUBLE) AS v,
+             1 AS is_grid, CAST(NULL AS BIGINT) AS event_id, hour
+      FROM spine),
+    unioned AS (
+      SELECT user_id, t_us, v, is_grid, event_id,
+             CAST(NULL AS TIMESTAMP) AS hour FROM pts
+      UNION ALL
+      SELECT user_id, t_us, v, is_grid, event_id, hour FROM gridpts),
+    marked AS (
+      SELECT user_id, t_us, is_grid, hour,
+             LAST_VALUE(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t_us, is_grid, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vp,
+             LAST_VALUE(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t_us, is_grid, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tp,
+             FIRST_VALUE(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t_us, is_grid, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vn,
+             FIRST_VALUE(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t_us, is_grid, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS tn
+      FROM unioned)
+    SELECT CAST(user_id AS BIGINT) AS user_id, hour,
+           round(CASE
+             WHEN vp IS NULL THEN vn
+             WHEN vn IS NULL THEN vp
+             ELSE vp + (vn - vp) * (CAST(t_us - tp AS DOUBLE)
+                                    / CAST(tn - tp AS DOUBLE))
+           END, 6) AS interp_value,
+           CASE WHEN vp IS NULL THEN 'bfill'
+                WHEN vn IS NULL THEN 'ffill'
+                ELSE 'interp' END AS mode
+    FROM marked WHERE is_grid = 1
+    """,
+)
+def events_linear_interp_resample(spark: SparkSession, sf_dir: str):
+    """Linear-interpolation resampling onto the per-user hourly grid —
+    the interpolating sibling of events_resample_ffill (same per-user
+    spine construction: sequence() from each user's own bounds, never a
+    global calendar cross join): each grid point takes the straight line
+    between its surrounding raw events, flat-filling beyond the ends.
+    One union-sort per user (the nearest-as-of pattern): events and grid
+    points interleave in (t_us, is_grid, event_id) order — a total order,
+    so both engines pick identical neighbors — and ignorenulls frames
+    carry (prev value, prev time, next value, next time). The weight
+    (t-tp)/(tn-tp) and the blend run in IEEE double on identical
+    operands, rounded to 6dp (the repo's float contract). Cost: one
+    user_id exchange + one window sort; spine volume is hours × users."""
+    ev = t(spark, sf_dir, "events")
+    samp = ev.filter(F.col("user_id") % 20 == 1)
+    pts = samp.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").alias("v"),
+        F.lit(0).alias("is_grid"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("hour"),
+    )
+    bounds = samp.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("d0"),
+        F.date_trunc("hour", F.max("ts")).alias("d1"),
+    )
+    gridpts = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    ).select(
+        "user_id",
+        F.unix_micros("hour").alias("t_us"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "hour",
+    )
+    unioned = pts.unionByName(gridpts)
+    order = [F.col("t_us"), F.col("is_grid"), F.col("event_id")]
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ev_v = F.when(F.col("is_grid") == 0, F.col("v"))
+    ev_t = F.when(F.col("is_grid") == 0, F.col("t_us"))
+    marked = unioned.select(
+        "user_id",
+        "t_us",
+        "is_grid",
+        "hour",
+        F.last(ev_v, ignorenulls=True).over(wprev).alias("vp"),
+        F.last(ev_t, ignorenulls=True).over(wprev).alias("tp"),
+        F.first(ev_v, ignorenulls=True).over(wnext).alias("vn"),
+        F.first(ev_t, ignorenulls=True).over(wnext).alias("tn"),
+    )
+    interp = (
+        F.when(F.col("vp").isNull(), F.col("vn"))
+        .when(F.col("vn").isNull(), F.col("vp"))
+        .otherwise(
+            F.col("vp")
+            + (F.col("vn") - F.col("vp"))
+            * (
+                (F.col("t_us") - F.col("tp")).cast("double")
+                / (F.col("tn") - F.col("tp")).cast("double")
+            )
+        )
+    )
+    return marked.filter(F.col("is_grid") == 1).select(
+        F.col("user_id").cast("bigint"),
+        "hour",
+        F.round(interp, 6).alias("interp_value"),
+        F.when(F.col("vp").isNull(), "bfill")
+        .when(F.col("vn").isNull(), "ffill")
+        .otherwise("interp")
+        .alias("mode"),
+    )
+
+
+# floor-division by 2 with identical semantics in Spark (`div`, truncating)
+# and DuckDB (`//`, flooring): subtract the positive remainder first so the
+# division is exact and rounding mode becomes irrelevant.
+def _fdiv2(x: str) -> str:
+    return f"(({x}) - (((({x}) % 2) + 2) % 2)) "
+
+
+@register(
+    "orders_holt_recursive_forecast",
+    f"""
+    WITH RECURSIVE m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS idx,
+             CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP)
+               AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    holt(idx, l, b) AS (
+      SELECT idx, y, CAST(0 AS BIGINT) FROM m WHERE idx = 1
+      UNION ALL
+      SELECT m.idx,
+             {_fdiv2("m.y + h.l + h.b")} // 2,
+             {_fdiv2(_fdiv2("m.y + h.l + h.b") + " // 2 - h.l + h.b")} // 2
+      FROM m JOIN holt h ON m.idx = h.idx + 1)
+    SELECT CAST(m.idx AS BIGINT) AS idx, m.month,
+           CAST(m.y AS BIGINT) AS y_cents,
+           CAST(h.l AS BIGINT) AS level_cents,
+           CAST(h.b AS BIGINT) AS trend_cents,
+           CAST(h.l + h.b AS BIGINT) AS forecast_next_cents
+    FROM m JOIN holt h USING (idx)
+    """,
+)
+def orders_holt_recursive_forecast(spark: SparkSession, sf_dir: str):
+    """Holt double-exponential smoothing (level + trend) over the monthly
+    revenue series. alpha = beta = 1/2 makes every update an exact
+    integer floor-half: l_t = floor((y_t + l_{t-1} + b_{t-1})/2),
+    b_t = floor((l_t - l_{t-1} + b_{t-1})/2). The ORACLE runs the
+    recurrence as a DuckDB RECURSIVE CTE; the Spark side aggregates the
+    fact table to the month grain (the only full-data pass — one
+    map-side-combinable groupBy) and runs the 80-step recurrence on the
+    COLLECTED series driver-side. That collect is bounded metadata at
+    any corpus size (month grain), and it is deliberately NOT a Spark
+    recursive CTE: a sequential 1-row-frontier recursion costs one
+    cluster job per step (measured 24s of pure scheduling at sf0.01 for
+    zero data), which is the wrong physical shape for an
+     80-element state recurrence — the same driver-side-bounded-state
+    judgment as the abbreviation dict (operators/abbrev.py) and the
+    bloom bitset (round5_ops). Python's // is floor division, matching
+    DuckDB's // on the oracle side exactly (negative trends included).
+    The month index is ARITHMETIC ((year-1995)*12 + month — testdata
+    months are contiguous), so no total-order window sequences the
+    series."""
+    from pyspark.sql import types as T
+
+    o = t(spark, sf_dir, "orders")
+    m_df = (
+        o.groupBy(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("idx")
+        )
+        .agg(
+            F.date_trunc("month", F.min("o_orderdate")).alias("month"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .orderBy("idx")
+    )
+    series = m_df.collect()  # month grain: bounded at any corpus size
+    rows, level, trend = [], None, None
+    for r in series:
+        if level is None:
+            level, trend = r.y, 0
+        else:
+            new_level = (r.y + level + trend) // 2
+            trend = (new_level - level + trend) // 2
+            level = new_level
+        rows.append((r.idx, r.month, r.y, level, trend, level + trend))
+    schema = T.StructType(
+        [
+            T.StructField("idx", T.LongType()),
+            T.StructField("month", T.TimestampType()),
+            T.StructField("y_cents", T.LongType()),
+            T.StructField("level_cents", T.LongType()),
+            T.StructField("trend_cents", T.LongType()),
+            T.StructField("forecast_next_cents", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -411,6 +411,8 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "pyds_jsonl_roundtrip_nation",  # writes through the sink eagerly
         "txn_change_data_feed",  # runs the commit protocol eagerly
         "docs_minhash_recall_vs_exact",  # three count() actions in builder
+        "txn_optimize_compact",  # commits create+optimize versions eagerly
+        "orders_holt_recursive_forecast",  # bounded month-grain collect
     }
     whitelist = {
         # bounded input grain at ANY corpus size:

@@ -1,0 +1,216 @@
+"""Property tests for the round-6b operators (registry/round6b_ops.py)."""
+
+from __future__ import annotations
+
+from rad_database_parse_spark.registry import all_queries
+
+
+def _run(name, spark, sf_dir):
+    return all_queries()[name].fn(spark, sf_dir)
+
+
+def test_kmv_estimates_within_sketch_error(spark, sf_dir):
+    row = _run("sketch_kmv_set_ops", spark, sf_dir).collect()[0]
+    # sanity: exact identities
+    assert row.union_exact <= row.a_exact + row.b_exact
+    assert row.inter_exact == row.a_exact + row.b_exact - row.union_exact
+    # KMV with k=64 has ~1/sqrt(k-1) ~ 12.6% relative error; allow 4 sigma
+    assert abs(row.union_est - row.union_exact) <= row.union_exact * 0.5 + 5
+    assert row.inter_est <= row.union_est
+    assert row.inter_est >= 0
+
+
+def test_gini_stump_counts_conserve_and_best_first(spark, sf_dir):
+    rows = _run("orders_gini_best_split_stump", spark, sf_dir).collect()
+    assert len(rows) == 5
+    totals = {(r.n_left + r.n_right, r.pos_left + r.pos_right) for r in rows}
+    assert len(totals) == 1  # every split partitions the same population
+    n, p = totals.pop()
+    assert 0 < p < n
+    scores = [r.impurity_fp for r in rows]
+    assert scores == sorted(scores)
+    for r in rows:
+        assert 0 <= r.pos_left <= r.n_left
+        assert 0 <= r.pos_right <= r.n_right
+
+
+def test_mixture_plan_honors_targets_without_upsampling(spark, sf_dir):
+    rows = _run("docs_mixture_sampling_plan", spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert sum(r.target_ppm for r in rows) == 1_000_000
+    for r in rows:
+        assert r.kept_tokens <= r.tokens  # never upsample
+        assert 0 < r.rate_ppm <= 1_000_000
+    # the binding domain keeps (almost) everything: rate at 1e6 - epsilon
+    assert max(r.rate_ppm for r in rows) >= 999_000
+    # realized mixture matches targets to truncation error
+    total_kept = sum(r.kept_tokens for r in rows)
+    for r in rows:
+        realized_ppm = r.kept_tokens * 1_000_000 // total_kept
+        assert abs(realized_ppm - r.target_ppm) <= 1_000
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_dir):
+    from rad_database_parse_spark.catalog.io import load_table
+
+    out = {
+        r.purchase_id: r
+        for r in _run("asof_nearest_event_join", spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.filter(
+        ev.event_type.isin("view", "purchase")
+    ).select("event_id", "user_id", "event_type", "ts").collect()
+    views = {}
+    for r in rows:
+        if r.event_type == "view":
+            views.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for r in rows:
+        if r.event_type != "purchase" or checked >= 50:
+            continue
+        checked += 1
+        got = out[r.event_id]
+        cands = views.get(r.user_id, [])
+        if not cands:
+            assert got.view_id is None and got.gap_us is None
+            continue
+        best_gap = min(
+            abs((v.ts - r.ts).total_seconds()) for v in cands
+        )
+        assert got.gap_us is not None
+        assert abs(got.gap_us / 1e6 - best_gap) < 1e-3
+    assert checked > 0
+
+
+def test_label_propagation_labels_shrink_and_stable(spark, sf_dir):
+    rows = _run("graph_label_propagation", spark, sf_dir).collect()
+    assert rows  # some co-purchase structure exists
+    sizes = {}
+    for r in rows:
+        assert r.community <= r.part_key  # min-label can only shrink
+        sizes.setdefault(r.community, 0)
+        sizes[r.community] += 1
+    for r in rows:
+        assert r.community_size == sizes[r.community]
+    # the community label is itself a member whenever it survived round 2
+    # (min-label always points at a real node id)
+    nodes = {r.part_key for r in rows}
+    assert all(c in nodes for c in sizes)
+
+
+def test_kanon_suppression_bounds(spark, sf_dir):
+    rows = _run("docs_kanon_shingle_suppression", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_rare <= r.n_shingles
+        assert 0 <= r.suppressed_ppm <= 1_000_000
+        assert r.kept_fp is not None and len(r.kept_fp) == 32
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    rows = sorted(
+        _run("emb_cosine_threshold_sweep", spark, sf_dir).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    assert [r.threshold_pct for r in rows] == list(range(0, 100, 10))
+    counts = [r.n_pairs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0 <= r.share_ppm <= 1_000_000 for r in rows)
+    assert rows[0].share_ppm == 1_000_000  # threshold 0 keeps all candidates
+
+
+def test_zone_map_prune_monotone(spark, sf_dir):
+    rows = sorted(
+        _run("files_zone_map_prune_stats", spark, sf_dir).collect(),
+        key=lambda r: r.cutoff,
+    )
+    skipped = [r.files_skipped for r in rows]
+    assert skipped == sorted(skipped)  # higher cutoff can only skip more
+    for r in rows:
+        assert r.files_skipped <= r.files_total
+        assert 0 <= r.row_skip_ppm <= 1_000_000
+        assert 0 <= r.file_skip_ppm <= 1_000_000
+        assert (r.files_skipped == 0) == (r.rows_skipped == 0)
+
+
+def test_txn_optimize_preserves_data_and_compacts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rad_database_parse_spark.catalog.io import load_table
+
+    rows = _run("txn_optimize_compact", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.files_before == 8
+        assert r.files_after == 1
+        assert r.version == 1
+    li = load_table(spark, sf_dir, "lineitem")
+    expect = {
+        r.l_returnflag: (r.n, r.cents)
+        for r in li.filter(F.col("l_orderkey") <= 3000)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    got = {r.l_returnflag: (r.n_rows, r.total_cents) for r in rows}
+    assert got == expect
+
+
+def test_linear_interp_between_neighbors(spark, sf_dir):
+    rows = _run("events_linear_interp_resample", spark, sf_dir).collect()
+    assert rows
+    from rad_database_parse_spark.catalog.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.filter(ev.user_id % 20 == 1).select(
+        "user_id", "ts", "value"
+    ).collect()
+    by_user = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append(r)
+    for g in rows[:200]:
+        pts = by_user[g.user_id]
+        lo = min(p.value for p in pts)
+        hi = max(p.value for p in pts)
+        assert lo - 1e-6 <= g.interp_value <= hi + 1e-6
+        assert g.mode in ("interp", "ffill", "bfill")
+
+
+def test_holt_recurrence_matches_independent_replay(spark, sf_dir):
+    import duckdb
+
+    rows = sorted(
+        _run("orders_holt_recursive_forecast", spark, sf_dir).collect(),
+        key=lambda r: r.idx,
+    )
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+               + EXTRACT(month FROM o_orderdate) AS idx,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                 AS y
+        FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    level = trend = None
+    for (idx, y), got in zip(series, rows):
+        if level is None:
+            level, trend = y, 0
+        else:
+            new_level = (y + level + trend) // 2
+            trend = (new_level - level + trend) // 2
+            level = new_level
+        assert got.idx == idx
+        assert got.y_cents == y
+        assert got.level_cents == level
+        assert got.trend_cents == trend
+        assert got.forecast_next_cents == level + trend
