@@ -275,6 +275,7 @@ _WINDOW_R7: list[str] = [
     "txn_optimize_compact",
     "events_linear_interp_resample",
     "orders_holt_recursive_forecast",
+    "minhash_band_planner",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1099,3 +1099,188 @@ def orders_holt_recursive_forecast(spark: SparkSession, sf_dir: str):
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------------ MinHash band planner
+_BAND_CONFIGS = [(2, 64), (4, 32), (8, 16), (16, 8)]  # (rows r per band, b bands), r*b=128
+_BAND_S = 10**6
+
+
+def _capture_ppm(s_fp: int, r: int, b: int) -> int:
+    """S-curve capture probability 1-(1-s^r)^b in truncating 1e6 fixed
+    point via repeated squaring (r, b powers of two) — the EXACT integer
+    recurrence both engines replicate."""
+    p = s_fp
+    k = r
+    while k > 1:
+        p = (p * p) // _BAND_S
+        k //= 2
+    m = _BAND_S - p
+    k = b
+    while k > 1:
+        m = (m * m) // _BAND_S
+        k //= 2
+    return _BAND_S - m
+
+
+def _band_oracle() -> str:
+    from .llm_ops import _TOKS_SQL
+
+    branches = []
+    for r, b in _BAND_CONFIGS:
+        # chained squarings as CTE steps: p = s^r, then m = (1e6-p)^b
+        steps = []
+        expr = "s"
+        k = r
+        i = 0
+        while k > 1:
+            steps.append(f"p{r}_{b}_{i} AS (SELECT *, "
+                         f"(({expr}) * ({expr})) // {_BAND_S} AS sp{i} "
+                         f"FROM {'bp_pairs' if i == 0 else f'p{r}_{b}_{i-1}'})")
+            expr = f"sp{i}"
+            k //= 2
+            i += 1
+        mexpr = f"{_BAND_S} - {expr}"
+        k = b
+        j = 0
+        while k > 1:
+            steps.append(f"m{r}_{b}_{j} AS (SELECT *, "
+                         f"(({mexpr}) * ({mexpr})) // {_BAND_S} AS sm{j} "
+                         f"FROM {f'p{r}_{b}_{i-1}' if j == 0 else f'm{r}_{b}_{j-1}'})")
+            mexpr = f"sm{j}"
+            k //= 2
+            j += 1
+        ref = _capture_ppm(850000, r, b)
+        branches.append((
+            ",\n    ".join(steps),
+            f"""SELECT CAST({r} AS INT) AS rows_per_band,
+               CAST({b} AS INT) AS n_bands,
+               CAST({ref} AS BIGINT) AS capture_at_850k_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN COUNT(*) = 0 THEN NULL
+                    ELSE SUM({_BAND_S} - ({mexpr})) // COUNT(*) END AS BIGINT)
+                 AS expected_recall_ppm
+            FROM m{r}_{b}_{j-1}""",
+        ))
+    ctes = ",\n    ".join(x[0] for x in branches)
+    selects = "\n    UNION ALL\n    ".join(x[1] for x in branches)
+    return f"""
+    WITH {_TOKS_SQL},
+    bp_sh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token, 1) OVER w || ' '
+               || lead(token, 2) OVER w AS shingle
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(token, 2) OVER w IS NOT NULL),
+    bp_capped AS (
+      SELECT * FROM bp_sh WHERE shingle NOT IN (
+        SELECT shingle FROM bp_sh GROUP BY shingle HAVING COUNT(*) > 10000)),
+    bp_sizes AS (SELECT doc_id, COUNT(*) AS sz FROM bp_capped GROUP BY doc_id),
+    bp_inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM bp_capped a JOIN bp_capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    bp_pairs AS (
+      SELECT inter * {_BAND_S} // (sa.sz + sb.sz - inter) AS s
+      FROM bp_inter JOIN bp_sizes sa ON sa.doc_id = id_a
+                    JOIN bp_sizes sb ON sb.doc_id = id_b
+      WHERE 2 * inter >= sa.sz + sb.sz - inter),
+    {ctes}
+    {selects}
+    """
+
+
+@register("minhash_band_planner", _band_oracle())
+def minhash_band_planner(spark: SparkSession, sf_dir: str):
+    """MinHash banding planner — choose (bands r, rows-per-band b) for a
+    128-hash signature by EXPECTED RECALL ON THIS CORPUS, not the
+    textbook S-curve alone: for every ground-truth near-dup pair (exact
+    n-gram Jaccard >= 0.5, the same integer pair stats as
+    docs_ngram_jaccard), evaluate the banding capture probability
+    1-(1-s^r)^b at the pair's OWN similarity and average. All arithmetic
+    is truncating 1e6 fixed point with powers computed by repeated
+    squaring (r, b are powers of two) — bitwise identical in Spark (div)
+    and DuckDB (//), no float pow. The textbook anchor (capture at
+    s=0.85) rides along as a precomputed literal per config. This is the
+    tuning table read before committing the MinHash-LSH tier
+    (llm/dedup.py:160) to a threshold at 100 TB: pair stats cost one
+    shingle self-join (blocked, df-capped), the sweep itself is O(pairs
+    x configs) scalar arithmetic."""
+    from ..llm.dedup import tokenize, word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = word_shingles(tokenize(d, "text", "doc_id"), "doc_id", 3)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 10000)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b_side = sh.alias("b")
+    inter = (
+        a.join(b_side, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(2 * F.col("inter") >= F.col("uni"))
+        .select(F.expr(f"inter * {_BAND_S} div uni").alias("s"))
+    )
+    outs = []
+    for r, b in _BAND_CONFIGS:
+        df_c = pairs
+        expr = "s"
+        k = r
+        i = 0
+        while k > 1:
+            df_c = df_c.withColumn(
+                f"sp{i}", F.expr(f"(({expr}) * ({expr})) div {_BAND_S}")
+            )
+            expr = f"sp{i}"
+            k //= 2
+            i += 1
+        mexpr = f"{_BAND_S} - {expr}"
+        k = b
+        j = 0
+        while k > 1:
+            df_c = df_c.withColumn(
+                f"sm{j}", F.expr(f"(({mexpr}) * ({mexpr})) div {_BAND_S}")
+            )
+            mexpr = f"sm{j}"
+            k //= 2
+            j += 1
+        outs.append(
+            df_c.agg(
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.expr(
+                    f"CAST(CASE WHEN COUNT(*) = 0 THEN NULL"
+                    f" ELSE SUM({_BAND_S} - ({mexpr})) div COUNT(*) END"
+                    f" AS BIGINT)"
+                ).alias("expected_recall_ppm"),
+            ).select(
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(_capture_ppm(850000, r, b))
+                .cast("bigint")
+                .alias("capture_at_850k_ppm"),
+                "n_pairs",
+                "expected_recall_ppm",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

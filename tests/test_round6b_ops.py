@@ -214,3 +214,26 @@ def test_holt_recurrence_matches_independent_replay(spark, sf_dir):
         assert got.level_cents == level
         assert got.trend_cents == trend
         assert got.forecast_next_cents == level + trend
+
+
+def test_band_planner_scurve_properties(spark, sf_dir):
+    from rad_database_parse_spark.registry.round6b_ops import (
+        _BAND_CONFIGS,
+        _capture_ppm,
+    )
+
+    rows = _run("minhash_band_planner", spark, sf_dir).collect()
+    assert len(rows) == len(_BAND_CONFIGS)
+    for r in rows:
+        assert r.rows_per_band * r.n_bands == 128
+        assert 0 <= r.capture_at_850k_ppm <= 1_000_000
+        if r.n_pairs:
+            assert 0 <= r.expected_recall_ppm <= 1_000_000
+    # capture at any fixed similarity decreases as rows-per-band grows
+    # (stricter bands); monotone in s for a fixed config
+    caps = {r.rows_per_band: r.capture_at_850k_ppm for r in rows}
+    ordered = [caps[k] for k in sorted(caps)]
+    assert ordered == sorted(ordered, reverse=True)
+    for rr, bb in _BAND_CONFIGS:
+        series = [_capture_ppm(s, rr, bb) for s in range(0, 1_000_001, 50_000)]
+        assert series == sorted(series)
