@@ -212,6 +212,29 @@ EXTENDED_R6 = [
 ]
 
 
+# Round-6b continuation additions (registry/round6b_ops.py), their own
+# family so prior sums stay comparable. Deliberately absent:
+# txn_optimize_compact (commit-protocol side effects, the txn-trio
+# rationale). orders_holt_recursive_forecast IS timed: its bounded
+# month-grain collect + driver recurrence is the query's real cost
+# shape, side-effect-free and idempotent under min-of-2.
+EXTENDED_R6B = [
+    "sketch_kmv_set_ops",
+    "orders_gini_best_split_stump",
+    "docs_mixture_sampling_plan",
+    "asof_nearest_event_join",
+    "graph_label_propagation",
+    "docs_kanon_shingle_suppression",
+    "emb_cosine_threshold_sweep",
+    "files_zone_map_prune_stats",
+    "events_linear_interp_resample",
+    "orders_holt_recursive_forecast",
+    "minhash_band_planner",
+    "part_theilsen_trend",
+    "emb_top_pc_power_iteration",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -275,6 +298,7 @@ def main() -> int:
     extended_r5c = run(EXTENDED_R5C)
     extended_r5d = run(EXTENDED_R5D)
     extended_r6 = run(EXTENDED_R6)
+    extended_r6b = run(EXTENDED_R6B)
     all_timings = {
         **timings,
         **extended,
@@ -283,6 +307,7 @@ def main() -> int:
         **extended_r5c,
         **extended_r5d,
         **extended_r6,
+        **extended_r6b,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -295,6 +320,7 @@ def main() -> int:
         "value_extended_r5c": round(sum(extended_r5c.values()), 3),
         "value_extended_r5d": round(sum(extended_r5d.values()), 3),
         "value_extended_r6": round(sum(extended_r6.values()), 3),
+        "value_extended_r6b": round(sum(extended_r6b.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

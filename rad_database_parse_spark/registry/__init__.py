@@ -276,6 +276,8 @@ _WINDOW_R7: list[str] = [
     "events_linear_interp_resample",
     "orders_holt_recursive_forecast",
     "minhash_band_planner",
+    "part_theilsen_trend",
+    "emb_top_pc_power_iteration",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

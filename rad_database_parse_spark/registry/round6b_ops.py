@@ -1284,3 +1284,202 @@ def minhash_band_planner(spark: SparkSession, sf_dir: str):
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+@register(
+    "part_theilsen_trend",
+    """
+    WITH pts AS (
+      SELECT p_brand, p_size AS s,
+             SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               * 1000 // COUNT(*) AS m
+      FROM part GROUP BY p_brand, p_size),
+    slopes AS (
+      -- FLOOR division (DuckDB // truncates like Spark div): subtract the
+      -- positive remainder so negative slopes floor identically
+      SELECT a.p_brand,
+             (((b.m - a.m) * 1000)
+              - (((((b.m - a.m) * 1000) % (b.s - a.s)) + (b.s - a.s))
+                 % (b.s - a.s))) // (b.s - a.s) AS slope_fp
+      FROM pts a JOIN pts b
+        ON a.p_brand = b.p_brand AND b.s > a.s),
+    ranked AS (
+      SELECT p_brand, slope_fp,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY slope_fp, p_brand) AS rn,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n_pairs
+      FROM slopes)
+    SELECT p_brand,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_fp AS BIGINT) AS median_slope_fp
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def part_theilsen_trend(spark: SparkSession, sf_dir: str):
+    """Theil-Sen robust trend estimate (median of pairwise slopes, 29%
+    breakdown point) of retail price vs part size, per brand — the
+    robust-regression sibling of the OLS slope op (part_brand_ols_slope)
+    and the MAD outlier screen. The scale trick: slopes are computed
+    between the (size → mean price) GRID POINTS, not raw rows — size is
+    a bounded domain (<=50 values), so the pair expansion is <=C(50,2)
+    per brand at ANY corpus size, after one map-side-combinable groupBy
+    collapses the fact table. All arithmetic exact fixed point: means at
+    1e3-scaled cents via truncating div, slopes cross-divided at 1e3,
+    the median picked by row_number (lower median, deterministic ties)
+    inside a brand-partitioned window."""
+    p = t(spark, sf_dir, "part")
+    pts = p.groupBy(F.col("p_brand"), F.col("p_size").alias("s")).agg(
+        F.expr(
+            "SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+            " * 1000 div COUNT(*)"
+        ).alias("m")
+    )
+    a = pts.select(
+        F.col("p_brand"), F.col("s").alias("sa"), F.col("m").alias("ma")
+    )
+    b = pts.select(
+        F.col("p_brand"), F.col("s").alias("sb"), F.col("m").alias("mb")
+    )
+    # slope numerators can be NEGATIVE: Spark `div` truncates while the
+    # oracle's `//` floors, so subtract the positive remainder first (the
+    # _fdiv2 construction generalized to divisor sb-sa) — the division is
+    # then exact and the rounding mode irrelevant.
+    num = "(mb - ma) * 1000"
+    d = "(sb - sa)"
+    slopes = (
+        a.join(b, "p_brand")
+        .filter(F.col("sb") > F.col("sa"))
+        .select(
+            "p_brand",
+            F.expr(
+                f"(({num}) - (((({num}) % {d}) + {d}) % {d})) div {d}"
+            ).alias("slope_fp"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("slope_fp", "p_brand")
+    wc = Window.partitionBy("p_brand")
+    ranked = slopes.select(
+        "p_brand",
+        "slope_fp",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "p_brand",
+        F.col("n_pairs").cast("bigint"),
+        F.col("slope_fp").cast("bigint").alias("median_slope_fp"),
+    )
+
+
+_PC_SCALE = 1000
+
+
+@register(
+    "emb_top_pc_power_iteration",
+    f"""
+    WITH q AS (
+      SELECT vec_id, i AS dim,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * {_PC_SCALE})
+                  AS BIGINT) AS qv
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)),
+    g AS (
+      SELECT a.dim AS i, b.dim AS j, SUM(a.qv * b.qv) AS gij
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY a.dim, b.dim),
+    v1 AS (
+      SELECT i AS dim, SUM(gij * {_PC_SCALE}) AS v FROM g GROUP BY i),
+    mx1 AS (SELECT MAX(abs(v)) AS mx FROM v1),
+    -- FLOOR division on possibly-negative components (DuckDB // truncates
+    -- like Spark div): subtract the positive remainder first
+    v1n AS (
+      SELECT dim, ((v * {_PC_SCALE})
+                   - ((((v * {_PC_SCALE}) % mx) + mx) % mx)) // mx AS v
+      FROM v1, mx1),
+    v2 AS (
+      SELECT g.i AS dim, SUM(g.gij * v1n.v) AS v
+      FROM g JOIN v1n ON v1n.dim = g.j GROUP BY g.i),
+    mx2 AS (SELECT MAX(abs(v)) AS mx FROM v2),
+    v2n AS (
+      SELECT dim, ((v * {_PC_SCALE})
+                   - ((((v * {_PC_SCALE}) % mx) + mx) % mx)) // mx AS v
+      FROM v2, mx2),
+    sgn AS (
+      SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+      FROM v2n
+      ORDER BY abs(v) DESC, dim LIMIT 1)
+    SELECT CAST(v2n.dim AS INT) AS dim,
+           CAST(v2n.v * sgn.s AS BIGINT) AS component_fp
+    FROM v2n, sgn
+    """,
+)
+def emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str):
+    """Top principal direction of the embedding corpus by TWO unrolled
+    power iterations on the Gram matrix — the iterative-linear-algebra-
+    on-DataFrames shape (the eigen sibling of emb_kmeans_lloyd): quantize
+    to 1e3 fixed point, build G = Σ qqᵀ in ONE map-side-combinable
+    groupBy over the d² co-ordinate pairs (d=64 → 4096 cells, bounded at
+    any corpus size — corpus rows touch only the Gram build), then two
+    matrix-vector products against the 4096-row broadcastable G with
+    exact-integer max-normalization between iterations (no sqrt, no
+    float). Sign fixed deterministically (largest-|component| positive).
+    This is the dead-dim/anisotropy diagnostic read next to
+    emb_dim_variance_profile before ANN index choices: a corpus whose
+    top direction dominates wants centering/whitening before IVF."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v") * _PC_SCALE).cast("bigint").alias("qv"),
+    )
+    a = q.select(
+        F.col("vec_id"), F.col("dim").alias("i"), F.col("qv").alias("qa")
+    )
+    b = q.select(
+        F.col("vec_id"), F.col("dim").alias("j"), F.col("qv").alias("qb")
+    )
+    g = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("gij"))
+    )
+    # components can be NEGATIVE: Spark `div` truncates, DuckDB `//`
+    # floors — subtract the positive remainder first (the Theil-Sen
+    # floor-div construction) so both engines floor identically.
+    nrm = (
+        f"((v * {_PC_SCALE}) - ((((v * {_PC_SCALE}) % mx) + mx) % mx))"
+        f" div mx"
+    )
+    v1 = g.groupBy(F.col("i").alias("dim")).agg(
+        F.sum(F.col("gij") * _PC_SCALE).alias("v")
+    )
+    m1 = v1.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+    v1n = v1.crossJoin(F.broadcast(m1)).select(
+        "dim", F.expr(nrm).alias("v")
+    )
+    v2 = (
+        g.join(v1n.withColumnRenamed("dim", "j"), "j")
+        .groupBy(F.col("i").alias("dim"))
+        .agg(F.sum(F.col("gij") * F.col("v")).alias("v"))
+    )
+    m2 = v2.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+    v2n = v2.crossJoin(F.broadcast(m2)).select(
+        "dim", F.expr(nrm).alias("v")
+    )
+    sgn = (
+        v2n.orderBy(F.abs(F.col("v")).desc(), F.col("dim"))
+        .limit(1)
+        .select(
+            F.when(F.col("v") < 0, -1).otherwise(1).alias("s")
+        )
+    )
+    return v2n.crossJoin(F.broadcast(sgn)).select(
+        F.col("dim").cast("int"),
+        (F.col("v") * F.col("s")).cast("bigint").alias("component_fp"),
+    )

@@ -237,3 +237,70 @@ def test_band_planner_scurve_properties(spark, sf_dir):
     for rr, bb in _BAND_CONFIGS:
         series = [_capture_ppm(s, rr, bb) for s in range(0, 1_000_001, 50_000)]
         assert series == sorted(series)
+
+
+def test_theilsen_matches_bruteforce(spark, sf_dir):
+    import duckdb
+
+    rows = {
+        r.p_brand: r
+        for r in _run("part_theilsen_trend", spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    pts = con.execute(
+        f"""
+        SELECT p_brand, p_size,
+               SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                 * 1000 // COUNT(*) AS m
+        FROM '{sf_dir}/part.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_brand = {}
+    for brand, s, m in pts:
+        by_brand.setdefault(brand, []).append((s, m))
+    for brand, g in by_brand.items():
+        slopes = sorted(
+            (mb - ma) * 1000 // (sb - sa)
+            for i, (sa, ma) in enumerate(g)
+            for sb, mb in g
+            if sb > sa
+        )
+        if not slopes:
+            assert brand not in rows
+            continue
+        median = slopes[(len(slopes) + 1) // 2 - 1]
+        assert rows[brand].median_slope_fp == median
+        assert rows[brand].n_pairs == len(slopes)
+
+
+def test_power_iteration_matches_numpy_integer_replay(spark, sf_dir):
+    import numpy as np
+
+    from rad_database_parse_spark.catalog.io import load_table
+
+    out = {
+        r.dim: r.component_fp
+        for r in _run("emb_top_pc_power_iteration", spark, sf_dir).collect()
+    }
+    vecs = [
+        r.embedding
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .collect()
+    ]
+    q = np.rint(np.array(vecs, dtype=np.float64) * 1000).astype(np.int64)
+    g = q.T @ q
+    v0 = np.full(q.shape[1], 1, dtype=np.int64)
+    v1 = g @ (v0 * 1000)
+    # numpy // floors — matching the floor-div construction both engines use
+    v1n = v1 * 1000 // np.abs(v1).max()
+    v2 = g @ v1n
+    v2n = v2 * 1000 // np.abs(v2).max()
+    # deterministic sign: largest-|component| positive (ties: lowest dim)
+    imax = int(np.lexsort((np.arange(len(v2n)), -np.abs(v2n)))[0])
+    if v2n[imax] < 0:
+        v2n = -v2n
+    assert len(out) == q.shape[1]
+    got = np.array([out[d] for d in range(q.shape[1])])
+    assert int(np.abs(got).max()) == 1000
+    assert np.array_equal(got, v2n)
