@@ -232,6 +232,7 @@ EXTENDED_R6B = [
     "minhash_band_planner",
     "part_theilsen_trend",
     "emb_top_pc_power_iteration",
+    "multimodal_image_patch_stats",
 ]
 
 

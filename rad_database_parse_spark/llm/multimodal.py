@@ -198,3 +198,69 @@ def frame_energy(
         schema=f"{id_col} bigint, frame_idx bigint, n_samples bigint, "
         "energy bigint, n_loud bigint",
     )
+
+
+def image_patch_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    side: int = 8,
+    patch: int = 4,
+) -> DataFrame:
+    """REAL vectorized image-style feature extraction over binary payloads:
+    the first side² bytes are an 8×8 grayscale raster, split into a 2×2
+    grid of 4×4 patches; each patch emits exact-integer brightness sum /
+    min / max and the horizontal-gradient magnitude Σ|I[r,c+1]-I[r,c]|
+    (within-patch columns) — the luminance/contrast screen an image
+    curation pipeline runs before any model-based scoring. Same contract
+    as frame_energy: numpy does the actual math (frombuffer → reshape →
+    vectorized diffs) inside Arrow-batched mapInPandas, payloads shorter
+    than side² are skipped, everything is integer and oracle-checkable.
+    A codec-backed extractor swaps frombuffer for the decoder and keeps
+    the batch shape."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    n_per_side = side // patch
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pidx, s_, mn, mx, grad = [], [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)[: side * side]
+                if len(raw) < side * side:
+                    continue
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(side, side)
+                img = img.astype(np.int64)
+                for pr in range(n_per_side):
+                    for pc in range(n_per_side):
+                        block = img[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                        ]
+                        ids.append(rid)
+                        pidx.append(pr * n_per_side + pc)
+                        s_.append(int(block.sum()))
+                        mn.append(int(block.min()))
+                        mx.append(int(block.max()))
+                        grad.append(
+                            int(np.abs(np.diff(block, axis=1)).sum())
+                        )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "patch_idx": pd.Series(pidx, dtype="int64"),
+                    "brightness": pd.Series(s_, dtype="int64"),
+                    "min_px": pd.Series(mn, dtype="int64"),
+                    "max_px": pd.Series(mx, dtype="int64"),
+                    "h_gradient": pd.Series(grad, dtype="int64"),
+                }
+            )
+
+    out_schema = (
+        f"{id_col} long, patch_idx long, brightness long, "
+        "min_px long, max_px long, h_gradient long"
+    )
+    return df.select(id_col, payload_col).mapInPandas(extract, out_schema)

@@ -278,6 +278,7 @@ _WINDOW_R7: list[str] = [
     "minhash_band_planner",
     "part_theilsen_trend",
     "emb_top_pc_power_iteration",
+    "multimodal_image_patch_stats",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

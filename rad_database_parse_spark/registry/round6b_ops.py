@@ -1483,3 +1483,52 @@ def emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str):
         F.col("dim").cast("int"),
         (F.col("v") * F.col("s")).cast("bigint").alias("component_fp"),
     )
+
+
+@register(
+    "multimodal_image_patch_stats",
+    """
+    WITH px AS (
+      SELECT doc_id, CAST(gs.i AS BIGINT) AS i,
+             ord(substr(text, CAST(gs.i AS INT) + 1, 1)) AS s
+      FROM documents LEFT JOIN LATERAL
+           (SELECT unnest(range(64)) AS i) gs ON TRUE
+      WHERE length(text) >= 64 AND gs.i IS NOT NULL),
+    placed AS (
+      SELECT doc_id, s,
+             (i // 8) AS r, (i % 8) AS c,
+             ((i // 8) // 4) * 2 + ((i % 8) // 4) AS patch_idx
+      FROM px),
+    grads AS (
+      SELECT a.doc_id, a.patch_idx, SUM(abs(b.s - a.s)) AS h_gradient
+      FROM placed a JOIN placed b
+        ON a.doc_id = b.doc_id AND b.r = a.r AND b.c = a.c + 1
+           AND (a.c % 4) < 3
+      GROUP BY a.doc_id, a.patch_idx)
+    SELECT p.doc_id, p.patch_idx,
+           CAST(SUM(p.s) AS BIGINT) AS brightness,
+           CAST(MIN(p.s) AS BIGINT) AS min_px,
+           CAST(MAX(p.s) AS BIGINT) AS max_px,
+           CAST(MAX(g.h_gradient) AS BIGINT) AS h_gradient
+    FROM placed p JOIN grads g
+      ON g.doc_id = p.doc_id AND g.patch_idx = p.patch_idx
+    GROUP BY p.doc_id, p.patch_idx
+    """,
+)
+def multimodal_image_patch_stats(spark: SparkSession, sf_dir: str):
+    """Patch-level luminance/contrast profile over binary payloads — the
+    IMAGE sibling of multimodal_audio_frame_energy, with REAL numpy math
+    through the Arrow mapInPandas boundary and a full value gate: the
+    first 64 payload bytes form an 8×8 grayscale raster (payloads are
+    ASCII so DuckDB reproduces every pixel via ord(substr)); each 4×4
+    patch emits exact-integer brightness sum, min/max pixel, and the
+    horizontal-gradient magnitude (the contrast screen image curation
+    runs before model scoring). numpy does reshape + vectorized |diff|
+    inside the batch — no per-pixel Python; the SQL mirror builds the
+    gradient as a one-step self-join on (row, col+1) within patches.
+    Swap frombuffer for a codec decode and the batch shape is the real
+    image pipeline (llm/multimodal.py image_patch_stats)."""
+    from ..llm.multimodal import attach_binary_payload, image_patch_stats
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
+    return image_patch_stats(d, payload_col="payload", id_col="doc_id")

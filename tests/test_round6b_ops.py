@@ -304,3 +304,35 @@ def test_power_iteration_matches_numpy_integer_replay(spark, sf_dir):
     got = np.array([out[d] for d in range(q.shape[1])])
     assert int(np.abs(got).max()) == 1000
     assert np.array_equal(got, v2n)
+
+
+def test_image_patch_stats_matches_numpy_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from rad_database_parse_spark.catalog.io import load_table
+
+    rows = _run("multimodal_image_patch_stats", spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.patch_idx] = r
+    checked = 0
+    for doc_id, patches in list(by_doc.items())[:50]:
+        raw = docs[doc_id].encode("utf-8")[:64]
+        assert len(raw) == 64  # short payloads are skipped entirely
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8).astype(int)
+        assert set(patches) == {0, 1, 2, 3}
+        for pr in range(2):
+            for pc in range(2):
+                blk = img[pr * 4 : pr * 4 + 4, pc * 4 : pc * 4 + 4]
+                got = patches[pr * 2 + pc]
+                assert got.brightness == blk.sum()
+                assert got.min_px == blk.min()
+                assert got.max_px == blk.max()
+                assert got.h_gradient == np.abs(np.diff(blk, axis=1)).sum()
+        checked += 1
+    assert checked > 0
