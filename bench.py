@@ -233,6 +233,9 @@ EXTENDED_R6B = [
     "part_theilsen_trend",
     "emb_top_pc_power_iteration",
     "multimodal_image_patch_stats",
+    "part_fisher_price_index",
+    "docs_winnowing_fingerprints",
+    "graph_link_prediction_jaccard",
 ]
 
 

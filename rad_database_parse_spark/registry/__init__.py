@@ -279,6 +279,9 @@ _WINDOW_R7: list[str] = [
     "part_theilsen_trend",
     "emb_top_pc_power_iteration",
     "multimodal_image_patch_stats",
+    "part_fisher_price_index",
+    "docs_winnowing_fingerprints",
+    "graph_link_prediction_jaccard",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

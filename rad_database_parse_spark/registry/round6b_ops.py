@@ -1532,3 +1532,346 @@ def multimodal_image_patch_stats(spark: SparkSession, sf_dir: str):
 
     d = attach_binary_payload(t(spark, sf_dir, "documents"), "text")
     return image_patch_stats(d, payload_col="payload", id_col="doc_id")
+
+
+@register(
+    "part_fisher_price_index",
+    """
+    WITH p0 AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS ext0,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty0
+      FROM lineitem l WHERE year(l.l_shipdate) = 1996
+      GROUP BY l.l_partkey),
+    p1 AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS ext1,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty1
+      FROM lineitem l WHERE year(l.l_shipdate) = 1997
+      GROUP BY l.l_partkey),
+    j AS (
+      SELECT p.p_brand,
+             CAST(SUM((1000000 * p1.ext1 * p0.qty0) // p1.qty1) AS BIGINT)
+               AS num_l,
+             CAST(SUM(1000000 * p0.ext0) AS BIGINT) AS den_l,
+             CAST(SUM(1000000 * p1.ext1) AS BIGINT) AS num_p,
+             CAST(SUM((1000000 * p0.ext0 * p1.qty1) // p0.qty0) AS BIGINT)
+               AS den_p,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM p0 JOIN p1 USING (l_partkey)
+      JOIN part p ON p.p_partkey = p0.l_partkey
+      GROUP BY p.p_brand)
+    SELECT p_brand, n_parts,
+           CAST(floor(1000000.0 * num_l / den_l) AS BIGINT) AS laspeyres_fp,
+           CAST(floor(1000000.0 * num_p / den_p) AS BIGINT) AS paasche_fp,
+           CAST(floor(1000000.0 * sqrt((CAST(num_l AS DOUBLE) / den_l)
+                                       * (CAST(num_p AS DOUBLE) / den_p)))
+                AS BIGINT) AS fisher_fp
+    FROM j
+    """,
+)
+def part_fisher_price_index(spark: SparkSession, sf_dir: str):
+    """Fisher ideal price index per brand — the geometric mean of the
+    Laspeyres (base-period basket) and Paasche (current-period basket)
+    indices, completing the index-number family started by
+    part_laspeyres_price_index: Paasche terms mirror Laspeyres with the
+    roles of the periods swapped (p0·q1 = ext0·qty1/qty0 as 1e6-scaled
+    integer division), so both numerator/denominator sums are
+    bit-identical across engines; the Fisher sqrt runs on IEEE doubles
+    built from those exact integers — sqrt, division and multiplication
+    are correctly-rounded operations on identical operands (the Wilson-CI
+    contract), so the floor is safe. Same plan shape as Laspeyres: two
+    pruned-year partial aggs, one part-keyed join, broadcast part dim,
+    brand rollup."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    from ._util import dec
+
+    def per_part(yr: int, ext: str, qty: str):
+        return (
+            li.filter(F.year("l_shipdate") == yr)
+            .groupBy("l_partkey")
+            .agg(
+                F.sum((dec("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias(ext),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias(qty),
+            )
+        )
+
+    p0 = per_part(1996, "ext0", "qty0")
+    p1 = per_part(1997, "ext1", "qty1")
+    j = (
+        p0.join(p1, "l_partkey")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            p0.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.expr("(1000000 * ext1 * qty0) div qty1"))
+            .cast("bigint")
+            .alias("num_l"),
+            F.sum(F.expr("1000000 * ext0")).cast("bigint").alias("den_l"),
+            F.sum(F.expr("1000000 * ext1")).cast("bigint").alias("num_p"),
+            F.sum(F.expr("(1000000 * ext0 * qty1) div qty0"))
+            .cast("bigint")
+            .alias("den_p"),
+            F.count("*").cast("bigint").alias("n_parts"),
+        )
+    )
+    return j.select(
+        "p_brand",
+        "n_parts",
+        F.expr("CAST(floor(1000000.0 * num_l / den_l) AS BIGINT)").alias(
+            "laspeyres_fp"
+        ),
+        F.expr("CAST(floor(1000000.0 * num_p / den_p) AS BIGINT)").alias(
+            "paasche_fp"
+        ),
+        F.expr(
+            "CAST(floor(1000000.0 * sqrt((CAST(num_l AS DOUBLE) / den_l)"
+            " * (CAST(num_p AS DOUBLE) / den_p))) AS BIGINT)"
+        ).alias("fisher_fp"),
+    )
+
+
+_WINNOW_W = 4  # winnowing window over word-3-gram hashes
+_H40 = 1 << 40
+
+
+@register(
+    "docs_winnowing_fingerprints",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    gr AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 3], ' ')),
+                             1, 10))::BIGINT AS h40
+      FROM w, UNNEST(range(len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3),
+    keyed AS (
+      SELECT doc_id, pos,
+             h40 * 2097152 + (1048576 - pos) AS k,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM gr),
+    -- window min BEFORE the anchor filter: the last anchors still need to
+    -- see the tail rows inside their frames
+    winall AS (
+      SELECT doc_id, n_grams, pos,
+             MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS sel_k
+      FROM keyed),
+    wins AS (
+      SELECT doc_id, n_grams, pos, sel_k FROM winall
+      WHERE pos <= n_grams - {_WINNOW_W}),
+    sel AS (
+      SELECT DISTINCT doc_id, n_grams,
+             1048576 - (sel_k % 2097152) AS sel_pos,
+             sel_k // 2097152 AS sel_h
+      FROM wins)
+    SELECT doc_id,
+           CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(COUNT(*) * 1000000 // MAX(n_grams) AS BIGINT) AS density_ppm,
+           md5(string_agg(CAST(sel_h AS VARCHAR), ',' ORDER BY sel_pos))
+             AS selected_fp
+    FROM sel GROUP BY doc_id
+    """,
+)
+def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken — the
+    MOSS algorithm): slide a window of 4 consecutive word-3-gram
+    hashes per document and keep the window MINIMUM, rightmost on ties —
+    the guarantee-bearing local sampling scheme (any shared substring of
+    length >= w+2 words yields a shared fingerprint) that plagiarism /
+    near-dup detectors use instead of uniform sampling. The tie rule is
+    encoded arithmetically: key = h40·2²¹ + (2²⁰ − pos), so MIN(key)
+    picks the smallest hash and, among equals, the LARGEST position —
+    one BIGINT, no struct ordering, identical in both engines. One
+    doc-partitioned window + a DISTINCT collapse; selected-set
+    fingerprint is md5 over the pos-ordered kept hashes (the kanon
+    re-assembly idiom). Density ~ 2/(w+1) is the winnowing bound."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    gr = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(F.col("toks"), i + 1, 3), " ")),
+                        1,
+                        10,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias("pos", "h40"),
+    )
+    wn = Window.partitionBy("doc_id")
+    keyed = gr.select(
+        "doc_id",
+        "pos",
+        (F.col("h40") * 2097152 + (1048576 - F.col("pos"))).alias("k"),
+        F.count("*").over(wn).alias("n_grams"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    # window min BEFORE the anchor filter — the last anchors' frames must
+    # still see the tail rows
+    wins = keyed.select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.min("k").over(wmin).alias("sel_k"),
+    ).filter(F.col("pos") <= F.col("n_grams") - _WINNOW_W)
+    sel = wins.select(
+        "doc_id",
+        "n_grams",
+        (1048576 - F.col("sel_k") % 2097152).alias("sel_pos"),
+        F.expr("sel_k div 2097152").alias("sel_h"),
+    ).distinct()
+    ordered_fp = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sel_pos", "sel_h"))
+                ),
+                lambda s: s.sel_h.cast("string"),
+            ),
+            ",",
+        )
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n_grams").cast("bigint").alias("n_grams"),
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.expr("CAST(COUNT(*) * 1000000 div MAX(n_grams) AS BIGINT)").alias(
+            "density_ppm"
+        ),
+        ordered_fp.alias("selected_fp"),
+    ).select(
+        F.col("doc_id").cast("bigint"),
+        "n_grams",
+        "n_selected",
+        "density_ppm",
+        "selected_fp",
+    )
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+    und AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u),
+    cand AS (
+      SELECT e1.u AS u, e2.v AS w, COUNT(*) AS common
+      FROM und e1 JOIN und e2 ON e1.v = e2.u AND e1.u < e2.v
+      GROUP BY e1.u, e2.v),
+    new_links AS (
+      SELECT c.u, c.w, c.common
+      FROM cand c LEFT JOIN edges e ON e.u = c.u AND e.v = c.w
+      WHERE e.u IS NULL),
+    scored AS (
+      SELECT n.u, n.w, n.common,
+             du.d + dw.d - n.common AS uni,
+             n.common * 1000000 // (du.d + dw.d - n.common) AS score_fp
+      FROM new_links n
+      JOIN deg du ON du.node = n.u
+      JOIN deg dw ON dw.node = n.w)
+    SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS w,
+           CAST(common AS BIGINT) AS common_neighbors,
+           CAST(score_fp AS BIGINT) AS jaccard_fp
+    FROM scored
+    ORDER BY score_fp DESC, u, w LIMIT 50
+    """,
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str):
+    """Jaccard-coefficient link prediction over the co-purchase graph —
+    the classic graph-ML baseline (predict the missing edges most likely
+    to form) on the same support-pruned edge list as
+    graph_label_propagation: candidate pairs come from the 2-hop join
+    (bounded by degree², never all-pairs), existing edges are removed by
+    an anti join, and the score |N(u)∩N(w)| / |N(u)∪N(w)| is an exact
+    1e6 fixed-point integer (common from the 2-hop count, union from the
+    degree table by inclusion-exclusion). Global top-50 via ORDER BY +
+    LIMIT — TakeOrderedAndProject, per-partition top-k, no global sort.
+    At 100 TB the 2-hop join is the cost and hub nodes the skew: the
+    production mitigation is a degree cap before the join (the
+    max_shingle_df idiom), which this graph's support prune already
+    bounds."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    e1 = und.select(F.col("u").alias("cu"), F.col("v").alias("mid"))
+    e2 = und.select(F.col("u").alias("mid"), F.col("v").alias("cw"))
+    cand = (
+        e1.join(e2, "mid")
+        .filter(F.col("cu") < F.col("cw"))
+        .groupBy(F.col("cu").alias("u"), F.col("cw").alias("w"))
+        .agg(F.count("*").alias("common"))
+    )
+    existing = edges.select(
+        F.col("u").alias("eu"), F.col("v").alias("ew")
+    )
+    new_links = cand.join(
+        existing,
+        (cand.u == existing.eu) & (cand.w == existing.ew),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
+    scored = (
+        new_links.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            F.col("common").alias("common_neighbors"),
+            F.expr(
+                "common * 1000000 div (du + dw - common)"
+            ).alias("jaccard_fp"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_fp").desc(), "u", "w"
+    ).limit(50).select(
+        F.col("u").cast("bigint"),
+        F.col("w").cast("bigint"),
+        F.col("common_neighbors").cast("bigint"),
+        F.col("jaccard_fp").cast("bigint"),
+    )

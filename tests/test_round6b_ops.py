@@ -336,3 +336,91 @@ def test_image_patch_stats_matches_numpy_bruteforce(spark, sf_dir):
                 assert got.h_gradient == np.abs(np.diff(blk, axis=1)).sum()
         checked += 1
     assert checked > 0
+
+
+def test_fisher_between_laspeyres_and_paasche(spark, sf_dir):
+    rows = _run("part_fisher_price_index", spark, sf_dir).collect()
+    assert rows
+    lasp = {
+        r.p_brand: r.index_fp
+        for r in _run("part_laspeyres_price_index", spark, sf_dir).collect()
+    }
+    for r in rows:
+        lo, hi = sorted((r.laspeyres_fp, r.paasche_fp))
+        # geometric mean sits between the two indices (1 ulp slack from
+        # the fixed-point floor)
+        assert lo - 1 <= r.fisher_fp <= hi + 1
+        # the Laspeyres side must agree exactly with the standalone op
+        assert r.laspeyres_fp == lasp[r.p_brand]
+
+
+def test_winnowing_guarantee_every_window_covered(spark, sf_dir):
+    import hashlib
+
+    from rad_database_parse_spark.catalog.io import load_table
+
+    out = {
+        r.doc_id: r
+        for r in _run("docs_winnowing_fingerprints", spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    checked = 0
+    for d in docs[:25]:
+        toks = d.text.strip().lower().split()
+        if len(toks) < 3 + 3:
+            continue
+        h40 = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + 3]).encode()
+                ).hexdigest()[:10],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        ]
+        keys = [h * 2097152 + (1048576 - p) for p, h in enumerate(h40)]
+        selected = set()
+        for p in range(len(keys) - 3):
+            selected.add(min(keys[p : p + 4]))
+        sel = sorted(
+            (1048576 - k % 2097152, k // 2097152) for k in selected
+        )
+        got = out[d.doc_id]
+        assert got.n_grams == len(h40)
+        assert got.n_selected == len(sel)
+        fp = hashlib.md5(
+            ",".join(str(h) for _, h in sel).encode()
+        ).hexdigest()
+        assert got.selected_fp == fp
+        checked += 1
+    assert checked > 0
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    import duckdb
+
+    rows = _run("graph_link_prediction_jaccard", spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    edges = set(
+        map(
+            tuple,
+            con.execute(
+                f"""
+                SELECT u, v FROM (
+                  SELECT a.l_partkey AS u, b.l_partkey AS v
+                  FROM '{sf_dir}/lineitem.parquet' a
+                  JOIN '{sf_dir}/lineitem.parquet' b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey)
+                GROUP BY u, v HAVING COUNT(*) >= 2
+                """
+            ).fetchall(),
+        )
+    )
+    scores = [r.jaccard_fp for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert (r.u, r.w) not in edges  # predicted links are NEW edges
+        assert 0 < r.jaccard_fp <= 1_000_000
+        assert r.common_neighbors >= 1
