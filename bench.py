@@ -236,6 +236,7 @@ EXTENDED_R6B = [
     "part_fisher_price_index",
     "docs_winnowing_fingerprints",
     "graph_link_prediction_jaccard",
+    "docs_dup_substring_spans",
 ]
 
 

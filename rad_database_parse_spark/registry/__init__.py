@@ -282,6 +282,7 @@ _WINDOW_R7: list[str] = [
     "part_fisher_price_index",
     "docs_winnowing_fingerprints",
     "graph_link_prediction_jaccard",
+    "docs_dup_substring_spans",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -1875,3 +1875,161 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str):
         F.col("common_neighbors").cast("bigint"),
         F.col("jaccard_fp").cast("bigint"),
     )
+
+
+_SPAN_W = 32  # byte window length
+_SPAN_STRIDE = 8
+
+
+@register(
+    "docs_dup_substring_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE length(text) >= {_SPAN_W}),
+    wins AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) * {_SPAN_STRIDE} AS start,
+             md5(substr(text, CAST(g.i AS INT) * {_SPAN_STRIDE} + 1,
+                        {_SPAN_W})) AS h
+      FROM w, UNNEST(range((n - {_SPAN_W}) // {_SPAN_STRIDE} + 1)) AS g(i)),
+    dfreq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY h),
+    flagged AS (
+      SELECT wi.doc_id, wi.start, wi.start + {_SPAN_W} AS fin
+      FROM wins wi JOIN dfreq USING (h) WHERE dfreq.df >= 2),
+    runmax AS (
+      SELECT doc_id, start, fin,
+             MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+      FROM flagged),
+    islanded AS (
+      SELECT doc_id, start, fin,
+             SUM(CASE WHEN prev_max IS NULL OR start > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start, fin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM runmax),
+    spans AS (
+      SELECT doc_id, island,
+             MIN(start) AS s0, MAX(fin) AS s1
+      FROM islanded GROUP BY doc_id, island),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_spans,
+             SUM(s1 - s0) AS dup_bytes
+      FROM spans GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(w.n AS BIGINT) AS n_bytes,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.dup_bytes, 0) AS BIGINT) AS dup_bytes,
+           CAST(COALESCE(p.dup_bytes, 0) * 1000000 // w.n AS BIGINT)
+             AS dup_ppm
+    FROM w LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def docs_dup_substring_spans(spark: SparkSession, sf_dir: str):
+    """Exact-substring duplicate spans (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" recipe, windowed): hash
+    32-byte windows at stride 8 per document, flag windows whose hash
+    appears in >= 2 documents, and merge overlapping flagged windows
+    into maximal duplicated SPANS via the gaps-and-islands running-max
+    (the events_active_streaks pattern at byte granularity). Per doc:
+    span count, duplicated bytes (overlap-merged), duplicated fraction
+    in exact ppm. Unlike word-shingle boilerplate share this is
+    byte-exact and span-resolving — the input a surgical span-removal
+    pass consumes. Scale shape: window volume is n_bytes/stride rows
+    (one groupBy on the hash, one doc-partitioned island window);
+    cross-doc duplicate mass, not corpus size, drives the flagged
+    volume. Suffix-array exactness for arbitrary lengths trades here
+    for two fixed knobs (w=32, stride=8) that keep everything one scan
+    + two exchanges."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "text", F.length("text").alias("n")
+    ).filter(F.col("n") >= _SPAN_W)
+    wins = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"(n - {_SPAN_W}) div {_SPAN_STRIDE}"),
+                ),
+                lambda i: F.md5(
+                    F.substring(
+                        F.col("text"), (i * _SPAN_STRIDE + 1).cast("int"), _SPAN_W
+                    )
+                ),
+            )
+        ).alias("widx", "h"),
+    ).select(
+        "doc_id",
+        (F.col("widx").cast("bigint") * _SPAN_STRIDE).alias("start"),
+        "h",
+    )
+    dfreq = wins.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = (
+        wins.join(dfreq, "h")
+        .filter(F.col("df") >= 2)
+        .select(
+            "doc_id", "start", (F.col("start") + _SPAN_W).alias("fin")
+        )
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "fin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "fin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runmax = flagged.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.max("fin").over(wprev).alias("prev_max"),
+    )
+    islanded = runmax.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("start") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wrun)
+        .alias("island"),
+    )
+    spans = islanded.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s0"), F.max("fin").alias("s1")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("s1") - F.col("s0")).alias("dup_bytes"),
+    )
+    return (
+        w.select("doc_id", F.col("n"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id"),
+            F.col("n").cast("bigint").alias("n_bytes"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.coalesce(F.col("dup_bytes"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_bytes"),
+            F.expr(
+                "CAST(COALESCE(dup_bytes, 0) * 1000000 div n AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

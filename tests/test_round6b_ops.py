@@ -424,3 +424,46 @@ def test_link_prediction_excludes_existing_edges(spark, sf_dir):
         assert (r.u, r.w) not in edges  # predicted links are NEW edges
         assert 0 < r.jaccard_fp <= 1_000_000
         assert r.common_neighbors >= 1
+
+
+def test_dup_substring_spans_properties(spark, sf_dir):
+    rows = _run("docs_dup_substring_spans", spark, sf_dir).collect()
+    assert rows
+    any_dup = False
+    for r in rows:
+        assert 0 <= r.dup_bytes <= r.n_bytes + 32  # last window may overhang
+        assert 0 <= r.dup_ppm
+        if r.n_spans:
+            any_dup = True
+            assert r.dup_bytes >= r.n_spans * 32  # every span >= one window
+    assert any_dup  # the synthetic corpus is duplicate-heavy
+
+
+def test_floor_div_construction_cross_engine_identity(spark):
+    """Regression guard for the truncate-vs-floor class of defects: the
+    explicit floor-div construction (x - ((x % d + d) % d)) div d must
+    equal Python's floor // in Spark, DuckDB //, and DuckDB's own
+    construction, for negative and positive operands alike."""
+    import duckdb
+
+    cases = [
+        (x, d)
+        for x in (-17, -16, -3, -1, 0, 1, 3, 16, 17, -(10**12) - 7, 10**12 + 7)
+        for d in (1, 2, 3, 7, 1000)
+    ]
+    expect = [x // d for x, d in cases]
+    sdf = spark.createDataFrame(cases, "x long, d long").selectExpr(
+        "x", "d", "((x) - ((((x) % d) + d) % d)) div d AS fd"
+    )
+    got_spark = {(r.x, r.d): r.fd for r in sdf.collect()}
+    con = duckdb.connect()
+    for (x, d), e in zip(cases, expect):
+        assert got_spark[(x, d)] == e, (x, d)
+        duck = con.execute(
+            f"SELECT (({x}) - (((({x}) % {d}) + {d}) % {d})) // {d}"
+        ).fetchone()[0]
+        assert duck == e, (x, d)
+        # and the raw operators DO disagree on negatives — the reason the
+        # construction exists (both truncate toward zero):
+        trunc = con.execute(f"SELECT ({x}) // {d}").fetchone()[0]
+        assert trunc == int(x / d) if x < 0 else trunc == x // d
