@@ -237,6 +237,9 @@ EXTENDED_R6B = [
     "docs_winnowing_fingerprints",
     "graph_link_prediction_jaccard",
     "docs_dup_substring_spans",
+    "docs_langid_confusion",
+    "events_ab_srm_check",
+    "events_conversion_path_topk",
 ]
 
 

@@ -283,6 +283,9 @@ _WINDOW_R7: list[str] = [
     "docs_winnowing_fingerprints",
     "graph_link_prediction_jaccard",
     "docs_dup_substring_spans",
+    "docs_langid_confusion",
+    "events_ab_srm_check",
+    "events_conversion_path_topk",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

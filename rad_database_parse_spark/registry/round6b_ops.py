@@ -2033,3 +2033,217 @@ def docs_dup_substring_spans(spark: SparkSession, sf_dir: str):
             ).alias("dup_ppm"),
         )
     )
+
+
+def _langid_confusion_oracle() -> str:
+    from .llm_ops import _STOPWORDS_SQL
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents),
+    stop(lang_cand, stopword) AS (VALUES {_STOPWORDS_SQL}),
+    hits AS (
+      SELECT doc_id, lang_cand, COUNT(*) AS hits
+      FROM toks JOIN stop ON token = stopword AND token != ''
+      GROUP BY doc_id, lang_cand),
+    best AS (
+      SELECT doc_id, lang_cand AS predicted_lang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang_cand) AS rn
+      FROM hits),
+    pred AS (
+      SELECT d.doc_id, d.lang AS labeled_lang,
+             coalesce(b.predicted_lang, 'und') AS predicted_lang
+      FROM documents d LEFT JOIN best b
+        ON b.doc_id = d.doc_id AND b.rn = 1),
+    cm AS (
+      SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+      FROM pred GROUP BY labeled_lang, predicted_lang),
+    tot AS (
+      SELECT labeled_lang, SUM(n) AS label_total FROM cm
+      GROUP BY labeled_lang)
+    SELECT cm.labeled_lang, cm.predicted_lang,
+           CAST(cm.n AS BIGINT) AS n,
+           CAST(cm.n * 1000000 // tot.label_total AS BIGINT) AS share_ppm
+    FROM cm JOIN tot USING (labeled_lang)
+    """
+
+
+@register("docs_langid_confusion", _langid_confusion_oracle())
+def docs_langid_confusion(spark: SparkSession, sf_dir: str):
+    """Language-ID confusion matrix — the EVALUATION harness for the
+    stopword-hit lang-id heuristic (llm/text.py language_id) against the
+    corpus's labeled `lang` column: per (labeled, predicted) cell, count
+    and within-label share in exact ppm. This is the accuracy report a
+    curation pipeline reads before trusting the classifier to route or
+    filter by language at 100 TB; cells are |langs|² bounded regardless
+    of corpus size, and the prediction reuses the broadcast-stopword
+    argmax (one token-hash exchange + a doc-grain window)."""
+    from ..llm.text import language_id
+
+    d = t(spark, sf_dir, "documents")
+    pred = language_id(d, "text", "doc_id").select(
+        "doc_id", "predicted_lang"
+    )
+    cm = (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(pred, "doc_id")
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cm.groupBy("labeled_lang").agg(
+        F.sum("n").alias("label_total")
+    )
+    return cm.join(tot, "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        F.col("n").cast("bigint"),
+        F.expr("CAST(n * 1000000 div label_total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+_SRM_CRIT_FP = 3841459  # chi-square df=1 critical value at alpha=0.05, 1e6 fp
+
+
+@register(
+    "events_ab_srm_check",
+    f"""
+    WITH users AS (
+      SELECT DISTINCT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS arm
+      FROM events),
+    counts AS (
+      SELECT
+        COUNT(*) AS n,
+        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS arm_a,
+        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS arm_b
+      FROM users)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(arm_a AS BIGINT) AS arm_a,
+           CAST(arm_b AS BIGINT) AS arm_b,
+           CAST((arm_a - arm_b) * (arm_a - arm_b) * 1000000 // n AS BIGINT)
+             AS chi2_fp,
+           CAST(CASE WHEN (arm_a - arm_b) * (arm_a - arm_b) * 1000000 // n
+                          > {_SRM_CRIT_FP} THEN 1 ELSE 0 END AS INT)
+             AS srm_flag
+    FROM counts
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str):
+    """Sample-ratio-mismatch (SRM) check — the first gate every A/B
+    readout must pass before CUPED/DiD analysis is trusted (a biased
+    randomizer invalidates everything downstream): users are assigned to
+    arms by the same deterministic md5 hash the experimentation ops use,
+    and the 50/50 chi-square statistic collapses to (a-b)²/n for df=1 —
+    computed in exact 1e6 fixed point and compared against the 3.84
+    critical value as integers. One distinct + one scalar aggregate; the
+    flag rides with the evidence (counts), not instead of it."""
+    ev = t(spark, sf_dir, "events")
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", (_h60(F.col("user_id")) % 2).alias("arm"))
+    )
+    counts = users.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("arm_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("arm_b"),
+    )
+    chi2 = "(arm_a - arm_b) * (arm_a - arm_b) * 1000000 div n"
+    return counts.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("arm_a").cast("bigint"),
+        F.col("arm_b").cast("bigint"),
+        F.expr(f"CAST({chi2} AS BIGINT)").alias("chi2_fp"),
+        F.expr(
+            f"CAST(CASE WHEN {chi2} > {_SRM_CRIT_FP} THEN 1 ELSE 0 END"
+            " AS INT)"
+        ).alias("srm_flag"),
+    )
+
+
+@register(
+    "events_conversion_path_topk",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 3 GROUP BY user_id),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    agg AS (
+      SELECT p.path,
+             COUNT(*) AS n_users,
+             SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_converted
+      FROM paths p LEFT JOIN conv c USING (user_id)
+      GROUP BY p.path)
+    SELECT path,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           CAST(n_converted * 1000000 // n_users AS BIGINT) AS cv_ppm
+    FROM agg
+    ORDER BY n_users DESC, path LIMIT 10
+    """,
+)
+def events_conversion_path_topk(spark: SparkSession, sf_dir: str):
+    """Top entry paths by user volume with conversion rate — the
+    product-analytics path report (the full-journey sibling of the
+    Markov transition ops): each user's first THREE events in exact
+    (ts, event_id) order form the entry path; conversion = the user ever
+    purchases. One user_id exchange for the window + path assembly
+    (bounded: 3 rows per user), a semi-join-shaped flag, a path-grain
+    aggregate (|types|³ bounded), TakeOrdered top-10. Exact ppm
+    conversion rates."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ordered.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    agg = (
+        paths.join(conv, "user_id", "left")
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias(
+                "n_converted"
+            ),
+        )
+    )
+    return (
+        agg.select(
+            "path",
+            F.col("n_users").cast("bigint"),
+            F.col("n_converted").cast("bigint"),
+            F.expr("CAST(n_converted * 1000000 div n_users AS BIGINT)").alias(
+                "cv_ppm"
+            ),
+        )
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )

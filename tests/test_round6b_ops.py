@@ -467,3 +467,38 @@ def test_floor_div_construction_cross_engine_identity(spark):
         # construction exists (both truncate toward zero):
         trunc = con.execute(f"SELECT ({x}) // {d}").fetchone()[0]
         assert trunc == int(x / d) if x < 0 else trunc == x // d
+
+
+def test_srm_check_counts_conserve(spark, sf_dir):
+    row = _run("events_ab_srm_check", spark, sf_dir).collect()[0]
+    assert row.arm_a + row.arm_b == row.n_users
+    assert row.chi2_fp == (row.arm_a - row.arm_b) ** 2 * 1_000_000 // row.n_users
+    assert row.srm_flag == (1 if row.chi2_fp > 3841459 else 0)
+    # a correct md5-based 50/50 split on synthetic ids should NOT flag
+    assert row.srm_flag == 0
+
+
+def test_conversion_paths_shape(spark, sf_dir):
+    rows = _run("events_conversion_path_topk", spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    vols = [r.n_users for r in rows]
+    assert vols == sorted(vols, reverse=True)
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_users
+        assert 0 <= r.cv_ppm <= 1_000_000
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= 3
+        assert set(steps) <= types
+
+
+def test_langid_confusion_shares_sum(spark, sf_dir):
+    rows = _run("docs_langid_confusion", spark, sf_dir).collect()
+    assert rows
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.labeled_lang, []).append(r)
+    for label, cells in by_label.items():
+        total_ppm = sum(c.share_ppm for c in cells)
+        # shares within a label sum to 1e6 up to truncation per cell
+        assert 1_000_000 - len(cells) <= total_ppm <= 1_000_000
