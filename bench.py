@@ -240,6 +240,9 @@ EXTENDED_R6B = [
     "docs_langid_confusion",
     "events_ab_srm_check",
     "events_conversion_path_topk",
+    "graph_modularity_communities",
+    "events_dau_mau_stickiness",
+    "events_slo_burn_alerts",
 ]
 
 

@@ -286,6 +286,9 @@ _WINDOW_R7: list[str] = [
     "docs_langid_confusion",
     "events_ab_srm_check",
     "events_conversion_path_topk",
+    "graph_modularity_communities",
+    "events_dau_mau_stickiness",
+    "events_slo_burn_alerts",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -439,49 +439,11 @@ def asof_nearest_event_join(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "graph_label_propagation",
-    """
-    WITH pairs AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    edges AS (
-      SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
-    und AS (
-      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
-    nodes AS (SELECT DISTINCT u AS node FROM und),
-    r1 AS (
-      SELECT n.node,
-             LEAST(n.node, COALESCE(MIN(e.v), n.node)) AS label
-      FROM nodes n LEFT JOIN und e ON e.u = n.node
-      GROUP BY n.node),
-    r2 AS (
-      SELECT n.node,
-             LEAST(n.label, COALESCE(MIN(nb.label), n.label)) AS label
-      FROM r1 n LEFT JOIN und e ON e.u = n.node
-      LEFT JOIN r1 nb ON nb.node = e.v
-      GROUP BY n.node, n.label),
-    sized AS (
-      SELECT label, COUNT(*) AS community_size FROM r2 GROUP BY label)
-    SELECT CAST(r2.node AS BIGINT) AS part_key,
-           CAST(r2.label AS BIGINT) AS community,
-           CAST(sized.community_size AS BIGINT) AS community_size
-    FROM r2 JOIN sized USING (label)
-    """,
-)
-def graph_label_propagation(spark: SparkSession, sf_dir: str):
-    """Synchronous min-label propagation (2 unrolled rounds) over the
-    part co-purchase graph — the community-detection sibling of the
-    connected-components canonicalizer (llm/cluster.py): edges are part
-    pairs sharing >= 2 orders (the same bounded-width per-order pair
-    expansion as basket_part_association — order width is O(lines/order),
-    never O(n²)), labels start as node ids and each round every node takes
-    the min of its own and its neighbors' labels. Deterministic (min is
-    order-free), fully unrolled in one lazy plan: two join+groupBy rounds
-    over the edge list — the fixed-iteration-count variant of the
-    driver-paced CC fixpoint, which is the right shape when the graph
-    diameter is known-small. Output: node -> community + community size."""
+def _copurchase_labels(spark: SparkSession, sf_dir: str):
+    """Shared co-purchase graph: support-pruned part-pair edges (>= 2
+    shared orders), undirected edge list, and 2-round min-label
+    communities. Used by graph_label_propagation and the modularity
+    evaluation op."""
     li = t(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
@@ -493,7 +455,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str):
         .filter(F.col("m") >= 2)
         .select("u", "v")
     )
-    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     nodes = und.select(F.col("u").alias("node")).distinct()
     r1 = (
         nodes.join(und, nodes.node == und.u, "left")
@@ -519,6 +483,58 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str):
         )
         .select("node", F.col("label2").alias("label"))
     )
+    return edges, und, r2
+
+
+# shared CTE chain for the co-purchase graph + 2-round min-label
+# communities (ends in r2/und/edges) — mirrored by _copurchase_labels
+_COPURCHASE_CTES = """pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+    und AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    nodes AS (SELECT DISTINCT u AS node FROM und),
+    r1 AS (
+      SELECT n.node,
+             LEAST(n.node, COALESCE(MIN(e.v), n.node)) AS label
+      FROM nodes n LEFT JOIN und e ON e.u = n.node
+      GROUP BY n.node),
+    r2 AS (
+      SELECT n.node,
+             LEAST(n.label, COALESCE(MIN(nb.label), n.label)) AS label
+      FROM r1 n LEFT JOIN und e ON e.u = n.node
+      LEFT JOIN r1 nb ON nb.node = e.v
+      GROUP BY n.node, n.label)"""
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH {_COPURCHASE_CTES},
+    sized AS (
+      SELECT label, COUNT(*) AS community_size FROM r2 GROUP BY label)
+    SELECT CAST(r2.node AS BIGINT) AS part_key,
+           CAST(r2.label AS BIGINT) AS community,
+           CAST(sized.community_size AS BIGINT) AS community_size
+    FROM r2 JOIN sized USING (label)
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str):
+    """Synchronous min-label propagation (2 unrolled rounds) over the
+    part co-purchase graph — the community-detection sibling of the
+    connected-components canonicalizer (llm/cluster.py): edges are part
+    pairs sharing >= 2 orders (the same bounded-width per-order pair
+    expansion as basket_part_association — order width is O(lines/order),
+    never O(n²)), labels start as node ids and each round every node takes
+    the min of its own and its neighbors' labels. Deterministic (min is
+    order-free), fully unrolled in one lazy plan: two join+groupBy rounds
+    over the edge list — the fixed-iteration-count variant of the
+    driver-paced CC fixpoint, which is the right shape when the graph
+    diameter is known-small. Output: node -> community + community size."""
+    _edges, _und, r2 = _copurchase_labels(spark, sf_dir)
     sized = r2.groupBy("label").agg(
         F.count("*").cast("bigint").alias("community_size")
     )
@@ -2246,4 +2262,237 @@ def events_conversion_path_topk(spark: SparkSession, sf_dir: str):
         )
         .orderBy(F.col("n_users").desc(), "path")
         .limit(10)
+    )
+
+
+@register(
+    "graph_modularity_communities",
+    f"""
+    WITH {_COPURCHASE_CTES},
+    m AS (SELECT COUNT(*) AS m_edges FROM edges),
+    intra AS (
+      SELECT COUNT(*) AS e_intra_total,
+             COUNT(DISTINCT ru.label) AS n_comm_with_edges
+      FROM edges e
+      JOIN r2 ru ON ru.node = e.u
+      JOIN r2 rv ON rv.node = e.v
+      WHERE ru.label = rv.label),
+    degc AS (
+      SELECT r2.label, COUNT(*) AS deg_c
+      FROM und JOIN r2 ON r2.node = und.u
+      GROUP BY r2.label),
+    ec AS (
+      SELECT ru.label, COUNT(*) AS e_c
+      FROM edges e
+      JOIN r2 ru ON ru.node = e.u
+      JOIN r2 rv ON rv.node = e.v
+      WHERE ru.label = rv.label
+      GROUP BY ru.label),
+    terms AS (
+      SELECT d.label,
+             4 * m.m_edges * COALESCE(ec.e_c, 0)
+               - d.deg_c * d.deg_c AS q_num_c
+      FROM degc d LEFT JOIN ec USING (label) CROSS JOIN m),
+    q AS (SELECT SUM(q_num_c) AS q_num, COUNT(*) AS n_communities
+          FROM terms)
+    SELECT CAST(m.m_edges AS BIGINT) AS m_edges,
+           CAST(q.n_communities AS BIGINT) AS n_communities,
+           CAST(intra.e_intra_total AS BIGINT) AS intra_edges,
+           CAST(((q.q_num * 1000000)
+                 - ((((q.q_num * 1000000) % (4 * m.m_edges * m.m_edges))
+                     + (4 * m.m_edges * m.m_edges))
+                    % (4 * m.m_edges * m.m_edges)))
+                // (4 * m.m_edges * m.m_edges) AS BIGINT) AS modularity_fp
+    FROM q, m, intra
+    """,
+)
+def graph_modularity_communities(spark: SparkSession, sf_dir: str):
+    """Newman modularity Q of the min-label communities — the EVALUATION
+    metric for graph_label_propagation (is the partition better than
+    random?): Q = Σ_c [e_c/m − (deg_c/2m)²], assembled EXACTLY as
+    Q_num = Σ_c (4·m·e_c − deg_c²) over integer community aggregates and
+    floored once at 1e6 scale over 4m² (floor-div construction — Q can
+    be negative). Plan: the shared co-purchase CTE chain, one
+    intra-community edge count (edge list joined twice to the bounded
+    label table), one degree rollup — community grain everywhere after
+    the edge join. At 100 TB the label table join is the cost; both
+    sides key on node id."""
+    edges, und, r2 = _copurchase_labels(spark, sf_dir)
+    m = edges.agg(F.count("*").alias("m_edges"))
+    ru = r2.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    rv = r2.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    labeled_edges = edges.join(ru, "u").join(rv, "v")
+    intra_edges = labeled_edges.filter(F.col("lu") == F.col("lv"))
+    intra = intra_edges.agg(
+        F.count("*").alias("e_intra_total"),
+        F.countDistinct("lu").alias("n_comm_with_edges"),
+    )
+    degc = (
+        und.join(r2, und.u == r2.node)
+        .groupBy("label")
+        .agg(F.count("*").alias("deg_c"))
+    )
+    ec = (
+        intra_edges.groupBy(F.col("lu").alias("label"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    terms = (
+        degc.join(ec, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (
+                4 * F.col("m_edges") * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("deg_c") * F.col("deg_c")
+            ).alias("q_num_c")
+        )
+    )
+    q = terms.agg(
+        F.sum("q_num_c").alias("q_num"),
+        F.count("*").alias("n_communities"),
+    )
+    d = "(4 * m_edges * m_edges)"
+    x = "(q_num * 1000000)"
+    return (
+        q.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(intra))
+        .select(
+            F.col("m_edges").cast("bigint"),
+            F.col("n_communities").cast("bigint"),
+            F.col("e_intra_total").cast("bigint").alias("intra_edges"),
+            F.expr(
+                f"CAST((({x}) - (((({x}) % {d}) + {d}) % {d})) div {d}"
+                " AS BIGINT)"
+            ).alias("modularity_fp"),
+        )
+    )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    mau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 29 DAY AND d.day
+      GROUP BY d.day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM days d JOIN dau USING (day) JOIN mau USING (day)
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str):
+    """DAU/MAU stickiness curve — the product-health headline metric:
+    per calendar day, distinct daily actives over distinct trailing-30d
+    actives, in exact ppm. Follows the events_rolling_wau collapse
+    pattern: the fact table collapses to (user, day) grain FIRST (one
+    map-side-combinable distinct), and the trailing window is a
+    day-spine × user-day range join — volume is user-days × 30, never
+    events × 30; the day spine broadcasts. The exact distinct in the
+    trailing window is the honest form; at extreme scale the HLL-merge
+    op (sketch_hll_daily_merge) is the documented approximate swap."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    d2 = days.select(F.col("day").alias("anchor"))
+    mau = (
+        d2.join(
+            ud,
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 29)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("mau"))
+        .withColumnRenamed("anchor", "day")
+    )
+    return (
+        days.join(dau, "day")
+        .join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint"),
+            F.col("mau").cast("bigint"),
+            F.expr("CAST(dau * 1000000 div mau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
+
+
+_SLO_BUDGET_PPM = 200000  # 20% error budget
+_SLO_BURN_PPM = 240000  # alert when BOTH windows burn at >= 1.2x budget
+
+
+@register(
+    "events_slo_burn_alerts",
+    f"""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+      FROM events GROUP BY 1),
+    windowed AS (
+      SELECT hour, n, errs,
+             SUM(n) OVER (ORDER BY hour
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6,
+             SUM(errs) OVER (ORDER BY hour
+                             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6
+      FROM hours)
+    SELECT CAST(hour AS TIMESTAMP) AS hour,
+           CAST(n AS BIGINT) AS n_1h,
+           CAST(errs * 1000000 // n AS BIGINT) AS err_ppm_1h,
+           CAST(n6 AS BIGINT) AS n_6h,
+           CAST(e6 * 1000000 // n6 AS BIGINT) AS err_ppm_6h,
+           CAST(CASE WHEN errs * 1000000 // n >= {_SLO_BURN_PPM}
+                      AND e6 * 1000000 // n6 >= {_SLO_BURN_PPM}
+                     THEN 1 ELSE 0 END AS INT) AS burn_alert
+    FROM windowed
+    """,
+)
+def events_slo_burn_alerts(spark: SparkSession, sf_dir: str):
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    recipe): per hour, the error share over the short (1h) and long (6h
+    trailing) windows in exact ppm, alerting only when BOTH exceed 1.2x
+    the 20% error budget — short window for responsiveness, long window
+    to suppress blips. Hour-grain input (one map-side-combinable
+    groupBy); the trailing frame runs over the bounded hour series (the
+    orders_backlog_sweepline whitelist class — calendar-hour grain, not
+    fact rows). Exact integer ppm; the alert flag is an integer
+    comparison, reproducible to the row across engines."""
+    ev = t(spark, sf_dir, "events")
+    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errs"),
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    windowed = hours.select(
+        "hour",
+        "n",
+        "errs",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("errs").over(w6).alias("e6"),
+    )
+    short = "errs * 1000000 div n"
+    long6 = "e6 * 1000000 div n6"
+    return windowed.select(
+        F.col("hour").cast("timestamp"),
+        F.col("n").cast("bigint").alias("n_1h"),
+        F.expr(f"CAST({short} AS BIGINT)").alias("err_ppm_1h"),
+        F.col("n6").cast("bigint").alias("n_6h"),
+        F.expr(f"CAST({long6} AS BIGINT)").alias("err_ppm_6h"),
+        F.expr(
+            f"CAST(CASE WHEN {short} >= {_SLO_BURN_PPM}"
+            f" AND {long6} >= {_SLO_BURN_PPM}"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("burn_alert"),
     )

@@ -502,3 +502,40 @@ def test_langid_confusion_shares_sum(spark, sf_dir):
         total_ppm = sum(c.share_ppm for c in cells)
         # shares within a label sum to 1e6 up to truncation per cell
         assert 1_000_000 - len(cells) <= total_ppm <= 1_000_000
+
+
+def test_modularity_bounds_and_consistency(spark, sf_dir):
+    row = _run("graph_modularity_communities", spark, sf_dir).collect()[0]
+    # Q in [-0.5, 1] by definition; a 2-round min-label partition of a
+    # co-purchase graph should be nontrivially positive
+    assert -500_000 <= row.modularity_fp <= 1_000_000
+    assert 0 < row.intra_edges <= row.m_edges
+    assert row.n_communities >= 1
+    labels = _run("graph_label_propagation", spark, sf_dir).collect()
+    assert row.n_communities == len({r.community for r in labels})
+
+
+def test_dau_mau_bounds(spark, sf_dir):
+    rows = _run("events_dau_mau_stickiness", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.dau <= r.mau
+        assert 0 < r.stickiness_ppm <= 1_000_000
+
+
+def test_slo_burn_windows_consistent(spark, sf_dir):
+    rows = sorted(
+        _run("events_slo_burn_alerts", spark, sf_dir).collect(),
+        key=lambda r: r.hour,
+    )
+    assert rows
+    # 6h totals: sum of up to six trailing 1h totals
+    for i, r in enumerate(rows):
+        lo = max(0, i - 5)
+        assert r.n_6h == sum(x.n_1h for x in rows[lo : i + 1])
+        assert 0 <= r.err_ppm_1h <= 1_000_000
+        assert 0 <= r.err_ppm_6h <= 1_000_000
+        expected = int(
+            r.err_ppm_1h >= 240000 and r.err_ppm_6h >= 240000
+        )
+        assert r.burn_alert == expected
