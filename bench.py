@@ -243,6 +243,13 @@ EXTENDED_R6B = [
     "graph_modularity_communities",
     "events_dau_mau_stickiness",
     "events_slo_burn_alerts",
+    "events_fano_burstiness",
+    "docs_zipf_rank_freq",
+    "nation_trade_balance",
+    "events_interpurchase_profile",
+    "emb_norm_profile",
+    "docs_heaps_hapax_curve",
+    "events_markov_stationary_power",
 ]
 
 

@@ -289,6 +289,13 @@ _WINDOW_R7: list[str] = [
     "graph_modularity_communities",
     "events_dau_mau_stickiness",
     "events_slo_burn_alerts",
+    "events_fano_burstiness",
+    "docs_zipf_rank_freq",
+    "nation_trade_balance",
+    "events_interpurchase_profile",
+    "emb_norm_profile",
+    "docs_heaps_hapax_curve",
+    "events_markov_stationary_power",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).

@@ -2496,3 +2496,574 @@ def events_slo_burn_alerts(spark: SparkSession, sf_dir: str):
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("burn_alert"),
     )
+
+
+@register(
+    "events_fano_burstiness",
+    """
+    WITH spine AS (
+      SELECT t.event_type, h.hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT DISTINCT date_trunc('hour', ts) AS hour
+                  FROM events) h),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT s.event_type, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN counts c
+        ON c.event_type = s.event_type AND c.hour = s.hour),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(c) AS s1,
+             SUM(c * c) AS s2
+      FROM grid GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(s1 AS BIGINT) AS n_events,
+           CAST((n * s2 - s1 * s1) * 1000000 // (n * s1) AS BIGINT)
+             AS fano_fp
+    FROM m
+    """,
+)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str):
+    """Fano factor (variance-to-mean ratio of hourly counts, zero hours
+    included) per event type — the burstiness/overdispersion test: 1e6
+    means Poisson-like arrivals, above means bursty, below means
+    regular. Var/mean collapses to (n·Σc² − (Σc)²)/(n·Σc) — one exact
+    integer expression over per-type moments, no float variance. The
+    zero-filled grid is |types| × |hours| (bounded calendar grain); the
+    only full-data pass is the (type, hour) count. The dispersion
+    sibling of events_type_diversity_simpson and the screen read before
+    choosing the anomaly detector (z-score assumes the variance this op
+    measures)."""
+    ev = t(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    hours = ev.select(F.date_trunc("hour", "ts").alias("hour")).distinct()
+    spine = types.crossJoin(hours)
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("c"))
+    grid = spine.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("s1").cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST((n * s2 - s1 * s1) * 1000000 div (n * s1) AS BIGINT)"
+        ).alias("fano_fp"),
+    )
+
+
+@register(
+    "docs_zipf_rank_freq",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        AS token
+      FROM documents),
+    freq AS (
+      SELECT token, COUNT(*) AS f FROM toks
+      WHERE token != '' GROUP BY token),
+    top AS (
+      SELECT token, f FROM freq ORDER BY f DESC, token LIMIT 50),
+    ranked AS (
+      SELECT token, f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, token) AS rank
+      FROM top),
+    anchor AS (SELECT MAX(f) AS f1 FROM top)
+    SELECT CAST(rank AS BIGINT) AS rank, token, CAST(f AS BIGINT) AS freq,
+           CAST(rank * f AS BIGINT) AS zipf_product,
+           CAST(rank * f * 1000000 // f1 AS BIGINT) AS zipf_ratio_ppm
+    FROM ranked, anchor
+    """,
+)
+def docs_zipf_rank_freq(spark: SparkSession, sf_dir: str):
+    """Zipf's-law rank-frequency profile of the corpus vocabulary: the
+    top-50 tokens with rank, frequency, and the Zipf invariant rank×freq
+    (plus its ratio to the rank-1 frequency in exact ppm — constant ≈1e6
+    under a perfect Zipf fit, no log-log regression and no floats). The
+    corpus-linguistics screen next to Heaps'-law vocabulary growth: a
+    corpus whose product curve collapses is boilerplate-heavy; one whose
+    curve explodes is vocabulary-anomalous. Scale shape: one token
+    groupBy (map-side combinable), global top-50 via TakeOrdered —
+    the rank window runs AFTER the 50-row truncation (bounded,
+    whitelisted), so the full vocabulary is never globally sorted."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count("*").alias("f"))
+    top = freq.orderBy(F.col("f").desc(), "token").limit(50)
+    w = Window.orderBy(F.col("f").desc(), "token")
+    ranked = top.select(
+        "token", "f", F.row_number().over(w).alias("rank")
+    )
+    anchor = top.agg(F.max("f").alias("f1"))
+    return ranked.crossJoin(F.broadcast(anchor)).select(
+        F.col("rank").cast("bigint"),
+        "token",
+        F.col("f").cast("bigint").alias("freq"),
+        (F.col("rank") * F.col("f")).cast("bigint").alias("zipf_product"),
+        F.expr("CAST(rank * f * 1000000 div f1 AS BIGINT)").alias(
+            "zipf_ratio_ppm"
+        ),
+    )
+
+
+@register(
+    "nation_trade_balance",
+    """
+    WITH flows AS (
+      SELECT ns.n_name AS exporter, nc.n_name AS importer,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT)
+                 * (100 - CAST(CAST(l.l_discount AS DECIMAL(12,2)) * 100
+                               AS BIGINT)))
+               AS rev_c4
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE ns.n_name != nc.n_name
+      GROUP BY ns.n_name, nc.n_name)
+    SELECT a.exporter AS nation_a, a.importer AS nation_b,
+           CAST(a.rev_c4 AS BIGINT) AS export_c4,
+           CAST(COALESCE(b.rev_c4, 0) AS BIGINT) AS import_c4,
+           CAST(a.rev_c4 - COALESCE(b.rev_c4, 0) AS BIGINT) AS balance_c4
+    FROM flows a LEFT JOIN flows b
+      ON b.exporter = a.importer AND b.importer = a.exporter
+    WHERE a.exporter < a.importer
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str):
+    """Bilateral trade-balance matrix — the TPC-H Q7 volume-shipping
+    shape completed into a full netting report: revenue flowing from
+    supplier nation (exporter) to customer nation (importer) per ordered
+    pair, then each unordered pair nets export minus import. Revenue is
+    exact: extendedprice cents × (100 − discount-percent) as BIGINT
+    (scale 1e4 'c4' units — no decimal multiplication drift). Plan: the
+    standard fact scan with two broadcast nation dims + supplier/
+    customer key joins, one |nations|²-bounded flow aggregate, and a
+    self-join of the tiny flow matrix for the netting. At 100 TB only
+    the fact scan grows."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("exporter")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("importer")
+    )
+    # cents FIRST (integral decimal -> exact BIGINT), then pure integer
+    # multiply: a fractional decimal->BIGINT cast would round in DuckDB
+    # but truncate in Spark
+    rev = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        " * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT))"
+    )
+    flows = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("exporter") != F.col("importer"))
+        .groupBy("exporter", "importer")
+        .agg(F.sum(rev).alias("rev_c4"))
+    )
+    back = flows.select(
+        F.col("exporter").alias("importer_b"),
+        F.col("importer").alias("exporter_b"),
+        F.col("rev_c4").alias("rev_back"),
+    )
+    return (
+        flows.join(
+            back,
+            (flows.exporter == back.exporter_b)
+            & (flows.importer == back.importer_b),
+            "left",
+        )
+        .filter(F.col("exporter") < F.col("importer"))
+        .select(
+            F.col("exporter").alias("nation_a"),
+            F.col("importer").alias("nation_b"),
+            F.col("rev_c4").cast("bigint").alias("export_c4"),
+            F.coalesce(F.col("rev_back"), F.lit(0))
+            .cast("bigint")
+            .alias("import_c4"),
+            (F.col("rev_c4") - F.coalesce(F.col("rev_back"), F.lit(0)))
+            .cast("bigint")
+            .alias("balance_c4"),
+        )
+    )
+
+
+_GAP_BUCKETS_US = [
+    60_000_000,  # 1 min
+    600_000_000,  # 10 min
+    3_600_000_000,  # 1 h
+    21_600_000_000,  # 6 h
+    86_400_000_000,  # 1 d
+]
+
+
+@register(
+    "events_interpurchase_profile",
+    f"""
+    WITH purchases AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id
+      FROM events WHERE event_type = 'purchase'),
+    gaps AS (
+      SELECT user_id,
+             t_us - LAG(t_us) OVER (PARTITION BY user_id
+                                    ORDER BY t_us, event_id) AS gap_us
+      FROM purchases),
+    g AS (SELECT gap_us FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us,
+      CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      CAST(SUM(CASE WHEN gap_us < {_GAP_BUCKETS_US[0]} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lt_1m,
+      CAST(SUM(CASE WHEN gap_us < {_GAP_BUCKETS_US[1]} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lt_10m,
+      CAST(SUM(CASE WHEN gap_us < {_GAP_BUCKETS_US[2]} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lt_1h,
+      CAST(SUM(CASE WHEN gap_us < {_GAP_BUCKETS_US[3]} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lt_6h,
+      CAST(SUM(CASE WHEN gap_us < {_GAP_BUCKETS_US[4]} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lt_1d
+    FROM g
+    """,
+)
+def events_interpurchase_profile(spark: SparkSession, sf_dir: str):
+    """Inter-purchase time profile — the repeat-behavior input to CLV
+    and replenishment models: per-user consecutive purchase gaps (one
+    user_id exchange, lag over the exact (t_us, event_id) order) rolled
+    into a corpus profile of exact integers — mean/min/max gap in micros
+    and a cumulative lt-threshold histogram (1m/10m/1h/6h/1d). No
+    percentile window over the near-continuous gap domain: the fixed
+    cumulative histogram is the scale-stable summary (the
+    order_to_ship_latency_profile's exact-percentile machinery is the
+    documented swap when exact quantiles are required)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "event_id"
+    )
+    gaps = purchases.select(
+        (F.col("t_us") - F.lag("t_us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    aggs = [
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.expr("CAST(SUM(gap_us) div COUNT(*) AS BIGINT)").alias(
+            "mean_gap_us"
+        ),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    ]
+    names = ["n_lt_1m", "n_lt_10m", "n_lt_1h", "n_lt_6h", "n_lt_1d"]
+    for nm, cut in zip(names, _GAP_BUCKETS_US):
+        aggs.append(
+            F.sum(F.when(F.col("gap_us") < cut, 1).otherwise(0))
+            .cast("bigint")
+            .alias(nm)
+        )
+    return gaps.agg(*aggs)
+
+
+_NORM_BUCKET = 500_000  # norm² fixed-point bucket width (1e3-scale coords)
+
+
+@register(
+    "emb_norm_profile",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             SUM(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000)
+                      AS BIGINT)
+                 * CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000)
+                        AS BIGINT)) AS norm2
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+      GROUP BY vec_id),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(norm2) AS s1,
+             MIN(norm2) AS mn, MAX(norm2) AS mx
+      FROM q),
+    hist AS (
+      SELECT norm2 // {_NORM_BUCKET} AS bucket, COUNT(*) AS n_vecs
+      FROM q GROUP BY 1)
+    SELECT CAST(h.bucket AS BIGINT) AS bucket,
+           CAST(h.bucket * {_NORM_BUCKET} AS BIGINT) AS norm2_lo,
+           CAST(h.n_vecs AS BIGINT) AS n_vecs,
+           CAST(h.n_vecs * 1000000 // m.n AS BIGINT) AS share_ppm,
+           CAST(m.s1 // m.n AS BIGINT) AS corpus_mean_norm2,
+           CAST(m.mn AS BIGINT) AS corpus_min_norm2,
+           CAST(m.mx AS BIGINT) AS corpus_max_norm2
+    FROM hist h, m
+    """,
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str):
+    """Embedding norm distribution profile — the normalization audit
+    read before ANY cosine/IP index decision (un-normalized vectors make
+    inner-product and cosine retrieval disagree; a wide norm spread
+    under IP indexing biases toward long vectors): per-vector ||q||² in
+    exact 1e3-fixed-point integers (no sqrt anywhere), a fixed-width
+    histogram of norm², and corpus mean/min/max riding on every row.
+    One scan builds per-vector norms (map-side d-element fold), the
+    histogram is bucket-grain. Complements emb_dim_variance_profile
+    (per-dimension health) with the per-vector view."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.round(F.col("v") * 1000).cast("bigint")
+    q = (
+        e.select(
+            "vec_id",
+            F.explode(F.col("embedding").cast("array<double>")).alias("v"),
+        )
+        .select("vec_id", (qv * qv).alias("sq"))
+        .groupBy("vec_id")
+        .agg(F.sum("sq").alias("norm2"))
+    )
+    m = q.agg(
+        F.count("*").alias("n"),
+        F.sum("norm2").alias("s1"),
+        F.min("norm2").alias("mn"),
+        F.max("norm2").alias("mx"),
+    )
+    hist = q.groupBy(
+        F.expr(f"norm2 div {_NORM_BUCKET}").alias("bucket")
+    ).agg(F.count("*").alias("n_vecs"))
+    return hist.crossJoin(F.broadcast(m)).select(
+        F.col("bucket").cast("bigint"),
+        (F.col("bucket") * _NORM_BUCKET).cast("bigint").alias("norm2_lo"),
+        F.col("n_vecs").cast("bigint"),
+        F.expr("CAST(n_vecs * 1000000 div n AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST(s1 div n AS BIGINT)").alias("corpus_mean_norm2"),
+        F.col("mn").cast("bigint").alias("corpus_min_norm2"),
+        F.col("mx").cast("bigint").alias("corpus_max_norm2"),
+    )
+
+
+@register(
+    "docs_heaps_hapax_curve",
+    """
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    toks AS (
+      SELECT LEAST(CAST(doc_id * 10 // m AS BIGINT), 9) AS slice,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents, mx),
+    tf AS (
+      SELECT token, slice, COUNT(*) AS f FROM toks
+      WHERE token != '' GROUP BY token, slice),
+    cum AS (
+      SELECT token, slice,
+             SUM(f) OVER (PARTITION BY token ORDER BY slice
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cf
+      FROM tf),
+    -- carry each token's cumulative count forward onto every LATER slice
+    -- it is absent from: join the token's slice list against the decile
+    -- spine taking the last known cf
+    spine AS (SELECT unnest(range(10)) AS k),
+    latest AS (
+      SELECT s.k, c.token, MAX(c.slice) AS last_slice
+      FROM spine s JOIN cum c ON c.slice <= s.k
+      GROUP BY s.k, c.token),
+    state AS (
+      SELECT l.k, l.token, c.cf
+      FROM latest l JOIN cum c
+        ON c.token = l.token AND c.slice = l.last_slice),
+    curve AS (
+      SELECT k,
+             COUNT(*) AS vocab_cum,
+             SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS hapax_cum,
+             SUM(cf) AS tokens_cum
+      FROM state GROUP BY k)
+    SELECT CAST(k AS INT) AS decile,
+           CAST(tokens_cum AS BIGINT) AS tokens_cum,
+           CAST(vocab_cum AS BIGINT) AS vocab_cum,
+           CAST(hapax_cum AS BIGINT) AS hapax_cum,
+           CAST(hapax_cum * 1000000 // vocab_cum AS BIGINT)
+             AS hapax_share_ppm
+    FROM curve
+    """,
+)
+def docs_heaps_hapax_curve(spark: SparkSession, sf_dir: str):
+    """Heaps'-law vocabulary-growth and hapax-legomena curve: for each
+    cumulative doc-id decile of the corpus, total tokens, distinct
+    vocabulary, hapax count (tokens seen exactly once so far) and hapax
+    share in exact ppm — the vocabulary-saturation diagnostic (token-
+    level sibling of the shingle novelty-decay curve): a natural corpus
+    holds a stable hapax share; a template-heavy one collapses. Plan:
+    token×slice partial counts (map-side combinable), a per-token
+    cumulative window over <=10 rows, and a spine join that carries each
+    token's last-known cumulative count onto later deciles — all
+    token-grain, never row-grain, and the spine is 10 literals."""
+    d = t(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    toks = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.expr("CAST(doc_id * 10 div m AS BIGINT)"), F.lit(9))
+            .alias("slice"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("token", "slice").agg(F.count("*").alias("f"))
+    wcum = (
+        Window.partitionBy("token")
+        .orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = tf.select(
+        "token", "slice", F.sum("f").over(wcum).alias("cf")
+    )
+    spine = spark.range(10).select(F.col("id").alias("k"))
+    latest = (
+        F.broadcast(spine)
+        .join(cum.select("token", "slice"), F.col("slice") <= F.col("k"))
+        .groupBy("k", "token")
+        .agg(F.max("slice").alias("last_slice"))
+    )
+    cum2 = cum.select(
+        F.col("token").alias("t2"),
+        F.col("slice").alias("s2"),
+        F.col("cf"),
+    )
+    state = latest.join(
+        cum2,
+        (F.col("token") == F.col("t2"))
+        & (F.col("last_slice") == F.col("s2")),
+    )
+    curve = state.groupBy("k").agg(
+        F.count("*").alias("vocab_cum"),
+        F.sum(F.when(F.col("cf") == 1, 1).otherwise(0)).alias("hapax_cum"),
+        F.sum("cf").alias("tokens_cum"),
+    )
+    return curve.select(
+        F.col("k").cast("int").alias("decile"),
+        F.col("tokens_cum").cast("bigint"),
+        F.col("vocab_cum").cast("bigint"),
+        F.col("hapax_cum").cast("bigint"),
+        F.expr("CAST(hapax_cum * 1000000 div vocab_cum AS BIGINT)").alias(
+            "hapax_share_ppm"
+        ),
+    )
+
+
+@register(
+    "events_markov_stationary_power",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trans AS (
+      SELECT event_type AS i, nxt AS j, COUNT(*) AS c
+      FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    rowsum AS (SELECT i, SUM(c) AS rs FROM trans GROUP BY i),
+    states AS (SELECT i AS state FROM rowsum),
+    n_states AS (SELECT COUNT(*) AS ns FROM states),
+    v0 AS (
+      SELECT state, 1000000 // ns AS v FROM states, n_states),
+    v1r AS (
+      SELECT t.j AS state, SUM(v0.v * t.c // r.rs) AS v
+      FROM trans t JOIN rowsum r ON r.i = t.i
+      JOIN v0 ON v0.state = t.i
+      GROUP BY t.j),
+    v1s AS (SELECT SUM(v) AS tot FROM v1r),
+    v1 AS (SELECT state, v * 1000000 // tot AS v FROM v1r, v1s),
+    v2r AS (
+      SELECT t.j AS state, SUM(v1.v * t.c // r.rs) AS v
+      FROM trans t JOIN rowsum r ON r.i = t.i
+      JOIN v1 ON v1.state = t.i
+      GROUP BY t.j),
+    v2s AS (SELECT SUM(v) AS tot FROM v2r),
+    v2 AS (SELECT state, v * 1000000 // tot AS v FROM v2r, v2s),
+    emp AS (
+      SELECT event_type AS state, COUNT(*) AS n FROM events GROUP BY 1),
+    empt AS (SELECT SUM(n) AS tot FROM emp)
+    SELECT v2.state AS event_type,
+           CAST(v2.v AS BIGINT) AS stationary_fp,
+           CAST(emp.n * 1000000 // empt.tot AS BIGINT) AS empirical_fp
+    FROM v2 JOIN emp ON emp.state = v2.state, empt
+    """,
+)
+def events_markov_stationary_power(spark: SparkSession, sf_dir: str):
+    """Stationary distribution of the user-journey Markov chain by TWO
+    power iterations v·P from uniform — the steady-state companion to
+    the second-order transition model (where do journeys settle?),
+    reported next to the raw empirical event-type shares for
+    comparison. The transition matrix is |types|²-bounded (one lead()
+    pass over the user_id exchange builds it); each iteration is a
+    broadcast-sized matrix-vector product in exact integer fixed point
+    — per-edge mass v_i·c_ij div rowsum_i (all nonnegative, plain
+    truncating div identical in both engines) renormalized to 1e6 after
+    each step so truncation cannot drift the total. The same
+    fixed-iteration integer-linear-algebra shape as
+    emb_top_pc_power_iteration."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("i"), F.col("nxt").alias("j")
+    ).agg(F.count("*").alias("c"))
+    rowsum = trans.groupBy("i").agg(F.sum("c").alias("rs"))
+    states = rowsum.select(F.col("i").alias("state"))
+    ns = states.agg(F.count("*").alias("nsc"))
+    v0 = states.crossJoin(F.broadcast(ns)).select(
+        "state", F.expr("1000000 div nsc").alias("v")
+    )
+
+    def step(v):
+        vr = (
+            trans.join(rowsum, "i")
+            .join(v.withColumnRenamed("state", "i"), "i")
+            .groupBy(F.col("j").alias("state"))
+            .agg(F.sum(F.expr("v * c div rs")).alias("vraw"))
+        )
+        tot = vr.agg(F.sum("vraw").alias("tot"))
+        return vr.crossJoin(F.broadcast(tot)).select(
+            "state", F.expr("vraw * 1000000 div tot").alias("v")
+        )
+
+    v2 = step(step(v0))
+    emp = ev.groupBy(F.col("event_type").alias("state")).agg(
+        F.count("*").alias("n")
+    )
+    empt = emp.agg(F.sum("n").alias("tot"))
+    return (
+        v2.join(emp, "state")
+        .crossJoin(F.broadcast(empt))
+        .select(
+            F.col("state").alias("event_type"),
+            F.col("v").cast("bigint").alias("stationary_fp"),
+            F.expr("CAST(n * 1000000 div tot AS BIGINT)").alias(
+                "empirical_fp"
+            ),
+        )
+    )

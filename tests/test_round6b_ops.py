@@ -539,3 +539,85 @@ def test_slo_burn_windows_consistent(spark, sf_dir):
             r.err_ppm_1h >= 240000 and r.err_ppm_6h >= 240000
         )
         assert r.burn_alert == expected
+
+
+def test_fano_matches_moments(spark, sf_dir):
+    rows = _run("events_fano_burstiness", spark, sf_dir).collect()
+    assert rows
+    n_hours = {r.n_hours for r in rows}
+    assert len(n_hours) == 1  # shared zero-filled hour spine
+    for r in rows:
+        assert r.fano_fp >= 0
+        assert r.n_events > 0
+
+
+def test_zipf_rank_product(spark, sf_dir):
+    rows = sorted(
+        _run("docs_zipf_rank_freq", spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert 0 < len(rows) <= 50  # vocabulary may be smaller than the top-k
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in rows:
+        assert r.zipf_product == r.rank * r.freq
+        assert r.zipf_ratio_ppm == r.rank * r.freq * 1_000_000 // rows[0].freq
+    assert rows[0].zipf_ratio_ppm == 1_000_000
+
+
+def test_trade_balance_antisymmetry(spark, sf_dir):
+    rows = _run("nation_trade_balance", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.nation_a < r.nation_b  # each unordered pair appears once
+        assert r.balance_c4 == r.export_c4 - r.import_c4
+        assert r.export_c4 >= 0 and r.import_c4 >= 0
+
+
+def test_interpurchase_histogram_cumulative(spark, sf_dir):
+    row = _run("events_interpurchase_profile", spark, sf_dir).collect()[0]
+    hist = [row.n_lt_1m, row.n_lt_10m, row.n_lt_1h, row.n_lt_6h, row.n_lt_1d]
+    assert hist == sorted(hist)  # cumulative thresholds
+    assert hist[-1] <= row.n_gaps
+    assert row.min_gap_us <= row.mean_gap_us <= row.max_gap_us
+    assert row.min_gap_us > 0  # strict ordering by (t_us, event_id)
+
+
+def test_norm_profile_shares_and_bounds(spark, sf_dir):
+    rows = _run("emb_norm_profile", spark, sf_dir).collect()
+    assert rows
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    mn = rows[0].corpus_min_norm2
+    mx = rows[0].corpus_max_norm2
+    mean = rows[0].corpus_mean_norm2
+    assert mn <= mean <= mx
+    for r in rows:
+        assert mn <= r.norm2_lo + 500_000 and r.norm2_lo <= mx
+
+
+def test_heaps_curve_monotone(spark, sf_dir):
+    rows = sorted(
+        _run("docs_heaps_hapax_curve", spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    toks = [r.tokens_cum for r in rows]
+    vocab = [r.vocab_cum for r in rows]
+    assert toks == sorted(toks)  # cumulative
+    assert vocab == sorted(vocab)
+    for r in rows:
+        assert 0 <= r.hapax_cum <= r.vocab_cum
+        assert r.vocab_cum <= r.tokens_cum
+
+
+def test_markov_stationary_is_distribution(spark, sf_dir):
+    rows = _run("events_markov_stationary_power", spark, sf_dir).collect()
+    assert rows
+    tot = sum(r.stationary_fp for r in rows)
+    # renormalized to 1e6 after the last step, minus per-state truncation
+    assert 1_000_000 - len(rows) <= tot <= 1_000_000
+    emp = sum(r.empirical_fp for r in rows)
+    assert 1_000_000 - len(rows) <= emp <= 1_000_000
+    for r in rows:
+        assert 0 <= r.stationary_fp <= 1_000_000
