@@ -1237,17 +1237,26 @@ def minhash_band_planner(spark: SparkSession, sf_dir: str):
     (llm/dedup.py:160) to a threshold at 100 TB: pair stats cost one
     shingle self-join (blocked, df-capped), the sweep itself is O(pairs
     x configs) scalar arithmetic."""
+    from pyspark import StorageLevel
+
     from ..llm.dedup import tokenize, word_shingles
 
     d = t(spark, sf_dir, "documents")
-    sh = word_shingles(tokenize(d, "text", "doc_id"), "doc_id", 3)
+    # persist the shingle stream: it feeds the hot-shingle cap, the doc
+    # sizes, and BOTH self-join sides (the ngram_jaccard_pairs persist
+    # rationale — without it the tokenize+lead windows re-run per branch)
+    sh = word_shingles(tokenize(d, "text", "doc_id"), "doc_id", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > 10000)
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b_side = sh.alias("b")
