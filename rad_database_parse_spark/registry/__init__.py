@@ -298,6 +298,13 @@ _WINDOW_R7: list[str] = [
     "events_markov_stationary_power",
 ]
 
+# Round-8 window seed: _WINDOW_R7 is full (exactly 50), so queries
+# registered after it queue here — they trail the r7 rotation and lead
+# r8's. CORRECTNESS_r07 failures get prepended when the file lands.
+_WINDOW_R8: list[str] = [
+    "pyds_stream_events_replay",
+]
+
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
     "llm_ops",
@@ -336,7 +343,12 @@ def all_queries() -> dict[str, QueryDef]:
     seen: set[str] = set()
     window_order = [
         n
-        for n in _WINDOW_R6 + _WINDOW_R7 + _WINDOW_R5 + _WINDOW_R3 + _WINDOW_R4
+        for n in _WINDOW_R6
+        + _WINDOW_R7
+        + _WINDOW_R8
+        + _WINDOW_R5
+        + _WINDOW_R3
+        + _WINDOW_R4
         if not (n in seen or seen.add(n))
     ]
     pinned = {n: i for i, n in enumerate(window_order)}

@@ -3085,3 +3085,85 @@ def events_markov_stationary_power(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+@register(
+    "pyds_stream_events_replay",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def pyds_stream_events_replay(spark: SparkSession, sf_dir: str):
+    """Streaming read through the Python DataSource STREAM reader
+    (sources/replay_stream.py, ``format("events_replay")``) — the
+    missing quadrant of the Python DataSource matrix (batch reader: pdf;
+    batch writer: jsonl_manifest; now a streaming source with real
+    initialOffset/read/readBetweenOffsets bookkeeping): the events
+    parquet replays in deterministic 2000-row micro-batches; foreachBatch
+    folds each batch into per-type partial aggregates (count + exact
+    cents) that a final Spark aggregation merges — the partial-agg merge
+    contract, so the result is independent of batch boundaries. The
+    ORACLE aggregates the raw table directly: a full value gate proving
+    the custom source delivered every row exactly once across the whole
+    offset sequence. The builder also asserts multiple micro-batches
+    actually ran (chunk < table size)."""
+    from pyspark.sql import types as T
+
+    from ..sources.replay_stream import register_events_replay_source
+
+    register_events_replay_source(spark)
+    partials: list[tuple] = []
+    n_batches = [0]
+
+    def fold(batch_df, batch_id: int):
+        n_batches[0] += 1
+        for r in (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").alias("c"),
+            )
+            .collect()
+        ):
+            partials.append((r.event_type, r.n, r.c))
+
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("chunk", "2000")
+        .load()
+    )
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="pyds_stream_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # default trigger: one micro-batch per read() chunk — drain the
+        # offset sequence, then stop (availableNow would coalesce the
+        # whole replay into a single batch)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    assert n_batches[0] > 1, "replay must span multiple micro-batches"
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+    pdf = spark.createDataFrame(partials, schema)
+    return pdf.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("c").cast("bigint").alias("total_cents"),
+    )

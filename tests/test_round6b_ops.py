@@ -621,3 +621,42 @@ def test_markov_stationary_is_distribution(spark, sf_dir):
     assert 1_000_000 - len(rows) <= emp <= 1_000_000
     for r in rows:
         assert 0 <= r.stationary_fp <= 1_000_000
+
+
+def test_replay_stream_reader_offset_contract(sf_dir):
+    from rad_database_parse_spark.sources.replay_stream import (
+        EventsReplayStreamReader,
+    )
+
+    rdr = EventsReplayStreamReader(
+        {"path": f"{sf_dir}/events.parquet", "chunk": "500"}
+    )
+    start = rdr.initialOffset()
+    assert start == {"pos": 0}
+    it1, off1 = rdr.read(start)
+    batch1 = list(it1)
+    assert len(batch1) == 500
+    # failure recovery: re-reading between committed offsets is
+    # byte-identical
+    assert list(rdr.readBetweenOffsets(start, off1)) == batch1
+    # replay order pinned by event_id
+    ids = [r[0] for r in batch1]
+    assert ids == sorted(ids)
+    # drain to the end: the final read returns an empty batch at a fixed
+    # offset (processAllAvailable's termination condition)
+    off = off1
+    total = len(batch1)
+    while True:
+        it, nxt = rdr.read(off)
+        n = len(list(it))
+        total += n
+        if n == 0:
+            assert nxt == off
+            break
+        off = nxt
+    import duckdb
+
+    expect = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert total == expect

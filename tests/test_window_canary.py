@@ -12,6 +12,7 @@ from rad_database_parse_spark.registry import (
     _WINDOW_R5,
     _WINDOW_R6,
     _WINDOW_R7,
+    _WINDOW_R8,
     all_queries,
 )
 
@@ -20,7 +21,12 @@ def _expected_order():
     seen = set()
     return [
         n
-        for n in _WINDOW_R6 + _WINDOW_R7 + _WINDOW_R5 + _WINDOW_R3 + _WINDOW_R4
+        for n in _WINDOW_R6
+        + _WINDOW_R7
+        + _WINDOW_R8
+        + _WINDOW_R5
+        + _WINDOW_R3
+        + _WINDOW_R4
         if not (n in seen or seen.add(n))
     ]
 
@@ -31,6 +37,8 @@ def test_r6_window_leads():
     # the driver's correctness window
     assert names[: len(_WINDOW_R6)] == _WINDOW_R6
     assert len(_WINDOW_R6) == 50
+    # the round-7 window is pinned full at exactly 50 right behind it
+    assert len(_WINDOW_R7) == 50
 
 
 def test_full_pinned_order_holds():
@@ -49,11 +57,25 @@ def test_window_is_immune_to_direct_module_imports():
 
 
 def test_every_window_name_unique_and_registered():
-    for window in (_WINDOW_R3, _WINDOW_R4, _WINDOW_R5, _WINDOW_R6, _WINDOW_R7):
+    for window in (
+        _WINDOW_R3,
+        _WINDOW_R4,
+        _WINDOW_R5,
+        _WINDOW_R6,
+        _WINDOW_R7,
+        _WINDOW_R8,
+    ):
         assert len(set(window)) == len(window)
     registered = set(all_queries())
     assert (
-        set(_WINDOW_R3 + _WINDOW_R4 + _WINDOW_R5 + _WINDOW_R6 + _WINDOW_R7)
+        set(
+            _WINDOW_R3
+            + _WINDOW_R4
+            + _WINDOW_R5
+            + _WINDOW_R6
+            + _WINDOW_R7
+            + _WINDOW_R8
+        )
         <= registered
     )
 
