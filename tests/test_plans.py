@@ -413,6 +413,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "docs_minhash_recall_vs_exact",  # three count() actions in builder
         "txn_optimize_compact",  # commits create+optimize versions eagerly
         "orders_holt_recursive_forecast",  # bounded month-grain collect
+        "pyds_stream_events_replay",  # runs the streaming replay eagerly
     }
     whitelist = {
         # bounded input grain at ANY corpus size:
