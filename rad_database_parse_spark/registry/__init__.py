@@ -303,6 +303,12 @@ _WINDOW_R7: list[str] = [
 # r8's. CORRECTNESS_r07 failures get prepended when the file lands.
 _WINDOW_R8: list[str] = [
     "pyds_stream_events_replay",
+    "events_autocorrelation",
+    "emb_semantic_dedup",
+    "customer_kanon_generalize",
+    "docs_domain_cap_sample",
+    "lineitem_jackknife_ratio",
+    "emb_hard_negative_mining",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -334,6 +340,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round5d_ops  # noqa: F401
     from . import round6_ops  # noqa: F401
     from . import round6b_ops  # noqa: F401
+    from . import round6c_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
