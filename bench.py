@@ -252,6 +252,18 @@ EXTENDED_R6B = [
     "events_markov_stationary_power",
 ]
 
+# Round-6c governance/statistics additions (registry/round6c_ops.py).
+# Deliberately absent: pyds_stream_events_replay (streaming replay —
+# same trigger-loop-dominated rationale as stream_ivm_rollup_maintenance).
+EXTENDED_R6C = [
+    "events_autocorrelation",
+    "emb_semantic_dedup",
+    "customer_kanon_generalize",
+    "docs_domain_cap_sample",
+    "lineitem_jackknife_ratio",
+    "emb_hard_negative_mining",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -317,6 +329,7 @@ def main() -> int:
     extended_r5d = run(EXTENDED_R5D)
     extended_r6 = run(EXTENDED_R6)
     extended_r6b = run(EXTENDED_R6B)
+    extended_r6c = run(EXTENDED_R6C)
     all_timings = {
         **timings,
         **extended,
@@ -326,6 +339,7 @@ def main() -> int:
         **extended_r5d,
         **extended_r6,
         **extended_r6b,
+        **extended_r6c,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -339,6 +353,7 @@ def main() -> int:
         "value_extended_r5d": round(sum(extended_r5d.values()), 3),
         "value_extended_r6": round(sum(extended_r6.values()), 3),
         "value_extended_r6b": round(sum(extended_r6b.values()), 3),
+        "value_extended_r6c": round(sum(extended_r6c.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
