@@ -309,6 +309,12 @@ _WINDOW_R8: list[str] = [
     "docs_domain_cap_sample",
     "lineitem_jackknife_ratio",
     "emb_hard_negative_mining",
+    "events_mad_outlier_bounds",
+    "orders_psi_drift",
+    "orders_bootstrap_ci_poisson",
+    "docs_char_entropy",
+    "emb_jl_projection_distortion",
+    "lineitem_seasonal_decompose",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -341,6 +347,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6_ops  # noqa: F401
     from . import round6b_ops  # noqa: F401
     from . import round6c_ops  # noqa: F401
+    from . import round6d_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

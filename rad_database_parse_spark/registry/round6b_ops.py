@@ -3131,10 +3131,17 @@ def pyds_stream_events_replay(spark: SparkSession, sf_dir: str):
         ):
             partials.append((r.event_type, r.n, r.c))
 
+    import pyarrow.parquet as pq
+
+    # scale the micro-batch to the table so the replay spans several
+    # batches at EVERY sf (a fixed chunk collapses to one batch when the
+    # table is smaller than it — parquet footer read, no Spark job)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    chunk = max(1, n_rows // 4)
     stream = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")
-        .option("chunk", "2000")
+        .option("chunk", str(chunk))
         .load()
     )
     import shutil
