@@ -264,6 +264,16 @@ EXTENDED_R6C = [
     "emb_hard_negative_mining",
 ]
 
+# Round-6d robust-stats/resampling additions (registry/round6d_ops.py).
+EXTENDED_R6D = [
+    "events_mad_outlier_bounds",
+    "orders_psi_drift",
+    "orders_bootstrap_ci_poisson",
+    "docs_char_entropy",
+    "emb_jl_projection_distortion",
+    "lineitem_seasonal_decompose",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -330,6 +340,7 @@ def main() -> int:
     extended_r6 = run(EXTENDED_R6)
     extended_r6b = run(EXTENDED_R6B)
     extended_r6c = run(EXTENDED_R6C)
+    extended_r6d = run(EXTENDED_R6D)
     all_timings = {
         **timings,
         **extended,
@@ -340,6 +351,7 @@ def main() -> int:
         **extended_r6,
         **extended_r6b,
         **extended_r6c,
+        **extended_r6d,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -354,6 +366,7 @@ def main() -> int:
         "value_extended_r6": round(sum(extended_r6.values()), 3),
         "value_extended_r6b": round(sum(extended_r6b.values()), 3),
         "value_extended_r6c": round(sum(extended_r6c.values()), 3),
+        "value_extended_r6d": round(sum(extended_r6d.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
