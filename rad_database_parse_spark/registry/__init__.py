@@ -315,6 +315,12 @@ _WINDOW_R8: list[str] = [
     "docs_char_entropy",
     "emb_jl_projection_distortion",
     "lineitem_seasonal_decompose",
+    "orders_lift_gain_curve",
+    "customer_feature_matrix",
+    "lineitem_discount_qty_ols",
+    "gdpr_subject_access_extract",
+    "orders_xmr_control_chart",
+    "docs_normalization_collapse",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -348,6 +354,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6b_ops  # noqa: F401
     from . import round6c_ops  # noqa: F401
     from . import round6d_ops  # noqa: F401
+    from . import round6e_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

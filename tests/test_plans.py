@@ -428,6 +428,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "events_slo_burn_alerts",       # calendar-hour grain trailing frame
         "docs_zipf_rank_freq",          # rank window AFTER the top-50 limit
         "lineitem_seasonal_decompose",  # calendar-month grain row index
+        "orders_xmr_control_chart",     # calendar-month grain row index
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
