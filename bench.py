@@ -274,6 +274,16 @@ EXTENDED_R6D = [
     "lineitem_seasonal_decompose",
 ]
 
+# Round-6e ML-eval/feature/governance additions (registry/round6e_ops.py).
+EXTENDED_R6E = [
+    "orders_lift_gain_curve",
+    "customer_feature_matrix",
+    "lineitem_discount_qty_ols",
+    "gdpr_subject_access_extract",
+    "orders_xmr_control_chart",
+    "docs_normalization_collapse",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -341,6 +351,7 @@ def main() -> int:
     extended_r6b = run(EXTENDED_R6B)
     extended_r6c = run(EXTENDED_R6C)
     extended_r6d = run(EXTENDED_R6D)
+    extended_r6e = run(EXTENDED_R6E)
     all_timings = {
         **timings,
         **extended,
@@ -352,6 +363,7 @@ def main() -> int:
         **extended_r6b,
         **extended_r6c,
         **extended_r6d,
+        **extended_r6e,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -367,6 +379,7 @@ def main() -> int:
         "value_extended_r6b": round(sum(extended_r6b.values()), 3),
         "value_extended_r6c": round(sum(extended_r6c.values()), 3),
         "value_extended_r6d": round(sum(extended_r6d.values()), 3),
+        "value_extended_r6e": round(sum(extended_r6e.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
