@@ -321,6 +321,12 @@ _WINDOW_R8: list[str] = [
     "gdpr_subject_access_extract",
     "orders_xmr_control_chart",
     "docs_normalization_collapse",
+    "orders_lineitem_reconciliation",
+    "orders_column_profile",
+    "nation_budget_largest_remainder",
+    "docs_kwic_concordance",
+    "events_ab_sequential_monitor",
+    "emb_farthest_first_centers",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -355,6 +361,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6c_ops  # noqa: F401
     from . import round6d_ops  # noqa: F401
     from . import round6e_ops  # noqa: F401
+    from . import round6f_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
