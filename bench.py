@@ -284,6 +284,17 @@ EXTENDED_R6E = [
     "docs_normalization_collapse",
 ]
 
+# Round-6f reconciliation/profiling/testing additions
+# (registry/round6f_ops.py).
+EXTENDED_R6F = [
+    "orders_lineitem_reconciliation",
+    "orders_column_profile",
+    "nation_budget_largest_remainder",
+    "docs_kwic_concordance",
+    "events_ab_sequential_monitor",
+    "emb_farthest_first_centers",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -352,6 +363,7 @@ def main() -> int:
     extended_r6c = run(EXTENDED_R6C)
     extended_r6d = run(EXTENDED_R6D)
     extended_r6e = run(EXTENDED_R6E)
+    extended_r6f = run(EXTENDED_R6F)
     all_timings = {
         **timings,
         **extended,
@@ -364,6 +376,7 @@ def main() -> int:
         **extended_r6c,
         **extended_r6d,
         **extended_r6e,
+        **extended_r6f,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -380,6 +393,7 @@ def main() -> int:
         "value_extended_r6c": round(sum(extended_r6c.values()), 3),
         "value_extended_r6d": round(sum(extended_r6d.values()), 3),
         "value_extended_r6e": round(sum(extended_r6e.values()), 3),
+        "value_extended_r6f": round(sum(extended_r6f.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
