@@ -327,6 +327,12 @@ _WINDOW_R8: list[str] = [
     "docs_kwic_concordance",
     "events_ab_sequential_monitor",
     "emb_farthest_first_centers",
+    "docs_source_keyness_g2",
+    "events_power_analysis_grid",
+    "emb_bucket_label_ari",
+    "orders_duplicate_payment_audit",
+    "events_gap_outage_report",
+    "events_salted_twophase_agg",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -362,6 +368,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6d_ops  # noqa: F401
     from . import round6e_ops  # noqa: F401
     from . import round6f_ops  # noqa: F401
+    from . import round6g_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
