@@ -295,6 +295,16 @@ EXTENDED_R6F = [
     "emb_farthest_first_centers",
 ]
 
+# Round-6g keyness/eval/audit additions (registry/round6g_ops.py).
+EXTENDED_R6G = [
+    "docs_source_keyness_g2",
+    "events_power_analysis_grid",
+    "emb_bucket_label_ari",
+    "orders_duplicate_payment_audit",
+    "events_gap_outage_report",
+    "events_salted_twophase_agg",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -364,6 +374,7 @@ def main() -> int:
     extended_r6d = run(EXTENDED_R6D)
     extended_r6e = run(EXTENDED_R6E)
     extended_r6f = run(EXTENDED_R6F)
+    extended_r6g = run(EXTENDED_R6G)
     all_timings = {
         **timings,
         **extended,
@@ -377,6 +388,7 @@ def main() -> int:
         **extended_r6d,
         **extended_r6e,
         **extended_r6f,
+        **extended_r6g,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -394,6 +406,7 @@ def main() -> int:
         "value_extended_r6d": round(sum(extended_r6d.values()), 3),
         "value_extended_r6e": round(sum(extended_r6e.values()), 3),
         "value_extended_r6f": round(sum(extended_r6f.values()), 3),
+        "value_extended_r6g": round(sum(extended_r6g.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
