@@ -333,6 +333,11 @@ _WINDOW_R8: list[str] = [
     "orders_duplicate_payment_audit",
     "events_gap_outage_report",
     "events_salted_twophase_agg",
+    "orders_cohort_ltv_curve",
+    "part_substitute_candidates",
+    "supplier_otif_scorecard",
+    "docs_pmi_collocations",
+    "emb_dimension_isotropy_audit",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -369,6 +374,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6e_ops  # noqa: F401
     from . import round6f_ops  # noqa: F401
     from . import round6g_ops  # noqa: F401
+    from . import round6h_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
