@@ -305,6 +305,16 @@ EXTENDED_R6G = [
     "events_salted_twophase_agg",
 ]
 
+# Round-6h cohort/assortment/supply/text/embedding additions
+# (registry/round6h_ops.py).
+EXTENDED_R6H = [
+    "orders_cohort_ltv_curve",
+    "part_substitute_candidates",
+    "supplier_otif_scorecard",
+    "docs_pmi_collocations",
+    "emb_dimension_isotropy_audit",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -375,6 +385,7 @@ def main() -> int:
     extended_r6e = run(EXTENDED_R6E)
     extended_r6f = run(EXTENDED_R6F)
     extended_r6g = run(EXTENDED_R6G)
+    extended_r6h = run(EXTENDED_R6H)
     all_timings = {
         **timings,
         **extended,
@@ -389,6 +400,7 @@ def main() -> int:
         **extended_r6e,
         **extended_r6f,
         **extended_r6g,
+        **extended_r6h,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -407,6 +419,7 @@ def main() -> int:
         "value_extended_r6e": round(sum(extended_r6e.values()), 3),
         "value_extended_r6f": round(sum(extended_r6f.values()), 3),
         "value_extended_r6g": round(sum(extended_r6g.values()), 3),
+        "value_extended_r6h": round(sum(extended_r6h.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
