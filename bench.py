@@ -308,7 +308,6 @@ EXTENDED_R6G = [
 # Round-6h cohort/assortment/supply/text/embedding additions
 # (registry/round6h_ops.py).
 EXTENDED_R6H = [
-    "orders_cohort_ltv_curve",
     "part_substitute_candidates",
     "supplier_otif_scorecard",
     "docs_pmi_collocations",

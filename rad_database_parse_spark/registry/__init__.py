@@ -333,7 +333,6 @@ _WINDOW_R8: list[str] = [
     "orders_duplicate_payment_audit",
     "events_gap_outage_report",
     "events_salted_twophase_agg",
-    "orders_cohort_ltv_curve",
     "part_substitute_candidates",
     "supplier_otif_scorecard",
     "docs_pmi_collocations",

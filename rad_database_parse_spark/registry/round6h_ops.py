@@ -1,128 +1,22 @@
-"""Round-6h operators: cohort economics, assortment matching,
+"""Round-6h operators: assortment matching,
 supply-chain KPIs, collocation mining, and embedding-space audits.
 
-Five more platform operators: the cohort LTV curve (cumulative revenue
-per acquisition cohort by age), substitute-product candidate pairs
+Four more platform operators: substitute-product candidate pairs
 (blocked price-proximity matching), a supplier on-time scorecard
 (OTIF), PMI collocation extraction over the document corpus, and a
 per-dimension isotropy audit of the embedding space (the health check
-before cosine/IP index choices).
+before cosine/IP index choices). (The cohort LTV curve planned for
+this batch already exists as round5d's orders_cohort_ltv_curve.)
 
 Same parity contract as the rest of the registry."""
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from . import register
 from ._util import dec, t
-
-# ------------------------------------------------------------------
-# 1. orders_cohort_ltv_curve — cumulative revenue by cohort age
-# ------------------------------------------------------------------
-
-
-@register(
-    "orders_cohort_ltv_curve",
-    """
-    WITH o AS (
-      SELECT o_custkey,
-             (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
-             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-               AS cents
-      FROM orders),
-    cohort AS (
-      SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY o_custkey),
-    sizes AS (
-      SELECT cohort_ym, COUNT(*) AS n_custs FROM cohort GROUP BY cohort_ym),
-    per AS (
-      SELECT c.cohort_ym, o.ym - c.cohort_ym AS age_months,
-             SUM(o.cents) AS period_cents
-      FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
-      GROUP BY c.cohort_ym, o.ym - c.cohort_ym),
-    cum AS (
-      SELECT a.cohort_ym, a.age_months, a.period_cents,
-             SUM(b.period_cents) AS cum_cents
-      FROM per a JOIN per b
-        ON a.cohort_ym = b.cohort_ym AND b.age_months <= a.age_months
-      GROUP BY a.cohort_ym, a.age_months, a.period_cents)
-    SELECT CAST(cum.cohort_ym AS INT) AS cohort_ym,
-           CAST(cum.age_months AS INT) AS age_months,
-           CAST(sizes.n_custs AS BIGINT) AS n_custs,
-           CAST(cum.period_cents AS BIGINT) AS period_cents,
-           CAST(cum.cum_cents AS BIGINT) AS cum_cents,
-           CAST(cum.cum_cents // sizes.n_custs AS BIGINT)
-             AS cum_ltv_per_cust_cents
-    FROM cum JOIN sizes ON cum.cohort_ym = sizes.cohort_ym
-    ORDER BY cohort_ym, age_months
-    """,
-)
-def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str):
-    """Cohort LTV curve — cumulative revenue per acquisition cohort by
-    months-since-first-order, the unit-economics readout behind every
-    payback-period and CAC decision (cohort_retention counts WHO comes
-    back; this measures WHAT they spend). Cohort assignment is one
-    custkey groupBy (min month); the curve aggregates to
-    (cohort × age) grain — calendar-bounded both ways, so the
-    cumulative stage (a cohort-keyed band self-join, no fact-grain
-    window) is metadata-sized at any corpus scale. Months encode as
-    exact integers (y·12+m), money as exact cents, per-customer LTV as
-    floor division — no float anywhere."""
-    o = t(spark, sf_dir, "orders")
-    base = o.select(
-        "o_custkey",
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
-        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
-    cohort = base.groupBy("o_custkey").agg(
-        F.min("ym").alias("cohort_ym")
-    )
-    sizes = cohort.groupBy("cohort_ym").agg(
-        F.count("*").alias("n_custs")
-    )
-    per = (
-        base.join(cohort, "o_custkey")
-        .groupBy(
-            "cohort_ym",
-            (F.col("ym") - F.col("cohort_ym")).alias("age_months"),
-        )
-        .agg(F.sum("cents").alias("period_cents"))
-    )
-    a = per.select(
-        "cohort_ym",
-        "age_months",
-        "period_cents",
-    )
-    b = per.select(
-        F.col("cohort_ym").alias("cohort_b"),
-        F.col("age_months").alias("age_b"),
-        F.col("period_cents").alias("cents_b"),
-    )
-    cum = (
-        a.join(
-            b,
-            (F.col("cohort_b") == F.col("cohort_ym"))
-            & (F.col("age_b") <= F.col("age_months")),
-        )
-        .groupBy("cohort_ym", "age_months", "period_cents")
-        .agg(F.sum("cents_b").alias("cum_cents"))
-    )
-    return (
-        cum.join(F.broadcast(sizes), "cohort_ym")
-        .select(
-            F.col("cohort_ym").cast("int"),
-            F.col("age_months").cast("int"),
-            F.col("n_custs").cast("bigint"),
-            F.col("period_cents").cast("bigint"),
-            F.col("cum_cents").cast("bigint"),
-            F.expr(
-                "CAST(cum_cents div n_custs AS BIGINT)"
-            ).alias("cum_ltv_per_cust_cents"),
-        )
-        .orderBy("cohort_ym", "age_months")
-    )
-
 
 # ------------------------------------------------------------------
 # 2. part_substitute_candidates — blocked price-proximity matching
