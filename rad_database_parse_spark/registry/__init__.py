@@ -32,6 +32,11 @@ _REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn):
+        if name in _REGISTRY:  # a silent overwrite once hid a whole op
+            raise ValueError(
+                f"duplicate registry name {name!r}: already registered by "
+                f"{_REGISTRY[name].fn.__module__}"
+            )
         _REGISTRY[name] = QueryDef(fn=fn, oracle=oracle)
         return fn
 
