@@ -342,6 +342,12 @@ _WINDOW_R8: list[str] = [
     "supplier_otif_scorecard",
     "docs_pmi_collocations",
     "emb_dimension_isotropy_audit",
+    "part_type_eoq_plan",
+    "orders_yoy_growth",
+    "region_supply_locality",
+    "events_growth_accounting",
+    "emb_fisher_discriminant_ratio",
+    "events_user_behavior_entropy",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -379,6 +385,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6f_ops  # noqa: F401
     from . import round6g_ops  # noqa: F401
     from . import round6h_ops  # noqa: F401
+    from . import round6i_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
