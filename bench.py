@@ -314,6 +314,17 @@ EXTENDED_R6H = [
     "emb_dimension_isotropy_audit",
 ]
 
+# Round-6i planning/growth/supply/embedding additions
+# (registry/round6i_ops.py).
+EXTENDED_R6I = [
+    "part_type_eoq_plan",
+    "orders_yoy_growth",
+    "region_supply_locality",
+    "events_growth_accounting",
+    "emb_fisher_discriminant_ratio",
+    "events_user_behavior_entropy",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -385,6 +396,7 @@ def main() -> int:
     extended_r6f = run(EXTENDED_R6F)
     extended_r6g = run(EXTENDED_R6G)
     extended_r6h = run(EXTENDED_R6H)
+    extended_r6i = run(EXTENDED_R6I)
     all_timings = {
         **timings,
         **extended,
@@ -400,6 +412,7 @@ def main() -> int:
         **extended_r6f,
         **extended_r6g,
         **extended_r6h,
+        **extended_r6i,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -419,6 +432,7 @@ def main() -> int:
         "value_extended_r6f": round(sum(extended_r6f.values()), 3),
         "value_extended_r6g": round(sum(extended_r6g.values()), 3),
         "value_extended_r6h": round(sum(extended_r6h.values()), 3),
+        "value_extended_r6i": round(sum(extended_r6i.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
