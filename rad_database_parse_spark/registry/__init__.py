@@ -348,6 +348,12 @@ _WINDOW_R8: list[str] = [
     "events_growth_accounting",
     "emb_fisher_discriminant_ratio",
     "events_user_behavior_entropy",
+    "orders_runs_test",
+    "docs_stopword_induction",
+    "part_single_source_risk",
+    "events_hourly_peaks",
+    "part_xyz_variability_classes",
+    "orders_partition_layout_advisor",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -386,6 +392,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6g_ops  # noqa: F401
     from . import round6h_ops  # noqa: F401
     from . import round6i_ops  # noqa: F401
+    from . import round6j_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

@@ -429,6 +429,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "docs_zipf_rank_freq",          # rank window AFTER the top-50 limit
         "lineitem_seasonal_decompose",  # calendar-month grain row index
         "orders_xmr_control_chart",     # calendar-month grain row index
+        "orders_runs_test",             # calendar-month grain sign lag
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
