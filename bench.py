@@ -325,6 +325,17 @@ EXTENDED_R6I = [
     "events_user_behavior_entropy",
 ]
 
+# Round-6j randomness/curation/procurement/layout additions
+# (registry/round6j_ops.py).
+EXTENDED_R6J = [
+    "orders_runs_test",
+    "docs_stopword_induction",
+    "part_single_source_risk",
+    "events_hourly_peaks",
+    "part_xyz_variability_classes",
+    "orders_partition_layout_advisor",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -397,6 +408,7 @@ def main() -> int:
     extended_r6g = run(EXTENDED_R6G)
     extended_r6h = run(EXTENDED_R6H)
     extended_r6i = run(EXTENDED_R6I)
+    extended_r6j = run(EXTENDED_R6J)
     all_timings = {
         **timings,
         **extended,
@@ -413,6 +425,7 @@ def main() -> int:
         **extended_r6g,
         **extended_r6h,
         **extended_r6i,
+        **extended_r6j,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -433,6 +446,7 @@ def main() -> int:
         "value_extended_r6g": round(sum(extended_r6g.values()), 3),
         "value_extended_r6h": round(sum(extended_r6h.values()), 3),
         "value_extended_r6i": round(sum(extended_r6i.values()), 3),
+        "value_extended_r6j": round(sum(extended_r6j.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
