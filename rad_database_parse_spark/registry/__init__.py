@@ -354,6 +354,9 @@ _WINDOW_R8: list[str] = [
     "events_hourly_peaks",
     "part_xyz_variability_classes",
     "orders_partition_layout_advisor",
+    "customer_acquisition_pace",
+    "part_chained_price_index",
+    "orders_fd_discovery",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -393,6 +396,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6h_ops  # noqa: F401
     from . import round6i_ops  # noqa: F401
     from . import round6j_ops  # noqa: F401
+    from . import round6k_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
