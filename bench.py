@@ -336,6 +336,13 @@ EXTENDED_R6J = [
     "orders_partition_layout_advisor",
 ]
 
+# Round-6k acquisition/index/profiling additions (registry/round6k_ops.py).
+EXTENDED_R6K = [
+    "customer_acquisition_pace",
+    "part_chained_price_index",
+    "orders_fd_discovery",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -409,6 +416,7 @@ def main() -> int:
     extended_r6h = run(EXTENDED_R6H)
     extended_r6i = run(EXTENDED_R6I)
     extended_r6j = run(EXTENDED_R6J)
+    extended_r6k = run(EXTENDED_R6K)
     all_timings = {
         **timings,
         **extended,
@@ -426,6 +434,7 @@ def main() -> int:
         **extended_r6h,
         **extended_r6i,
         **extended_r6j,
+        **extended_r6k,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -447,6 +456,7 @@ def main() -> int:
         "value_extended_r6h": round(sum(extended_r6h.values()), 3),
         "value_extended_r6i": round(sum(extended_r6i.values()), 3),
         "value_extended_r6j": round(sum(extended_r6j.values()), 3),
+        "value_extended_r6k": round(sum(extended_r6k.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
