@@ -359,6 +359,14 @@ _WINDOW_R8: list[str] = [
     "orders_fd_discovery",
 ]
 
+# Round-9 window seed: _WINDOW_R8 is full (exactly 50), so queries
+# registered after it queue here — behind the r8 rotation, leading r9's.
+_WINDOW_R9: list[str] = [
+    "docs_js_divergence_sources",
+    "emb_pairwise_distance_histogram",
+    "orders_seasonal_strength_anova",
+]
+
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
     "llm_ops",
@@ -397,6 +405,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6i_ops  # noqa: F401
     from . import round6j_ops  # noqa: F401
     from . import round6k_ops  # noqa: F401
+    from . import round6l_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
@@ -409,6 +418,7 @@ def all_queries() -> dict[str, QueryDef]:
         for n in _WINDOW_R6
         + _WINDOW_R7
         + _WINDOW_R8
+        + _WINDOW_R9
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4

@@ -13,6 +13,7 @@ from rad_database_parse_spark.registry import (
     _WINDOW_R6,
     _WINDOW_R7,
     _WINDOW_R8,
+    _WINDOW_R9,
     all_queries,
 )
 
@@ -24,6 +25,7 @@ def _expected_order():
         for n in _WINDOW_R6
         + _WINDOW_R7
         + _WINDOW_R8
+        + _WINDOW_R9
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4
@@ -37,8 +39,9 @@ def test_r6_window_leads():
     # the driver's correctness window
     assert names[: len(_WINDOW_R6)] == _WINDOW_R6
     assert len(_WINDOW_R6) == 50
-    # the round-7 window is pinned full at exactly 50 right behind it
+    # the round-7 and round-8 windows are pinned full at exactly 50
     assert len(_WINDOW_R7) == 50
+    assert len(_WINDOW_R8) == 50
 
 
 def test_full_pinned_order_holds():
@@ -64,6 +67,7 @@ def test_every_window_name_unique_and_registered():
         _WINDOW_R6,
         _WINDOW_R7,
         _WINDOW_R8,
+        _WINDOW_R9,
     ):
         assert len(set(window)) == len(window)
     registered = set(all_queries())
@@ -75,6 +79,7 @@ def test_every_window_name_unique_and_registered():
             + _WINDOW_R6
             + _WINDOW_R7
             + _WINDOW_R8
+            + _WINDOW_R9
         )
         <= registered
     )
