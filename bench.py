@@ -343,6 +343,14 @@ EXTENDED_R6K = [
     "orders_fd_discovery",
 ]
 
+# Round-6l divergence/geometry/seasonality additions
+# (registry/round6l_ops.py).
+EXTENDED_R6L = [
+    "docs_js_divergence_sources",
+    "emb_pairwise_distance_histogram",
+    "orders_seasonal_strength_anova",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -417,6 +425,7 @@ def main() -> int:
     extended_r6i = run(EXTENDED_R6I)
     extended_r6j = run(EXTENDED_R6J)
     extended_r6k = run(EXTENDED_R6K)
+    extended_r6l = run(EXTENDED_R6L)
     all_timings = {
         **timings,
         **extended,
@@ -435,6 +444,7 @@ def main() -> int:
         **extended_r6i,
         **extended_r6j,
         **extended_r6k,
+        **extended_r6l,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -457,6 +467,7 @@ def main() -> int:
         "value_extended_r6i": round(sum(extended_r6i.values()), 3),
         "value_extended_r6j": round(sum(extended_r6j.values()), 3),
         "value_extended_r6k": round(sum(extended_r6k.values()), 3),
+        "value_extended_r6l": round(sum(extended_r6l.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }
