@@ -351,6 +351,39 @@ EXTENDED_R6L = [
     "orders_seasonal_strength_anova",
 ]
 
+# Round-7a TPC-H completion over the derived partsupp dimension
+# (registry/round7_ops.py) — the full 22-query TPC-H surface now benches.
+EXTENDED_R7 = [
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_latency_priority",
+    "q16_supplier_part_count",
+    "q20_surplus_stock_suppliers",
+]
+
+# Round-7b rank-statistics/inequality/HITS additions
+# (registry/round7b_ops.py).
+EXTENDED_R7B = [
+    "lineitem_spearman_rho",
+    "events_kruskal_wallis",
+    "events_welch_ttest",
+    "customer_lorenz_deciles",
+    "customer_theil_index",
+    "graph_hits_bipartite",
+]
+
+# Round-7c quality-model/trend/cluster-eval/elasticity/PPR additions
+# (registry/round7c_ops.py).
+EXTENDED_R7C = [
+    "docs_quality_linear_classifier",
+    "orders_cochran_armitage_trend",
+    "emb_silhouette_buckets",
+    "lineitem_cohens_d_matrix",
+    "part_price_elasticity_loglog",
+    "graph_ppr_seed_part",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -426,6 +459,9 @@ def main() -> int:
     extended_r6j = run(EXTENDED_R6J)
     extended_r6k = run(EXTENDED_R6K)
     extended_r6l = run(EXTENDED_R6L)
+    extended_r7 = run(EXTENDED_R7)
+    extended_r7b = run(EXTENDED_R7B)
+    extended_r7c = run(EXTENDED_R7C)
     all_timings = {
         **timings,
         **extended,
@@ -445,6 +481,9 @@ def main() -> int:
         **extended_r6j,
         **extended_r6k,
         **extended_r6l,
+        **extended_r7,
+        **extended_r7b,
+        **extended_r7c,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -468,6 +507,9 @@ def main() -> int:
         "value_extended_r6j": round(sum(extended_r6j.values()), 3),
         "value_extended_r6k": round(sum(extended_r6k.values()), 3),
         "value_extended_r6l": round(sum(extended_r6l.values()), 3),
+        "value_extended_r7": round(sum(extended_r7.values()), 3),
+        "value_extended_r7b": round(sum(extended_r7b.values()), 3),
+        "value_extended_r7c": round(sum(extended_r7c.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -365,6 +365,30 @@ _WINDOW_R9: list[str] = [
     "docs_js_divergence_sources",
     "emb_pairwise_distance_histogram",
     "orders_seasonal_strength_anova",
+    # round-7a TPC-H completion over the derived partsupp dimension
+    # (registry/round7_ops.py)
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_latency_priority",
+    "q16_supplier_part_count",
+    "q20_surplus_stock_suppliers",
+    # round-7b rank-statistics / inequality / HITS ops
+    # (registry/round7b_ops.py)
+    "lineitem_spearman_rho",
+    "events_kruskal_wallis",
+    "events_welch_ttest",
+    "customer_lorenz_deciles",
+    "customer_theil_index",
+    "graph_hits_bipartite",
+    # round-7c quality-model / trend / cluster-eval / elasticity / PPR ops
+    # (registry/round7c_ops.py)
+    "docs_quality_linear_classifier",
+    "orders_cochran_armitage_trend",
+    "emb_silhouette_buckets",
+    "lineitem_cohens_d_matrix",
+    "part_price_elasticity_loglog",
+    "graph_ppr_seed_part",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -406,6 +430,9 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round6j_ops  # noqa: F401
     from . import round6k_ops  # noqa: F401
     from . import round6l_ops  # noqa: F401
+    from . import round7_ops  # noqa: F401
+    from . import round7b_ops  # noqa: F401
+    from . import round7c_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

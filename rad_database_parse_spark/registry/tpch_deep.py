@@ -1,9 +1,9 @@
 """Deeper TPC-H-style relational coverage (SURVEY §2C relational surface).
 
-The remaining TPC-H query shapes expressible on the driver testdata (which
-has no ``partsupp`` table, so Q2/Q9/Q11/Q16/Q20 are out of scope, and no
-``l_shipmode``/``l_commitdate``/``l_receiptdate`` columns, so Q12's
-shipmode-commit-receipt predicate stack is too; Q22 lives in
+The remaining TPC-H query shapes directly expressible on the driver
+testdata (Q2/Q9/Q11/Q16/Q20 — blocked here by the missing ``partsupp``
+table — and a shipmode-free Q12 live in ``round7_ops.py`` over a derived
+partsupp dimension, completing the 22-query surface; Q22 lives in
 core_relational as ``q22_idle_customers``): Q6
 forecast-revenue scan-agg, Q8 market-share with a dimension self-join, Q13
 outer-join count distribution, Q14 promo share, Q15 view + max-equality

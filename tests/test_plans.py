@@ -430,6 +430,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "lineitem_seasonal_decompose",  # calendar-month grain row index
         "orders_xmr_control_chart",     # calendar-month grain row index
         "orders_runs_test",             # calendar-month grain sign lag
+        "customer_lorenz_deciles",      # decile grain (10 rows)
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
