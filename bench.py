@@ -384,6 +384,17 @@ EXTENDED_R7C = [
     "graph_ppr_seed_part",
 ]
 
+# Round-7d textrank/MLM-plan/hashing/pipe-SQL/aging/OOD additions
+# (registry/round7d_ops.py).
+EXTENDED_R7D = [
+    "docs_textrank_keywords",
+    "docs_mlm_span_corruption_plan",
+    "events_feature_hashing_matrix",
+    "sql_pipe_syntax_revenue",
+    "orders_open_order_aging_snapshot",
+    "emb_mahalanobis_ood_diag",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -462,6 +473,7 @@ def main() -> int:
     extended_r7 = run(EXTENDED_R7)
     extended_r7b = run(EXTENDED_R7B)
     extended_r7c = run(EXTENDED_R7C)
+    extended_r7d = run(EXTENDED_R7D)
     all_timings = {
         **timings,
         **extended,
@@ -484,6 +496,7 @@ def main() -> int:
         **extended_r7,
         **extended_r7b,
         **extended_r7c,
+        **extended_r7d,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -510,6 +523,7 @@ def main() -> int:
         "value_extended_r7": round(sum(extended_r7.values()), 3),
         "value_extended_r7b": round(sum(extended_r7b.values()), 3),
         "value_extended_r7c": round(sum(extended_r7c.values()), 3),
+        "value_extended_r7d": round(sum(extended_r7d.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

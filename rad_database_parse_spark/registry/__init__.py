@@ -389,6 +389,14 @@ _WINDOW_R9: list[str] = [
     "lineitem_cohens_d_matrix",
     "part_price_elasticity_loglog",
     "graph_ppr_seed_part",
+    # round-7d textrank / MLM-plan / hashing / pipe-SQL / aging / OOD ops
+    # (registry/round7d_ops.py)
+    "docs_textrank_keywords",
+    "docs_mlm_span_corruption_plan",
+    "events_feature_hashing_matrix",
+    "sql_pipe_syntax_revenue",
+    "orders_open_order_aging_snapshot",
+    "emb_mahalanobis_ood_diag",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -433,6 +441,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7_ops  # noqa: F401
     from . import round7b_ops  # noqa: F401
     from . import round7c_ops  # noqa: F401
+    from . import round7d_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
