@@ -395,6 +395,17 @@ EXTENDED_R7D = [
     "emb_mahalanobis_ood_diag",
 ]
 
+# Round-7e index/EVT/assortativity/Croston/audit/fit additions
+# (registry/round7e_ops.py).
+EXTENDED_R7E = [
+    "part_tornqvist_price_index",
+    "events_peak_over_threshold_tail",
+    "graph_degree_assortativity",
+    "part_croston_intermittent_demand",
+    "lineitem_price_band_outliers",
+    "orders_totalprice_lognormal_fit",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -474,6 +485,7 @@ def main() -> int:
     extended_r7b = run(EXTENDED_R7B)
     extended_r7c = run(EXTENDED_R7C)
     extended_r7d = run(EXTENDED_R7D)
+    extended_r7e = run(EXTENDED_R7E)
     all_timings = {
         **timings,
         **extended,
@@ -497,6 +509,7 @@ def main() -> int:
         **extended_r7b,
         **extended_r7c,
         **extended_r7d,
+        **extended_r7e,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -524,6 +537,7 @@ def main() -> int:
         "value_extended_r7b": round(sum(extended_r7b.values()), 3),
         "value_extended_r7c": round(sum(extended_r7c.values()), 3),
         "value_extended_r7d": round(sum(extended_r7d.values()), 3),
+        "value_extended_r7e": round(sum(extended_r7e.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

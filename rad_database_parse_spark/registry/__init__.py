@@ -397,6 +397,14 @@ _WINDOW_R9: list[str] = [
     "sql_pipe_syntax_revenue",
     "orders_open_order_aging_snapshot",
     "emb_mahalanobis_ood_diag",
+    # round-7e index/EVT/assortativity/Croston/audit/fit ops
+    # (registry/round7e_ops.py)
+    "part_tornqvist_price_index",
+    "events_peak_over_threshold_tail",
+    "graph_degree_assortativity",
+    "part_croston_intermittent_demand",
+    "lineitem_price_band_outliers",
+    "orders_totalprice_lognormal_fit",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -442,6 +450,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7b_ops  # noqa: F401
     from . import round7c_ops  # noqa: F401
     from . import round7d_ops  # noqa: F401
+    from . import round7e_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
