@@ -406,6 +406,18 @@ EXTENDED_R7E = [
     "orders_totalprice_lognormal_fit",
 ]
 
+# Round-7f bandit/drift/backtest/ANOVA/newsvendor additions
+# (registry/round7f_ops.py). Deliberately absent:
+# txn_concurrent_conflict_retry (runs the two-writer commit race
+# eagerly — the txn-trio rationale).
+EXTENDED_R7F = [
+    "events_ucb_arm_allocation",
+    "orders_wasserstein_year_drift",
+    "orders_forecast_scoreboard_mape",
+    "customer_segment_value_anova",
+    "part_newsvendor_stock_quantile",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -486,6 +498,7 @@ def main() -> int:
     extended_r7c = run(EXTENDED_R7C)
     extended_r7d = run(EXTENDED_R7D)
     extended_r7e = run(EXTENDED_R7E)
+    extended_r7f = run(EXTENDED_R7F)
     all_timings = {
         **timings,
         **extended,
@@ -510,6 +523,7 @@ def main() -> int:
         **extended_r7c,
         **extended_r7d,
         **extended_r7e,
+        **extended_r7f,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -538,6 +552,7 @@ def main() -> int:
         "value_extended_r7c": round(sum(extended_r7c.values()), 3),
         "value_extended_r7d": round(sum(extended_r7d.values()), 3),
         "value_extended_r7e": round(sum(extended_r7e.values()), 3),
+        "value_extended_r7f": round(sum(extended_r7f.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

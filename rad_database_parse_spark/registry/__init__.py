@@ -405,6 +405,14 @@ _WINDOW_R9: list[str] = [
     "part_croston_intermittent_demand",
     "lineitem_price_band_outliers",
     "orders_totalprice_lognormal_fit",
+    # round-7f txn-concurrency / bandit / drift / backtest / ANOVA /
+    # newsvendor ops (registry/round7f_ops.py)
+    "txn_concurrent_conflict_retry",
+    "events_ucb_arm_allocation",
+    "orders_wasserstein_year_drift",
+    "orders_forecast_scoreboard_mape",
+    "customer_segment_value_anova",
+    "part_newsvendor_stock_quantile",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -451,6 +459,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7c_ops  # noqa: F401
     from . import round7d_ops  # noqa: F401
     from . import round7e_ops  # noqa: F401
+    from . import round7f_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

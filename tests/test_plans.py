@@ -414,6 +414,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "txn_optimize_compact",  # commits create+optimize versions eagerly
         "orders_holt_recursive_forecast",  # bounded month-grain collect
         "pyds_stream_events_replay",  # runs the streaming replay eagerly
+        "txn_concurrent_conflict_retry",  # runs the two-writer race eagerly
     }
     whitelist = {
         # bounded input grain at ANY corpus size:
@@ -431,6 +432,8 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "orders_xmr_control_chart",     # calendar-month grain row index
         "orders_runs_test",             # calendar-month grain sign lag
         "customer_lorenz_deciles",      # decile grain (10 rows)
+        "orders_wasserstein_year_drift",  # fixed $20-bin grid (bounded)
+        "orders_forecast_scoreboard_mape",  # calendar-month grain lags
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
