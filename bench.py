@@ -418,6 +418,17 @@ EXTENDED_R7F = [
     "part_newsvendor_stock_quantile",
 ]
 
+# Round-7g shrinkage/sensitivity/RDD/retrieval/planner/experiment
+# additions (registry/round7g_ops.py).
+EXTENDED_R7G = [
+    "lineitem_return_rate_bayes_shrinkage",
+    "customer_churn_cutoff_sensitivity",
+    "lineitem_qty24_rdd_discount",
+    "docs_query_likelihood_retrieval",
+    "emb_ivf_sharding_plan",
+    "customer_ab_stratified_assignment",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -499,6 +510,7 @@ def main() -> int:
     extended_r7d = run(EXTENDED_R7D)
     extended_r7e = run(EXTENDED_R7E)
     extended_r7f = run(EXTENDED_R7F)
+    extended_r7g = run(EXTENDED_R7G)
     all_timings = {
         **timings,
         **extended,
@@ -524,6 +536,7 @@ def main() -> int:
         **extended_r7d,
         **extended_r7e,
         **extended_r7f,
+        **extended_r7g,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -553,6 +566,7 @@ def main() -> int:
         "value_extended_r7d": round(sum(extended_r7d.values()), 3),
         "value_extended_r7e": round(sum(extended_r7e.values()), 3),
         "value_extended_r7f": round(sum(extended_r7f.values()), 3),
+        "value_extended_r7g": round(sum(extended_r7g.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -413,6 +413,14 @@ _WINDOW_R9: list[str] = [
     "orders_forecast_scoreboard_mape",
     "customer_segment_value_anova",
     "part_newsvendor_stock_quantile",
+    # round-7g shrinkage / sensitivity / RDD / retrieval / planner /
+    # experiment ops (registry/round7g_ops.py)
+    "lineitem_return_rate_bayes_shrinkage",
+    "customer_churn_cutoff_sensitivity",
+    "lineitem_qty24_rdd_discount",
+    "docs_query_likelihood_retrieval",
+    "emb_ivf_sharding_plan",
+    "customer_ab_stratified_assignment",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -460,6 +468,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7d_ops  # noqa: F401
     from . import round7e_ops  # noqa: F401
     from . import round7f_ops  # noqa: F401
+    from . import round7g_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
