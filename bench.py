@@ -429,6 +429,16 @@ EXTENDED_R7G = [
     "customer_ab_stratified_assignment",
 ]
 
+# Round-7h video/burst/index-merge/TOPSIS/ensemble additions
+# (registry/round7h_ops.py).
+EXTENDED_R7H = [
+    "multimodal_video_scene_cuts",
+    "orders_kleinberg_burst_fold",
+    "docs_postings_segment_merge",
+    "supplier_topsis_scorecard",
+    "orders_anomaly_ensemble_votes",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -511,6 +521,7 @@ def main() -> int:
     extended_r7e = run(EXTENDED_R7E)
     extended_r7f = run(EXTENDED_R7F)
     extended_r7g = run(EXTENDED_R7G)
+    extended_r7h = run(EXTENDED_R7H)
     all_timings = {
         **timings,
         **extended,
@@ -537,6 +548,7 @@ def main() -> int:
         **extended_r7e,
         **extended_r7f,
         **extended_r7g,
+        **extended_r7h,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -567,6 +579,7 @@ def main() -> int:
         "value_extended_r7e": round(sum(extended_r7e.values()), 3),
         "value_extended_r7f": round(sum(extended_r7f.values()), 3),
         "value_extended_r7g": round(sum(extended_r7g.values()), 3),
+        "value_extended_r7h": round(sum(extended_r7h.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -361,6 +361,8 @@ _WINDOW_R8: list[str] = [
 
 # Round-9 window seed: _WINDOW_R8 is full (exactly 50), so queries
 # registered after it queue here — behind the r8 rotation, leading r9's.
+# FULL at exactly 50 as of round 7 (3 r6l ops + the 47 round-7a..7h
+# registrations); new round-7+ registrations queue in _WINDOW_R10.
 _WINDOW_R9: list[str] = [
     "docs_js_divergence_sources",
     "emb_pairwise_distance_histogram",
@@ -421,6 +423,13 @@ _WINDOW_R9: list[str] = [
     "docs_query_likelihood_retrieval",
     "emb_ivf_sharding_plan",
     "customer_ab_stratified_assignment",
+    # round-7h video / burst-fold / index-merge / TOPSIS / ensemble ops
+    # (registry/round7h_ops.py) — window now FULL at exactly 50
+    "multimodal_video_scene_cuts",
+    "orders_kleinberg_burst_fold",
+    "docs_postings_segment_merge",
+    "supplier_topsis_scorecard",
+    "orders_anomaly_ensemble_votes",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -469,6 +478,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7e_ops  # noqa: F401
     from . import round7f_ops  # noqa: F401
     from . import round7g_ops  # noqa: F401
+    from . import round7h_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

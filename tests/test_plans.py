@@ -434,6 +434,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "customer_lorenz_deciles",      # decile grain (10 rows)
         "orders_wasserstein_year_drift",  # fixed $20-bin grid (bounded)
         "orders_forecast_scoreboard_mape",  # calendar-month grain lags
+        "orders_anomaly_ensemble_votes",  # calendar-day grain rolling mean
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
