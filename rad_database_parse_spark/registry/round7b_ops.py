@@ -34,32 +34,37 @@ def _ev_cents():
 @register(
     "lineitem_spearman_rho",
     """
-    WITH rows_qp AS (
+    WITH qp AS (
       SELECT CAST(l_quantity AS BIGINT) AS q,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-               AS p
-      FROM lineitem),
-    qv AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_qp GROUP BY q),
+             CAST(CAST(l_discount AS DECIMAL(12,2)) * 1000000 AS BIGINT)
+               AS p,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    qv AS (SELECT q, CAST(SUM(c) AS BIGINT) AS cnt FROM qp GROUP BY q),
     qr AS (
-      SELECT q, 2 * COALESCE(SUM(cnt) OVER (ORDER BY q
+      SELECT q, cnt, 2 * COALESCE(SUM(cnt) OVER (ORDER BY q
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                + cnt + 1 AS rq2
       FROM qv),
-    pv AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_qp GROUP BY p),
+    pv AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cnt FROM qp GROUP BY p),
     pr AS (
-      SELECT p, 2 * COALESCE(SUM(cnt) OVER (ORDER BY p
+      SELECT p, cnt, 2 * COALESCE(SUM(cnt) OVER (ORDER BY p
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                + cnt + 1 AS rp2
       FROM pv),
-    joined AS (
-      SELECT rq2::HUGEINT AS x, rp2::HUGEINT AS y
-      FROM rows_qp JOIN qr USING (q) JOIN pr USING (p)),
-    m AS (
-      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * x) AS sxx, SUM(y * y) AS syy,
-             SUM(x * y) AS sxy
-      FROM joined),
+    mx AS (
+      SELECT SUM(cnt::HUGEINT) AS n, SUM(cnt::HUGEINT * rq2) AS sx,
+             SUM(cnt::HUGEINT * rq2 * rq2) AS sxx
+      FROM qr),
+    my AS (
+      SELECT SUM(cnt::HUGEINT * rp2) AS sy,
+             SUM(cnt::HUGEINT * rp2 * rp2) AS syy
+      FROM pr),
+    mxy AS (
+      SELECT SUM(c::HUGEINT * rq2 * rp2) AS sxy
+      FROM qp JOIN qr USING (q) JOIN pr USING (p)),
+    m AS (SELECT n, sx, sy, sxx, syy, sxy
+          FROM mx CROSS JOIN my CROSS JOIN mxy),
     red AS (
       SELECT CAST(n AS BIGINT) AS n_rows,
              CASE WHEN n * sxy - sx * sy < 0
@@ -76,55 +81,78 @@ def _ev_cents():
     """,
 )
 def lineitem_spearman_rho(spark: SparkSession, sf_dir: str):
-    """Spearman rank correlation between line quantity and extended
-    price — the monotone-association check an analyst runs before
-    trusting a linear model (lineitem_discount_qty_ols is the Pearson
-    sibling; Spearman survives outliers and nonlinearity). Midranks ×2
-    come from each variable's DISTINCT-VALUE histogram via
+    """Spearman rank correlation between line quantity and discount —
+    'do bigger lines get deeper discounts', asked the rank way (the
+    Pearson sibling is lineitem_discount_qty_ols; Spearman survives
+    outliers and nonlinearity, and with ~50 quantity values × ~11
+    discount values the TIE handling is the whole computation, which
+    is exactly what this op exercises). Midranks ×2 come from each
+    variable's DISTINCT-VALUE histogram via
     operators/ranking.exact_prefix_sum (distributed prefix-sum — no
-    unpartitioned window even though distinct prices grow with the
-    corpus); the quantity side is ~50 values and broadcasts back, the
-    price side joins value-grain. Pearson moments over the integer
-    midranks accumulate in decimal(38,0)/HUGEINT, are reduced to bigint
-    range by truncating division on sign-split non-negative operands,
-    and only then does the one double division + sqrt happen — bit-
-    stable across engines."""
+    unpartitioned window); both histograms AND the joint table are
+    BOUNDED (≤50, ≤11, ≤550 rows at any corpus size), so after ONE
+    map-side-combinable (q, p)-grain aggregate over the fact table,
+    every Pearson moment — Σx/Σxx from the quantity histogram, Σy/Σyy
+    from the discount histogram, Σxy from the joint table joined to
+    both rank tables — is metadata-grain arithmetic. (First r7 form
+    ranked near-unique extended prices: correct, but the rank machinery
+    went fact-grain for no statistical gain — re-planned 8.7 → ~1s at
+    sf0.1.) Moments accumulate in decimal(38,0)/HUGEINT, reduce by
+    truncating division on sign-split non-negative operands, and only
+    then does the one double division + sqrt happen — bit-stable
+    across engines."""
     l = t(spark, sf_dir, "lineitem")
-    rows = l.select(
-        F.col("l_quantity").cast("bigint").alias("q"),
-        (dec("l_extendedprice") * 100).cast("bigint").alias("p"),
+    big = "decimal(38,0)"
+    qp = (
+        l.select(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            (dec("l_discount") * 1000000).cast("bigint").alias("p"),
+        )
+        .groupBy("q", "p")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
     )
-    qv = rows.groupBy("q").agg(F.count("*").cast("bigint").alias("cnt"))
+    qv = qp.groupBy("q").agg(F.sum("c").cast("bigint").alias("cnt"))
     qr = exact_prefix_sum(qv, F.col("q"), [], "cnt", "cum_incl").select(
         "q",
+        "cnt",
         (
             2 * (F.col("cum_incl") - F.col("cnt")) + F.col("cnt") + 1
         ).alias("rq2"),
     )
-    pv = rows.groupBy("p").agg(F.count("*").cast("bigint").alias("cnt"))
+    pv = qp.groupBy("p").agg(F.sum("c").cast("bigint").alias("cnt"))
     pr = exact_prefix_sum(pv, F.col("p"), [], "cnt", "cum_incl").select(
         "p",
+        "cnt",
         (
             2 * (F.col("cum_incl") - F.col("cnt")) + F.col("cnt") + 1
         ).alias("rp2"),
     )
-    big = "decimal(38,0)"
-    joined = (
-        rows.join(F.broadcast(qr), "q")
-        .join(pr, "p")
-        .select(
-            F.col("rq2").cast(big).alias("x"),
-            F.col("rp2").cast(big).alias("y"),
+    mx = qr.agg(
+        F.sum(F.col("cnt").cast(big)).alias("n"),
+        F.sum((F.col("cnt").cast(big) * F.col("rq2")).cast(big)).alias("sx"),
+        F.sum(
+            (F.col("cnt").cast(big) * F.col("rq2") * F.col("rq2")).cast(big)
+        ).alias("sxx"),
+    )
+    my = pr.agg(
+        F.sum((F.col("cnt").cast(big) * F.col("rp2")).cast(big)).alias("sy"),
+        F.sum(
+            (F.col("cnt").cast(big) * F.col("rp2") * F.col("rp2")).cast(big)
+        ).alias("syy"),
+    )
+    mxy = (
+        qp.join(F.broadcast(qr.select("q", "rq2")), "q")
+        .join(F.broadcast(pr.select("p", "rp2")), "p")
+        .agg(
+            F.sum(
+                (F.col("c").cast(big) * F.col("rq2") * F.col("rp2")).cast(
+                    big
+                )
+            ).alias("sxy")
         )
     )
-    m = joined.agg(
-        F.count("*").cast(big).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(big)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(big)).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(big)).alias("sxy"),
-    )
+    m = mx.crossJoin(F.broadcast(my)).crossJoin(F.broadcast(mxy))
     red = m.select(
         F.col("n").cast("bigint").alias("n_rows"),
         F.expr(

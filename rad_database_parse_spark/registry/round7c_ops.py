@@ -595,7 +595,10 @@ def graph_ppr_seed_part(spark: SparkSession, sf_dir: str):
     for _ in range(3):
         contrib = (
             ed.join(
-                ranks.filter(F.col("r") > 0),
+                # node-grain and nonzero-pruned: early iterations carry
+                # only the seed's neighborhood; parts are dimension-
+                # bounded, so the rank table broadcasts at any fact scale
+                F.broadcast(ranks.filter(F.col("r") > 0)),
                 ed.u == F.col("node"),
             )
             .select(
