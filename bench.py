@@ -439,6 +439,17 @@ EXTENDED_R7H = [
     "orders_anomaly_ensemble_votes",
 ]
 
+# Round-7i synthetic-control/CVaR/DP/Holt-Winters/elasticity/nDCG
+# additions (registry/round7i_ops.py).
+EXTENDED_R7I = [
+    "part_promo_synthetic_control",
+    "orders_revenue_cvar_shortfall",
+    "docs_dp_count_release",
+    "orders_holtwinters_additive_fold",
+    "part_cross_price_elasticity",
+    "docs_retrieval_ndcg_eval",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -522,6 +533,7 @@ def main() -> int:
     extended_r7f = run(EXTENDED_R7F)
     extended_r7g = run(EXTENDED_R7G)
     extended_r7h = run(EXTENDED_R7H)
+    extended_r7i = run(EXTENDED_R7I)
     all_timings = {
         **timings,
         **extended,
@@ -549,6 +561,7 @@ def main() -> int:
         **extended_r7f,
         **extended_r7g,
         **extended_r7h,
+        **extended_r7i,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -580,6 +593,7 @@ def main() -> int:
         "value_extended_r7f": round(sum(extended_r7f.values()), 3),
         "value_extended_r7g": round(sum(extended_r7g.values()), 3),
         "value_extended_r7h": round(sum(extended_r7h.values()), 3),
+        "value_extended_r7i": round(sum(extended_r7i.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

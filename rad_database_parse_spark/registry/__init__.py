@@ -432,6 +432,19 @@ _WINDOW_R9: list[str] = [
     "orders_anomaly_ensemble_votes",
 ]
 
+# Round-10 window seed: _WINDOW_R9 filled to exactly 50 during round 7,
+# so round-7i+ registrations queue here — behind the r9 rotation.
+_WINDOW_R10: list[str] = [
+    # round-7i synthetic-control / risk / DP / smoothing / elasticity /
+    # retrieval-eval ops (registry/round7i_ops.py)
+    "part_promo_synthetic_control",
+    "orders_revenue_cvar_shortfall",
+    "docs_dp_count_release",
+    "orders_holtwinters_additive_fold",
+    "part_cross_price_elasticity",
+    "docs_retrieval_ndcg_eval",
+]
+
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
     "llm_ops",
@@ -479,6 +492,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7f_ops  # noqa: F401
     from . import round7g_ops  # noqa: F401
     from . import round7h_ops  # noqa: F401
+    from . import round7i_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
@@ -492,6 +506,7 @@ def all_queries() -> dict[str, QueryDef]:
         + _WINDOW_R7
         + _WINDOW_R8
         + _WINDOW_R9
+        + _WINDOW_R10
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4

@@ -14,6 +14,7 @@ from rad_database_parse_spark.registry import (
     _WINDOW_R7,
     _WINDOW_R8,
     _WINDOW_R9,
+    _WINDOW_R10,
     all_queries,
 )
 
@@ -26,6 +27,7 @@ def _expected_order():
         + _WINDOW_R7
         + _WINDOW_R8
         + _WINDOW_R9
+        + _WINDOW_R10
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4
@@ -68,6 +70,7 @@ def test_every_window_name_unique_and_registered():
         _WINDOW_R7,
         _WINDOW_R8,
         _WINDOW_R9,
+        _WINDOW_R10,
     ):
         assert len(set(window)) == len(window)
     registered = set(all_queries())
@@ -80,6 +83,7 @@ def test_every_window_name_unique_and_registered():
             + _WINDOW_R7
             + _WINDOW_R8
             + _WINDOW_R9
+            + _WINDOW_R10
         )
         <= registered
     )
