@@ -450,6 +450,17 @@ EXTENDED_R7I = [
     "docs_retrieval_ndcg_eval",
 ]
 
+# Round-7j IV/paired-test/rank-corr/sketch/profiling/calibration
+# additions (registry/round7j_ops.py).
+EXTENDED_R7J = [
+    "lineitem_iv_2sls_demand",
+    "customer_mcnemar_urgency_shift",
+    "lineitem_kendall_tau_b",
+    "events_ams_f2_sketch",
+    "dq_inclusion_dependency_profile",
+    "orders_brier_calibration",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -534,6 +545,7 @@ def main() -> int:
     extended_r7g = run(EXTENDED_R7G)
     extended_r7h = run(EXTENDED_R7H)
     extended_r7i = run(EXTENDED_R7I)
+    extended_r7j = run(EXTENDED_R7J)
     all_timings = {
         **timings,
         **extended,
@@ -562,6 +574,7 @@ def main() -> int:
         **extended_r7g,
         **extended_r7h,
         **extended_r7i,
+        **extended_r7j,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -594,6 +607,7 @@ def main() -> int:
         "value_extended_r7g": round(sum(extended_r7g.values()), 3),
         "value_extended_r7h": round(sum(extended_r7h.values()), 3),
         "value_extended_r7i": round(sum(extended_r7i.values()), 3),
+        "value_extended_r7j": round(sum(extended_r7j.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -443,6 +443,14 @@ _WINDOW_R10: list[str] = [
     "orders_holtwinters_additive_fold",
     "part_cross_price_elasticity",
     "docs_retrieval_ndcg_eval",
+    # round-7j IV/2SLS / paired-test / rank-corr / sketch / profiling /
+    # calibration ops (registry/round7j_ops.py)
+    "lineitem_iv_2sls_demand",
+    "customer_mcnemar_urgency_shift",
+    "lineitem_kendall_tau_b",
+    "events_ams_f2_sketch",
+    "dq_inclusion_dependency_profile",
+    "orders_brier_calibration",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -493,6 +501,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7g_ops  # noqa: F401
     from . import round7h_ops  # noqa: F401
     from . import round7i_ops  # noqa: F401
+    from . import round7j_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
