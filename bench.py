@@ -461,6 +461,17 @@ EXTENDED_R7J = [
     "orders_brier_calibration",
 ]
 
+# Round-7k NB-langid/kappa/symspell/BFS/Little's-law/l-diversity
+# additions (registry/round7k_ops.py).
+EXTENDED_R7K = [
+    "docs_nb_langid_eval",
+    "docs_kappa_langid_agreement",
+    "docs_symspell_suggest",
+    "graph_bfs_landmark_distances",
+    "orders_littles_law_audit",
+    "customer_l_diversity_audit",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -546,6 +557,7 @@ def main() -> int:
     extended_r7h = run(EXTENDED_R7H)
     extended_r7i = run(EXTENDED_R7I)
     extended_r7j = run(EXTENDED_R7J)
+    extended_r7k = run(EXTENDED_R7K)
     all_timings = {
         **timings,
         **extended,
@@ -575,6 +587,7 @@ def main() -> int:
         **extended_r7h,
         **extended_r7i,
         **extended_r7j,
+        **extended_r7k,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -608,6 +621,7 @@ def main() -> int:
         "value_extended_r7h": round(sum(extended_r7h.values()), 3),
         "value_extended_r7i": round(sum(extended_r7i.values()), 3),
         "value_extended_r7j": round(sum(extended_r7j.values()), 3),
+        "value_extended_r7k": round(sum(extended_r7k.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -451,6 +451,14 @@ _WINDOW_R10: list[str] = [
     "events_ams_f2_sketch",
     "dq_inclusion_dependency_profile",
     "orders_brier_calibration",
+    # round-7k NB-langid / kappa / symspell / BFS / Little's law /
+    # l-diversity ops (registry/round7k_ops.py)
+    "docs_nb_langid_eval",
+    "docs_kappa_langid_agreement",
+    "docs_symspell_suggest",
+    "graph_bfs_landmark_distances",
+    "orders_littles_law_audit",
+    "customer_l_diversity_audit",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -502,6 +510,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7h_ops  # noqa: F401
     from . import round7i_ops  # noqa: F401
     from . import round7j_ops  # noqa: F401
+    from . import round7k_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
