@@ -472,6 +472,28 @@ EXTENDED_R7K = [
     "customer_l_diversity_audit",
 ]
 
+# Round-7l Markov-attribution/Breusch-Pagan/(s,S)-policy/pinball/
+# Leontief/GROUP-BY-ALL additions (registry/round7l_ops.py).
+EXTENDED_R7L = [
+    "events_markov_removal_attribution",
+    "lineitem_breusch_pagan_test",
+    "part_ss_inventory_policy_sim",
+    "orders_pinball_loss_eval",
+    "nation_leontief_requirements",
+    "sql_group_by_all_revenue",
+]
+
+# Round-7m isotonic/drift/MI/causal/association/packing additions
+# (registry/round7m_ops.py).
+EXTENDED_R7M = [
+    "lineitem_isotonic_return_calibration",
+    "events_page_hinkley_drift",
+    "lineitem_discount_tax_mutual_info",
+    "customer_ipw_segment_effect",
+    "categorical_cramers_v_matrix",
+    "part_nfd_binpack_plan",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -558,6 +580,8 @@ def main() -> int:
     extended_r7i = run(EXTENDED_R7I)
     extended_r7j = run(EXTENDED_R7J)
     extended_r7k = run(EXTENDED_R7K)
+    extended_r7l = run(EXTENDED_R7L)
+    extended_r7m = run(EXTENDED_R7M)
     all_timings = {
         **timings,
         **extended,
@@ -588,6 +612,8 @@ def main() -> int:
         **extended_r7i,
         **extended_r7j,
         **extended_r7k,
+        **extended_r7l,
+        **extended_r7m,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -622,6 +648,8 @@ def main() -> int:
         "value_extended_r7i": round(sum(extended_r7i.values()), 3),
         "value_extended_r7j": round(sum(extended_r7j.values()), 3),
         "value_extended_r7k": round(sum(extended_r7k.values()), 3),
+        "value_extended_r7l": round(sum(extended_r7l.values()), 3),
+        "value_extended_r7m": round(sum(extended_r7m.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -459,6 +459,22 @@ _WINDOW_R10: list[str] = [
     "graph_bfs_landmark_distances",
     "orders_littles_law_audit",
     "customer_l_diversity_audit",
+    # round-7l Markov attribution / heteroskedasticity / inventory-policy /
+    # pinball-loss / Leontief / GROUP-BY-ALL ops (registry/round7l_ops.py)
+    "events_markov_removal_attribution",
+    "lineitem_breusch_pagan_test",
+    "part_ss_inventory_policy_sim",
+    "orders_pinball_loss_eval",
+    "nation_leontief_requirements",
+    "sql_group_by_all_revenue",
+    # round-7m isotonic / drift / MI / causal / association / packing
+    # ops (registry/round7m_ops.py)
+    "lineitem_isotonic_return_calibration",
+    "events_page_hinkley_drift",
+    "lineitem_discount_tax_mutual_info",
+    "customer_ipw_segment_effect",
+    "categorical_cramers_v_matrix",
+    "part_nfd_binpack_plan",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -511,6 +527,8 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7i_ops  # noqa: F401
     from . import round7j_ops  # noqa: F401
     from . import round7k_ops  # noqa: F401
+    from . import round7l_ops  # noqa: F401
+    from . import round7m_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

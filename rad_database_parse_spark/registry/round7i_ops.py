@@ -603,9 +603,10 @@ def docs_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str):
     ratio in exact ppm is the number a search-quality dashboard
     tracks. The system ranking recomputes the QL scores (same bounded
     3-term query), both top-10 windows are map-side group-limit pruned
-    (rank over a global order with k=10 — InferWindowGroupLimit, the
-    docs_bm25_topk contract), and the per-position terms micro-quantize
-    before summation."""
+    (orderBy+limit k=10 — TakeOrderedAndProject's map-side partial
+    top-k; the rank window then covers only the k survivors, since
+    global row_number+filter does NOT group-limit-prune on Spark 4.1),
+    and the per-position terms micro-quantize before summation."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
@@ -660,10 +661,17 @@ def docs_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str):
         .groupBy("doc_id")
         .agg(F.sum("term_micro").cast("bigint").alias("ql"))
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject: map-side partial
+    # top-k, no global sort); the rank window then runs over <= k rows.
+    # A global row_number+filter does NOT prune on Spark 4.1 —
+    # InferWindowGroupLimit fires only for PARTITIONED windows
+    # (verified empirically; the bm25 claim holds because its windows
+    # are term-partitioned).
     w_sys = Window.orderBy(F.col("ql").desc(), "doc_id")
     sys_rank = (
-        scored.withColumn("r", F.row_number().over(w_sys))
-        .filter(F.col("r") <= _NDCG_K)
+        scored.orderBy(F.col("ql").desc(), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn("r", F.row_number().over(w_sys))
     )
     log2 = lambda c: F.log(c) / F.log(F.lit(2.0))
     dcg = sys_rank.join(rel, "doc_id", "left").agg(
@@ -679,8 +687,9 @@ def docs_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str):
     )
     w_ideal = Window.orderBy(F.col("relevance").desc(), "doc_id")
     ideal = (
-        rel.withColumn("r", F.row_number().over(w_ideal))
-        .filter(F.col("r") <= _NDCG_K)
+        rel.orderBy(F.col("relevance").desc(), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn("r", F.row_number().over(w_ideal))
     )
     idcg = ideal.agg(
         F.sum(

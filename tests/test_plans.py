@@ -415,6 +415,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "orders_holt_recursive_forecast",  # bounded month-grain collect
         "pyds_stream_events_replay",  # runs the streaming replay eagerly
         "txn_concurrent_conflict_retry",  # runs the two-writer race eagerly
+        "events_markov_removal_attribution",  # bounded transition collect
     }
     whitelist = {
         # bounded input grain at ANY corpus size:
@@ -435,6 +436,11 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "orders_wasserstein_year_drift",  # fixed $20-bin grid (bounded)
         "orders_forecast_scoreboard_mape",  # calendar-month grain lags
         "orders_anomaly_ensemble_votes",  # calendar-day grain rolling mean
+        "lineitem_isotonic_return_calibration",  # discount-cell grain (11)
+        "events_page_hinkley_drift",    # calendar-day grain cumulatives
+        "lineitem_discount_tax_mutual_info",  # 11x9 cell-grain marginals
+        "categorical_cramers_v_matrix",  # contingency-cell grain (<=49)
+        "docs_retrieval_ndcg_eval",     # rank windows AFTER the top-10 limit
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
