@@ -494,6 +494,17 @@ EXTENDED_R7M = [
     "part_nfd_binpack_plan",
 ]
 
+# Round-7n Viterbi/knapsack/HBOS/Granger/Borda/reconciliation
+# additions (registry/round7n_ops.py).
+EXTENDED_R7N = [
+    "events_viterbi_hmm_decode",
+    "part_knapsack_dp_plan",
+    "docs_hbos_outlier_topk",
+    "orders_granger_lag_causality",
+    "nation_borda_priority_consensus",
+    "orders_hierarchical_forecast_reconcile",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -582,6 +593,7 @@ def main() -> int:
     extended_r7k = run(EXTENDED_R7K)
     extended_r7l = run(EXTENDED_R7L)
     extended_r7m = run(EXTENDED_R7M)
+    extended_r7n = run(EXTENDED_R7N)
     all_timings = {
         **timings,
         **extended,
@@ -614,6 +626,7 @@ def main() -> int:
         **extended_r7k,
         **extended_r7l,
         **extended_r7m,
+        **extended_r7n,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -650,6 +663,7 @@ def main() -> int:
         "value_extended_r7k": round(sum(extended_r7k.values()), 3),
         "value_extended_r7l": round(sum(extended_r7l.values()), 3),
         "value_extended_r7m": round(sum(extended_r7m.values()), 3),
+        "value_extended_r7n": round(sum(extended_r7n.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -475,6 +475,14 @@ _WINDOW_R10: list[str] = [
     "customer_ipw_segment_effect",
     "categorical_cramers_v_matrix",
     "part_nfd_binpack_plan",
+    # round-7n Viterbi / knapsack / HBOS / Granger / Borda /
+    # reconciliation ops (registry/round7n_ops.py)
+    "events_viterbi_hmm_decode",
+    "part_knapsack_dp_plan",
+    "docs_hbos_outlier_topk",
+    "orders_granger_lag_causality",
+    "nation_borda_priority_consensus",
+    "orders_hierarchical_forecast_reconcile",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -529,6 +537,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7k_ops  # noqa: F401
     from . import round7l_ops  # noqa: F401
     from . import round7m_ops  # noqa: F401
+    from . import round7n_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

@@ -441,6 +441,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "lineitem_discount_tax_mutual_info",  # 11x9 cell-grain marginals
         "categorical_cramers_v_matrix",  # contingency-cell grain (<=49)
         "docs_retrieval_ndcg_eval",     # rank windows AFTER the top-10 limit
+        "nation_borda_priority_consensus",  # consensus rank over 5 rows
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
