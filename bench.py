@@ -505,6 +505,17 @@ EXTENDED_R7N = [
     "orders_hierarchical_forecast_reconcile",
 ]
 
+# Round-7o link-prediction/Shapley/HAC/anomaly/panel/decomposition
+# additions (registry/round7o_ops.py).
+EXTENDED_R7O = [
+    "graph_adamic_adar_suppliers",
+    "region_shapley_cost_allocation",
+    "orders_trend_newey_west_se",
+    "events_user_sequence_surprisal",
+    "lineitem_twfe_discount_effect",
+    "lineitem_oaxaca_blinder_gap",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -594,6 +605,7 @@ def main() -> int:
     extended_r7l = run(EXTENDED_R7L)
     extended_r7m = run(EXTENDED_R7M)
     extended_r7n = run(EXTENDED_R7N)
+    extended_r7o = run(EXTENDED_R7O)
     all_timings = {
         **timings,
         **extended,
@@ -627,6 +639,7 @@ def main() -> int:
         **extended_r7l,
         **extended_r7m,
         **extended_r7n,
+        **extended_r7o,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -664,6 +677,7 @@ def main() -> int:
         "value_extended_r7l": round(sum(extended_r7l.values()), 3),
         "value_extended_r7m": round(sum(extended_r7m.values()), 3),
         "value_extended_r7n": round(sum(extended_r7n.values()), 3),
+        "value_extended_r7o": round(sum(extended_r7o.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -483,6 +483,14 @@ _WINDOW_R10: list[str] = [
     "orders_granger_lag_causality",
     "nation_borda_priority_consensus",
     "orders_hierarchical_forecast_reconcile",
+    # round-7o link-prediction / game-theory / HAC / anomaly / panel /
+    # decomposition ops (registry/round7o_ops.py)
+    "graph_adamic_adar_suppliers",
+    "region_shapley_cost_allocation",
+    "orders_trend_newey_west_se",
+    "events_user_sequence_surprisal",
+    "lineitem_twfe_discount_effect",
+    "lineitem_oaxaca_blinder_gap",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -538,6 +546,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7l_ops  # noqa: F401
     from . import round7m_ops  # noqa: F401
     from . import round7n_ops  # noqa: F401
+    from . import round7o_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
