@@ -516,6 +516,17 @@ EXTENDED_R7O = [
     "lineitem_oaxaca_blinder_gap",
 ]
 
+# Round-7p recsys/state-space/LM-smoothing/long-memory/corpus/DTW
+# additions (registry/round7p_ops.py).
+EXTENDED_R7P = [
+    "part_item_item_cf_topk",
+    "orders_kalman_level_filter",
+    "docs_good_turing_smoothing",
+    "events_hurst_rescaled_range",
+    "docs_log_odds_fighting_words",
+    "events_dtw_hourly_profiles",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -606,6 +617,7 @@ def main() -> int:
     extended_r7m = run(EXTENDED_R7M)
     extended_r7n = run(EXTENDED_R7N)
     extended_r7o = run(EXTENDED_R7O)
+    extended_r7p = run(EXTENDED_R7P)
     all_timings = {
         **timings,
         **extended,
@@ -640,6 +652,7 @@ def main() -> int:
         **extended_r7m,
         **extended_r7n,
         **extended_r7o,
+        **extended_r7p,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -678,6 +691,7 @@ def main() -> int:
         "value_extended_r7m": round(sum(extended_r7m.values()), 3),
         "value_extended_r7n": round(sum(extended_r7n.values()), 3),
         "value_extended_r7o": round(sum(extended_r7o.values()), 3),
+        "value_extended_r7p": round(sum(extended_r7p.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

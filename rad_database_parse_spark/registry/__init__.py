@@ -491,6 +491,14 @@ _WINDOW_R10: list[str] = [
     "events_user_sequence_surprisal",
     "lineitem_twfe_discount_effect",
     "lineitem_oaxaca_blinder_gap",
+    # round-7p recsys / state-space / LM-smoothing / long-memory /
+    # corpus-comparison / DTW ops (registry/round7p_ops.py)
+    "part_item_item_cf_topk",
+    "orders_kalman_level_filter",
+    "docs_good_turing_smoothing",
+    "events_hurst_rescaled_range",
+    "docs_log_odds_fighting_words",
+    "events_dtw_hourly_profiles",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -547,6 +555,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7m_ops  # noqa: F401
     from . import round7n_ops  # noqa: F401
     from . import round7o_ops  # noqa: F401
+    from . import round7p_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

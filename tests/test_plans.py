@@ -442,6 +442,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "categorical_cramers_v_matrix",  # contingency-cell grain (<=49)
         "docs_retrieval_ndcg_eval",     # rank windows AFTER the top-10 limit
         "nation_borda_priority_consensus",  # consensus rank over 5 rows
+        "events_dtw_hourly_profiles",   # global-profile total over 24 rows
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
