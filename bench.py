@@ -527,6 +527,17 @@ EXTENDED_R7P = [
     "events_dtw_hourly_profiles",
 ]
 
+# Round-7q conformal/max-coverage/Levene/Chow/richness/LATERAL
+# additions (registry/round7q_ops.py).
+EXTENDED_R7Q = [
+    "lineitem_conformal_interval_coverage",
+    "customer_coverage_greedy_brands",
+    "lineitem_levene_variance_test",
+    "orders_chow_break_test",
+    "docs_yule_k_richness",
+    "sql_lateral_topn_per_nation",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -618,6 +629,7 @@ def main() -> int:
     extended_r7n = run(EXTENDED_R7N)
     extended_r7o = run(EXTENDED_R7O)
     extended_r7p = run(EXTENDED_R7P)
+    extended_r7q = run(EXTENDED_R7Q)
     all_timings = {
         **timings,
         **extended,
@@ -653,6 +665,7 @@ def main() -> int:
         **extended_r7n,
         **extended_r7o,
         **extended_r7p,
+        **extended_r7q,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -692,6 +705,7 @@ def main() -> int:
         "value_extended_r7n": round(sum(extended_r7n.values()), 3),
         "value_extended_r7o": round(sum(extended_r7o.values()), 3),
         "value_extended_r7p": round(sum(extended_r7p.values()), 3),
+        "value_extended_r7q": round(sum(extended_r7q.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -499,6 +499,14 @@ _WINDOW_R10: list[str] = [
     "events_hurst_rescaled_range",
     "docs_log_odds_fighting_words",
     "events_dtw_hourly_profiles",
+    # round-7q conformal / max-coverage / Levene / Chow / richness /
+    # LATERAL ops (registry/round7q_ops.py)
+    "lineitem_conformal_interval_coverage",
+    "customer_coverage_greedy_brands",
+    "lineitem_levene_variance_test",
+    "orders_chow_break_test",
+    "docs_yule_k_richness",
+    "sql_lateral_topn_per_nation",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -556,6 +564,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7n_ops  # noqa: F401
     from . import round7o_ops  # noqa: F401
     from . import round7p_ops  # noqa: F401
+    from . import round7q_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
