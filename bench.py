@@ -538,6 +538,17 @@ EXTENDED_R7Q = [
     "sql_lateral_topn_per_nation",
 ]
 
+# Round-7r burstiness/gravity/triplet/BPE/hazard/variance-bridge
+# additions (registry/round7r_ops.py).
+EXTENDED_R7R = [
+    "events_gap_burstiness_memory",
+    "nation_gravity_trade_fit",
+    "emb_triplet_margin_audit",
+    "docs_bpe_multi_merge",
+    "events_purchase_conversion_hazard",
+    "orders_price_volume_mix_bridge",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -630,6 +641,7 @@ def main() -> int:
     extended_r7o = run(EXTENDED_R7O)
     extended_r7p = run(EXTENDED_R7P)
     extended_r7q = run(EXTENDED_R7Q)
+    extended_r7r = run(EXTENDED_R7R)
     all_timings = {
         **timings,
         **extended,
@@ -666,6 +678,7 @@ def main() -> int:
         **extended_r7o,
         **extended_r7p,
         **extended_r7q,
+        **extended_r7r,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -706,6 +719,7 @@ def main() -> int:
         "value_extended_r7o": round(sum(extended_r7o.values()), 3),
         "value_extended_r7p": round(sum(extended_r7p.values()), 3),
         "value_extended_r7q": round(sum(extended_r7q.values()), 3),
+        "value_extended_r7r": round(sum(extended_r7r.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

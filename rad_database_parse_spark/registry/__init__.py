@@ -507,6 +507,14 @@ _WINDOW_R10: list[str] = [
     "orders_chow_break_test",
     "docs_yule_k_richness",
     "sql_lateral_topn_per_nation",
+    # round-7r burstiness / gravity / triplet / BPE / hazard /
+    # variance-bridge ops (registry/round7r_ops.py)
+    "events_gap_burstiness_memory",
+    "nation_gravity_trade_fit",
+    "emb_triplet_margin_audit",
+    "docs_bpe_multi_merge",
+    "events_purchase_conversion_hazard",
+    "orders_price_volume_mix_bridge",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -565,6 +573,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7o_ops  # noqa: F401
     from . import round7p_ops  # noqa: F401
     from . import round7q_ops  # noqa: F401
+    from . import round7r_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
