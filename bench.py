@@ -549,6 +549,17 @@ EXTENDED_R7R = [
     "orders_price_volume_mix_bridge",
 ]
 
+# Round-7s PII/stemming/lang-similarity/feedback/stylometry/proximity
+# additions (registry/round7s_ops.py).
+EXTENDED_R7S = [
+    "docs_pii_detect_redact",
+    "docs_light_stemmer_collapse",
+    "docs_lang_trigram_similarity",
+    "docs_rocchio_query_expansion",
+    "docs_burrows_delta_stylometry",
+    "docs_proximity_phrase_rank",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -642,6 +653,7 @@ def main() -> int:
     extended_r7p = run(EXTENDED_R7P)
     extended_r7q = run(EXTENDED_R7Q)
     extended_r7r = run(EXTENDED_R7R)
+    extended_r7s = run(EXTENDED_R7S)
     all_timings = {
         **timings,
         **extended,
@@ -679,6 +691,7 @@ def main() -> int:
         **extended_r7p,
         **extended_r7q,
         **extended_r7r,
+        **extended_r7s,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -720,6 +733,7 @@ def main() -> int:
         "value_extended_r7p": round(sum(extended_r7p.values()), 3),
         "value_extended_r7q": round(sum(extended_r7q.values()), 3),
         "value_extended_r7r": round(sum(extended_r7r.values()), 3),
+        "value_extended_r7s": round(sum(extended_r7s.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -515,6 +515,14 @@ _WINDOW_R10: list[str] = [
     "docs_bpe_multi_merge",
     "events_purchase_conversion_hazard",
     "orders_price_volume_mix_bridge",
+    # round-7s PII / stemming / lang-similarity / feedback /
+    # stylometry / proximity ops (registry/round7s_ops.py)
+    "docs_pii_detect_redact",
+    "docs_light_stemmer_collapse",
+    "docs_lang_trigram_similarity",
+    "docs_rocchio_query_expansion",
+    "docs_burrows_delta_stylometry",
+    "docs_proximity_phrase_rank",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -574,6 +582,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7p_ops  # noqa: F401
     from . import round7q_ops  # noqa: F401
     from . import round7r_ops  # noqa: F401
+    from . import round7s_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
