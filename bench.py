@@ -560,6 +560,17 @@ EXTENDED_R7S = [
     "docs_proximity_phrase_rank",
 ]
 
+# Round-7t forensics/dq-drift/GESD/fiscal/subgroup/Greenwood
+# additions (registry/round7t_ops.py).
+EXTENDED_R7T = [
+    "orders_benford_second_digit",
+    "dq_profile_drift_halves",
+    "orders_gesd_outlier_rounds",
+    "orders_fiscal_445_calendar",
+    "lineitem_subgroup_discovery_beam",
+    "customer_survival_greenwood_ci",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -654,6 +665,7 @@ def main() -> int:
     extended_r7q = run(EXTENDED_R7Q)
     extended_r7r = run(EXTENDED_R7R)
     extended_r7s = run(EXTENDED_R7S)
+    extended_r7t = run(EXTENDED_R7T)
     all_timings = {
         **timings,
         **extended,
@@ -692,6 +704,7 @@ def main() -> int:
         **extended_r7q,
         **extended_r7r,
         **extended_r7s,
+        **extended_r7t,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -734,6 +747,7 @@ def main() -> int:
         "value_extended_r7q": round(sum(extended_r7q.values()), 3),
         "value_extended_r7r": round(sum(extended_r7r.values()), 3),
         "value_extended_r7s": round(sum(extended_r7s.values()), 3),
+        "value_extended_r7t": round(sum(extended_r7t.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -523,6 +523,14 @@ _WINDOW_R10: list[str] = [
     "docs_rocchio_query_expansion",
     "docs_burrows_delta_stylometry",
     "docs_proximity_phrase_rank",
+    # round-7t forensics / dq-drift / GESD / fiscal-calendar /
+    # subgroup-mining / Greenwood ops (registry/round7t_ops.py)
+    "orders_benford_second_digit",
+    "dq_profile_drift_halves",
+    "orders_gesd_outlier_rounds",
+    "orders_fiscal_445_calendar",
+    "lineitem_subgroup_discovery_beam",
+    "customer_survival_greenwood_ci",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -583,6 +591,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7q_ops  # noqa: F401
     from . import round7r_ops  # noqa: F401
     from . import round7s_ops  # noqa: F401
+    from . import round7t_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
