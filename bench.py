@@ -571,6 +571,17 @@ EXTENDED_R7T = [
     "customer_survival_greenwood_ci",
 ]
 
+# Round-7u chain-ladder/fairness/trade/screening/heavy-tail
+# additions (registry/round7u_ops.py).
+EXTENDED_R7U = [
+    "orders_chain_ladder_projection",
+    "customer_disparate_impact_audit",
+    "customer_equalized_odds_audit",
+    "nation_rca_specialization",
+    "docs_lexicon_filter_rates",
+    "events_powerlaw_alpha_mle",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -666,6 +677,7 @@ def main() -> int:
     extended_r7r = run(EXTENDED_R7R)
     extended_r7s = run(EXTENDED_R7S)
     extended_r7t = run(EXTENDED_R7T)
+    extended_r7u = run(EXTENDED_R7U)
     all_timings = {
         **timings,
         **extended,
@@ -705,6 +717,7 @@ def main() -> int:
         **extended_r7r,
         **extended_r7s,
         **extended_r7t,
+        **extended_r7u,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -748,6 +761,7 @@ def main() -> int:
         "value_extended_r7r": round(sum(extended_r7r.values()), 3),
         "value_extended_r7s": round(sum(extended_r7s.values()), 3),
         "value_extended_r7t": round(sum(extended_r7t.values()), 3),
+        "value_extended_r7u": round(sum(extended_r7u.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -531,6 +531,14 @@ _WINDOW_R10: list[str] = [
     "orders_fiscal_445_calendar",
     "lineitem_subgroup_discovery_beam",
     "customer_survival_greenwood_ci",
+    # round-7u chain-ladder / fairness / trade / screening /
+    # heavy-tail ops (registry/round7u_ops.py)
+    "orders_chain_ladder_projection",
+    "customer_disparate_impact_audit",
+    "customer_equalized_odds_audit",
+    "nation_rca_specialization",
+    "docs_lexicon_filter_rates",
+    "events_powerlaw_alpha_mle",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -592,6 +600,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7r_ops  # noqa: F401
     from . import round7s_ops  # noqa: F401
     from . import round7t_ops  # noqa: F401
+    from . import round7u_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
