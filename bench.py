@@ -582,6 +582,17 @@ EXTENDED_R7U = [
     "events_powerlaw_alpha_mle",
 ]
 
+# Round-7v sketch-sweep/entropy/price-forensics/switching/WINDOW/
+# dedup-sweep additions (registry/round7v_ops.py).
+EXTENDED_R7V = [
+    "events_cms_width_sweep",
+    "multimodal_payload_entropy_screen",
+    "part_price_endings_analysis",
+    "customer_brand_switching_matrix",
+    "sql_named_window_surface",
+    "docs_dedup_threshold_sweep",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -678,6 +689,7 @@ def main() -> int:
     extended_r7s = run(EXTENDED_R7S)
     extended_r7t = run(EXTENDED_R7T)
     extended_r7u = run(EXTENDED_R7U)
+    extended_r7v = run(EXTENDED_R7V)
     all_timings = {
         **timings,
         **extended,
@@ -718,6 +730,7 @@ def main() -> int:
         **extended_r7s,
         **extended_r7t,
         **extended_r7u,
+        **extended_r7v,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -762,6 +775,7 @@ def main() -> int:
         "value_extended_r7s": round(sum(extended_r7s.values()), 3),
         "value_extended_r7t": round(sum(extended_r7t.values()), 3),
         "value_extended_r7u": round(sum(extended_r7u.values()), 3),
+        "value_extended_r7v": round(sum(extended_r7v.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -539,6 +539,15 @@ _WINDOW_R10: list[str] = [
     "nation_rca_specialization",
     "docs_lexicon_filter_rates",
     "events_powerlaw_alpha_mle",
+    # round-7v sketch-sweep / entropy-screen / price-forensics /
+    # switching / WINDOW-clause / dedup-sweep ops
+    # (registry/round7v_ops.py)
+    "events_cms_width_sweep",
+    "multimodal_payload_entropy_screen",
+    "part_price_endings_analysis",
+    "customer_brand_switching_matrix",
+    "sql_named_window_surface",
+    "docs_dedup_threshold_sweep",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -601,6 +610,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7s_ops  # noqa: F401
     from . import round7t_ops  # noqa: F401
     from . import round7u_ops  # noqa: F401
+    from . import round7v_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
