@@ -593,6 +593,17 @@ EXTENDED_R7V = [
     "docs_dedup_threshold_sweep",
 ]
 
+# Round-7w assignment/two-sample/residuals/learning-curve/changepoint/
+# absorption additions (registry/round7w_ops.py).
+EXTENDED_R7W = [
+    "supplier_nation_greedy_assignment",
+    "emb_energy_distance_sample",
+    "orders_chi2_cell_residuals",
+    "part_experience_curve_slopes",
+    "orders_binary_segmentation_breaks",
+    "events_absorbing_expected_steps",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -690,6 +701,7 @@ def main() -> int:
     extended_r7t = run(EXTENDED_R7T)
     extended_r7u = run(EXTENDED_R7U)
     extended_r7v = run(EXTENDED_R7V)
+    extended_r7w = run(EXTENDED_R7W)
     all_timings = {
         **timings,
         **extended,
@@ -731,6 +743,7 @@ def main() -> int:
         **extended_r7t,
         **extended_r7u,
         **extended_r7v,
+        **extended_r7w,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -776,6 +789,7 @@ def main() -> int:
         "value_extended_r7t": round(sum(extended_r7t.values()), 3),
         "value_extended_r7u": round(sum(extended_r7u.values()), 3),
         "value_extended_r7v": round(sum(extended_r7v.values()), 3),
+        "value_extended_r7w": round(sum(extended_r7w.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

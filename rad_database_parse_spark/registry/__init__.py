@@ -548,6 +548,14 @@ _WINDOW_R10: list[str] = [
     "customer_brand_switching_matrix",
     "sql_named_window_surface",
     "docs_dedup_threshold_sweep",
+    # round-7w assignment / two-sample / residuals / learning-curve /
+    # changepoint / absorption ops (registry/round7w_ops.py)
+    "supplier_nation_greedy_assignment",
+    "emb_energy_distance_sample",
+    "orders_chi2_cell_residuals",
+    "part_experience_curve_slopes",
+    "orders_binary_segmentation_breaks",
+    "events_absorbing_expected_steps",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -611,6 +619,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7t_ops  # noqa: F401
     from . import round7u_ops  # noqa: F401
     from . import round7v_ops  # noqa: F401
+    from . import round7w_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

@@ -416,6 +416,8 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "pyds_stream_events_replay",  # runs the streaming replay eagerly
         "txn_concurrent_conflict_retry",  # runs the two-writer race eagerly
         "events_markov_removal_attribution",  # bounded transition collect
+        "events_absorbing_expected_steps",  # bounded transition collect
+        "supplier_nation_greedy_assignment",  # bounded edge-table collect
     }
     whitelist = {
         # bounded input grain at ANY corpus size:
@@ -443,6 +445,8 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "docs_retrieval_ndcg_eval",     # rank windows AFTER the top-10 limit
         "nation_borda_priority_consensus",  # consensus rank over 5 rows
         "events_dtw_hourly_profiles",   # global-profile total over 24 rows
+        "orders_chi2_cell_residuals",   # marginals over the 15-cell table
+        "customer_coverage_greedy_brands",  # brand-bit rank over 25 rows
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
