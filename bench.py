@@ -604,6 +604,17 @@ EXTENDED_R7W = [
     "events_absorbing_expected_steps",
 ]
 
+# Round-7x scan/ahash/calendar/multiple-testing/reciprocity/varbyte
+# additions (registry/round7x_ops.py).
+EXTENDED_R7X = [
+    "events_poisson_scan_statistic",
+    "multimodal_payload_ahash_dedup",
+    "orders_trading_day_adjustment",
+    "customer_segment_holm_ztests",
+    "nation_trade_reciprocity",
+    "docs_postings_varbyte_estimate",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -702,6 +713,7 @@ def main() -> int:
     extended_r7u = run(EXTENDED_R7U)
     extended_r7v = run(EXTENDED_R7V)
     extended_r7w = run(EXTENDED_R7W)
+    extended_r7x = run(EXTENDED_R7X)
     all_timings = {
         **timings,
         **extended,
@@ -744,6 +756,7 @@ def main() -> int:
         **extended_r7u,
         **extended_r7v,
         **extended_r7w,
+        **extended_r7x,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -790,6 +803,7 @@ def main() -> int:
         "value_extended_r7u": round(sum(extended_r7u.values()), 3),
         "value_extended_r7v": round(sum(extended_r7v.values()), 3),
         "value_extended_r7w": round(sum(extended_r7w.values()), 3),
+        "value_extended_r7x": round(sum(extended_r7x.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -556,6 +556,15 @@ _WINDOW_R10: list[str] = [
     "part_experience_curve_slopes",
     "orders_binary_segmentation_breaks",
     "events_absorbing_expected_steps",
+    # round-7x scan-statistic / ahash-dedup / calendar / multiple-
+    # testing / reciprocity / index-compression ops
+    # (registry/round7x_ops.py)
+    "events_poisson_scan_statistic",
+    "multimodal_payload_ahash_dedup",
+    "orders_trading_day_adjustment",
+    "customer_segment_holm_ztests",
+    "nation_trade_reciprocity",
+    "docs_postings_varbyte_estimate",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -620,6 +629,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7u_ops  # noqa: F401
     from . import round7v_ops  # noqa: F401
     from . import round7w_ops  # noqa: F401
+    from . import round7x_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

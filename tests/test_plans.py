@@ -447,6 +447,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "events_dtw_hourly_profiles",   # global-profile total over 24 rows
         "orders_chi2_cell_residuals",   # marginals over the 15-cell table
         "customer_coverage_greedy_brands",  # brand-bit rank over 25 rows
+        "customer_segment_holm_ztests",  # |z| rank over 5 segments
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
