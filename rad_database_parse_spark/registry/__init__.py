@@ -503,6 +503,12 @@ _WINDOW_R10: list[str] = [
     # LATERAL ops (registry/round7q_ops.py)
     "lineitem_conformal_interval_coverage",
     "customer_coverage_greedy_brands",
+]
+
+# Round-11 window seed: _WINDOW_R10 filled to exactly 50 during round 7's
+# continuation sessions, so later round-7 registrations queue here —
+# behind the r10 rotation (same overflow rule as every prior window).
+_WINDOW_R11: list[str] = [
     "lineitem_levene_variance_test",
     "orders_chow_break_test",
     "docs_yule_k_richness",
@@ -644,6 +650,7 @@ def all_queries() -> dict[str, QueryDef]:
         + _WINDOW_R8
         + _WINDOW_R9
         + _WINDOW_R10
+        + _WINDOW_R11
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4

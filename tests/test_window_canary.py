@@ -15,6 +15,7 @@ from rad_database_parse_spark.registry import (
     _WINDOW_R8,
     _WINDOW_R9,
     _WINDOW_R10,
+    _WINDOW_R11,
     all_queries,
 )
 
@@ -28,6 +29,7 @@ def _expected_order():
         + _WINDOW_R8
         + _WINDOW_R9
         + _WINDOW_R10
+        + _WINDOW_R11
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4
@@ -41,9 +43,11 @@ def test_r6_window_leads():
     # the driver's correctness window
     assert names[: len(_WINDOW_R6)] == _WINDOW_R6
     assert len(_WINDOW_R6) == 50
-    # the round-7 and round-8 windows are pinned full at exactly 50
+    # the round-7..round-10 windows are pinned full at exactly 50
     assert len(_WINDOW_R7) == 50
     assert len(_WINDOW_R8) == 50
+    assert len(_WINDOW_R9) == 50
+    assert len(_WINDOW_R10) == 50
 
 
 def test_full_pinned_order_holds():
@@ -71,6 +75,7 @@ def test_every_window_name_unique_and_registered():
         _WINDOW_R8,
         _WINDOW_R9,
         _WINDOW_R10,
+        _WINDOW_R11,
     ):
         assert len(set(window)) == len(window)
     registered = set(all_queries())
@@ -84,6 +89,7 @@ def test_every_window_name_unique_and_registered():
             + _WINDOW_R8
             + _WINDOW_R9
             + _WINDOW_R10
+            + _WINDOW_R11
         )
         <= registered
     )
