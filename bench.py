@@ -615,6 +615,15 @@ EXTENDED_R7X = [
     "docs_postings_varbyte_estimate",
 ]
 
+# Round-7y classifier-eval/gravity-residual/ABC-migration/queue-sim
+# additions (registry/round7y_ops.py).
+EXTENDED_R7Y = [
+    "emb_nearest_centroid_confusion",
+    "nation_gravity_residual_pairs",
+    "part_abc_class_migration",
+    "orders_priority_preemption_sim",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -714,6 +723,7 @@ def main() -> int:
     extended_r7v = run(EXTENDED_R7V)
     extended_r7w = run(EXTENDED_R7W)
     extended_r7x = run(EXTENDED_R7X)
+    extended_r7y = run(EXTENDED_R7Y)
     all_timings = {
         **timings,
         **extended,
@@ -757,6 +767,7 @@ def main() -> int:
         **extended_r7v,
         **extended_r7w,
         **extended_r7x,
+        **extended_r7y,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -804,6 +815,7 @@ def main() -> int:
         "value_extended_r7v": round(sum(extended_r7v.values()), 3),
         "value_extended_r7w": round(sum(extended_r7w.values()), 3),
         "value_extended_r7x": round(sum(extended_r7x.values()), 3),
+        "value_extended_r7y": round(sum(extended_r7y.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

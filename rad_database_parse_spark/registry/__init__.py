@@ -571,6 +571,12 @@ _WINDOW_R11: list[str] = [
     "customer_segment_holm_ztests",
     "nation_trade_reciprocity",
     "docs_postings_varbyte_estimate",
+    # round-7y classifier-eval / gravity-residual / ABC-migration /
+    # queue-sim ops (registry/round7y_ops.py)
+    "emb_nearest_centroid_confusion",
+    "nation_gravity_residual_pairs",
+    "part_abc_class_migration",
+    "orders_priority_preemption_sim",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -636,6 +642,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7v_ops  # noqa: F401
     from . import round7w_ops  # noqa: F401
     from . import round7x_ops  # noqa: F401
+    from . import round7y_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

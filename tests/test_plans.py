@@ -448,6 +448,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "orders_chi2_cell_residuals",   # marginals over the 15-cell table
         "customer_coverage_greedy_brands",  # brand-bit rank over 25 rows
         "customer_segment_holm_ztests",  # |z| rank over 5 segments
+        "emb_nearest_centroid_confusion",  # accuracy over <=100 cells
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
