@@ -624,6 +624,15 @@ EXTENDED_R7Y = [
     "orders_priority_preemption_sim",
 ]
 
+# Round-7z reward/sampling-design/backtest/procurement additions
+# (registry/round7z_ops.py).
+EXTENDED_R7Z = [
+    "events_markov_reward_value",
+    "lineitem_neyman_allocation_plan",
+    "orders_expanding_window_cv",
+    "supplier_kraljic_quadrants",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -724,6 +733,7 @@ def main() -> int:
     extended_r7w = run(EXTENDED_R7W)
     extended_r7x = run(EXTENDED_R7X)
     extended_r7y = run(EXTENDED_R7Y)
+    extended_r7z = run(EXTENDED_R7Z)
     all_timings = {
         **timings,
         **extended,
@@ -768,6 +778,7 @@ def main() -> int:
         **extended_r7w,
         **extended_r7x,
         **extended_r7y,
+        **extended_r7z,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -816,6 +827,7 @@ def main() -> int:
         "value_extended_r7w": round(sum(extended_r7w.values()), 3),
         "value_extended_r7x": round(sum(extended_r7x.values()), 3),
         "value_extended_r7y": round(sum(extended_r7y.values()), 3),
+        "value_extended_r7z": round(sum(extended_r7z.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -579,6 +579,17 @@ _WINDOW_R11: list[str] = [
     "orders_priority_preemption_sim",
 ]
 
+# Round-12 window seed: _WINDOW_R11 closed full at exactly 50 with the
+# round-7y ops, so the final round-7 registrations queue here.
+_WINDOW_R12: list[str] = [
+    # round-7z reward / sampling-design / backtest / procurement ops
+    # (registry/round7z_ops.py)
+    "events_markov_reward_value",
+    "lineitem_neyman_allocation_plan",
+    "orders_expanding_window_cv",
+    "supplier_kraljic_quadrants",
+]
+
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
     "llm_ops",
@@ -643,6 +654,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7w_ops  # noqa: F401
     from . import round7x_ops  # noqa: F401
     from . import round7y_ops  # noqa: F401
+    from . import round7z_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
@@ -658,6 +670,7 @@ def all_queries() -> dict[str, QueryDef]:
         + _WINDOW_R9
         + _WINDOW_R10
         + _WINDOW_R11
+        + _WINDOW_R12
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4

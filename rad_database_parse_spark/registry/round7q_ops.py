@@ -261,6 +261,7 @@ def customer_coverage_greedy_brands(spark: SparkSession, sf_dir: str):
             F.col("p_brand").alias("brand"),
         )
         .distinct()
+        .persist()
     )
     bits = (
         baskets.select("brand")
@@ -274,6 +275,10 @@ def customer_coverage_greedy_brands(spark: SparkSession, sf_dir: str):
             .alias("bit"),
         )
     )
+    # bits is 25 rows but its lineage is the fact-grain basket join —
+    # persist so the per-round broadcast replays 25 cached rows
+    # (unpersisted, the r7 bench measured 11.7s: four fact re-joins)
+    bits = bits.persist()
     masks = (
         baskets.join(F.broadcast(bits), "brand")
         .groupBy("cust")

@@ -245,6 +245,11 @@ def multimodal_payload_ahash_dedup(spark: SparkSession, sf_dir: str):
     hx = d.select(
         "doc_id", F.hex(F.encode(F.col("text"), "utf-8")).alias("h")
     )
+    # 16-way block crossJoin: measured FASTER (9.5s) than computing
+    # all 16 sums in one nested transform-of-aggregates per payload
+    # (18.9s — nested HOF lambdas execute interpreted, and the outer
+    # transform serializes what the crossJoin form runs as 16
+    # independent codegen'd rows)
     ks = spark.range(_AH_BLOCKS).select(F.col("id").alias("blk"))
     blocks = hx.crossJoin(F.broadcast(ks)).select(
         "doc_id",

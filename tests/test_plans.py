@@ -416,6 +416,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "pyds_stream_events_replay",  # runs the streaming replay eagerly
         "txn_concurrent_conflict_retry",  # runs the two-writer race eagerly
         "events_markov_removal_attribution",  # bounded transition collect
+        "events_markov_reward_value",  # bounded transition collect
         "events_absorbing_expected_steps",  # bounded transition collect
         "supplier_nation_greedy_assignment",  # bounded edge-table collect
     }
@@ -449,6 +450,9 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "customer_coverage_greedy_brands",  # brand-bit rank over 25 rows
         "customer_segment_holm_ztests",  # |z| rank over 5 segments
         "emb_nearest_centroid_confusion",  # accuracy over <=100 cells
+        "lineitem_neyman_allocation_plan",  # totals over 3 strata rows
+        "orders_expanding_window_cv",   # CV mean over 6 fold rows
+        "supplier_kraljic_quadrants",   # spend share over 4 quadrants
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",

@@ -16,6 +16,7 @@ from rad_database_parse_spark.registry import (
     _WINDOW_R9,
     _WINDOW_R10,
     _WINDOW_R11,
+    _WINDOW_R12,
     all_queries,
 )
 
@@ -30,6 +31,7 @@ def _expected_order():
         + _WINDOW_R9
         + _WINDOW_R10
         + _WINDOW_R11
+        + _WINDOW_R12
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4
@@ -76,6 +78,7 @@ def test_every_window_name_unique_and_registered():
         _WINDOW_R9,
         _WINDOW_R10,
         _WINDOW_R11,
+        _WINDOW_R12,
     ):
         assert len(set(window)) == len(window)
     registered = set(all_queries())
@@ -90,6 +93,7 @@ def test_every_window_name_unique_and_registered():
             + _WINDOW_R9
             + _WINDOW_R10
             + _WINDOW_R11
+            + _WINDOW_R12
         )
         <= registered
     )
