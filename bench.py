@@ -633,6 +633,14 @@ EXTENDED_R7Z = [
     "supplier_kraljic_quadrants",
 ]
 
+# Round-7aa weekday-ANOVA/norm-profile/export-entropy additions
+# (registry/round7aa_ops.py).
+EXTENDED_R7AA = [
+    "orders_weekday_anova",
+    "emb_norm_profile_by_label",
+    "nation_export_entropy",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -734,6 +742,7 @@ def main() -> int:
     extended_r7x = run(EXTENDED_R7X)
     extended_r7y = run(EXTENDED_R7Y)
     extended_r7z = run(EXTENDED_R7Z)
+    extended_r7aa = run(EXTENDED_R7AA)
     all_timings = {
         **timings,
         **extended,
@@ -779,6 +788,7 @@ def main() -> int:
         **extended_r7x,
         **extended_r7y,
         **extended_r7z,
+        **extended_r7aa,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -828,6 +838,7 @@ def main() -> int:
         "value_extended_r7x": round(sum(extended_r7x.values()), 3),
         "value_extended_r7y": round(sum(extended_r7y.values()), 3),
         "value_extended_r7z": round(sum(extended_r7z.values()), 3),
+        "value_extended_r7aa": round(sum(extended_r7aa.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -588,6 +588,11 @@ _WINDOW_R12: list[str] = [
     "lineitem_neyman_allocation_plan",
     "orders_expanding_window_cv",
     "supplier_kraljic_quadrants",
+    # round-7aa weekday-ANOVA / norm-profile / export-entropy ops
+    # (registry/round7aa_ops.py) — queries 498-500
+    "orders_weekday_anova",
+    "emb_norm_profile_by_label",
+    "nation_export_entropy",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -655,6 +660,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7x_ops  # noqa: F401
     from . import round7y_ops  # noqa: F401
     from . import round7z_ops  # noqa: F401
+    from . import round7aa_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
