@@ -641,6 +641,12 @@ EXTENDED_R7AA = [
     "nation_export_entropy",
 ]
 
+# Round-7ab overlap/encoding additions (registry/round7ab_ops.py).
+EXTENDED_R7AB = [
+    "part_price_bhattacharyya_overlap",
+    "orders_rle_compression_estimate",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -743,6 +749,7 @@ def main() -> int:
     extended_r7y = run(EXTENDED_R7Y)
     extended_r7z = run(EXTENDED_R7Z)
     extended_r7aa = run(EXTENDED_R7AA)
+    extended_r7ab = run(EXTENDED_R7AB)
     all_timings = {
         **timings,
         **extended,
@@ -789,6 +796,7 @@ def main() -> int:
         **extended_r7y,
         **extended_r7z,
         **extended_r7aa,
+        **extended_r7ab,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -839,6 +847,7 @@ def main() -> int:
         "value_extended_r7y": round(sum(extended_r7y.values()), 3),
         "value_extended_r7z": round(sum(extended_r7z.values()), 3),
         "value_extended_r7aa": round(sum(extended_r7aa.values()), 3),
+        "value_extended_r7ab": round(sum(extended_r7ab.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

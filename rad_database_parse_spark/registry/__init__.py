@@ -593,6 +593,9 @@ _WINDOW_R12: list[str] = [
     "orders_weekday_anova",
     "emb_norm_profile_by_label",
     "nation_export_entropy",
+    # round-7ab overlap / encoding ops (registry/round7ab_ops.py)
+    "part_price_bhattacharyya_overlap",
+    "orders_rle_compression_estimate",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -661,6 +664,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7y_ops  # noqa: F401
     from . import round7z_ops  # noqa: F401
     from . import round7aa_ops  # noqa: F401
+    from . import round7ab_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
