@@ -857,10 +857,13 @@ def main() -> int:
     # headline value must be small enough to survive that tail intact
     # (BENCH_r05's single 5KB line lost its head, including `value`).
     print(json.dumps({**summary, "queries": all_timings}))
+    # the driver preserves only the final ~2000 bytes: with ~42 family
+    # subtotals in the summary, a 10-entry slowest list pushes the last
+    # line past the cutoff — 5 entries keeps ~400 bytes of headroom
     slowest = dict(
-        sorted(all_timings.items(), key=lambda kv: -kv[1])[:10]
+        sorted(all_timings.items(), key=lambda kv: -kv[1])[:5]
     )
-    print(json.dumps({**summary, "slowest10": slowest}))
+    print(json.dumps({**summary, "slowest5": slowest}))
     return 0
 
 
