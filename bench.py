@@ -647,6 +647,24 @@ EXTENDED_R7AB = [
     "orders_rle_compression_estimate",
 ]
 
+# Round-8 additions, ALL batches in one family (one summary subtotal —
+# the driver keeps only the last ~2000 bytes of stdout, so per-batch
+# subtotal keys must stop growing; registry/round7ac_ops.py onward).
+EXTENDED_R8 = [
+    "events_ratio_metric_delta_method",
+    "orders_crps_ensemble_eval",
+    "customer_t_closeness_audit",
+    "orders_bloom_fpp_planner",
+    "lineitem_huber_m_estimator",
+    "graph_neighborhood_function_exact",
+    "lineitem_logistic_newton_step",
+    "graph_rich_club_coefficient",
+    "orders_sort_key_pruning_advisor",
+    "events_uplift_qini_by_segment",
+    "part_demand_adi_cv2_classes",
+    "docs_tokenizer_fertility_by_lang",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -750,6 +768,7 @@ def main() -> int:
     extended_r7z = run(EXTENDED_R7Z)
     extended_r7aa = run(EXTENDED_R7AA)
     extended_r7ab = run(EXTENDED_R7AB)
+    extended_r8 = run(EXTENDED_R8)
     all_timings = {
         **timings,
         **extended,
@@ -797,6 +816,7 @@ def main() -> int:
         **extended_r7z,
         **extended_r7aa,
         **extended_r7ab,
+        **extended_r8,
     }
     summary = {
         "metric": "headline_queries_total_wall",
@@ -848,6 +868,7 @@ def main() -> int:
         "value_extended_r7z": round(sum(extended_r7z.values()), 3),
         "value_extended_r7aa": round(sum(extended_r7aa.values()), 3),
         "value_extended_r7ab": round(sum(extended_r7ab.values()), 3),
+        "value_extended_r8": round(sum(extended_r8.values()), 3),
         "calib_sec": round(calib, 3),
         "sf": sf,
     }

@@ -596,6 +596,22 @@ _WINDOW_R12: list[str] = [
     # round-7ab overlap / encoding ops (registry/round7ab_ops.py)
     "part_price_bhattacharyya_overlap",
     "orders_rle_compression_estimate",
+    # round-7ac inference / scoring / privacy / planner / robust /
+    # graph ops (registry/round7ac_ops.py)
+    "events_ratio_metric_delta_method",
+    "orders_crps_ensemble_eval",
+    "customer_t_closeness_audit",
+    "orders_bloom_fpp_planner",
+    "lineitem_huber_m_estimator",
+    "graph_neighborhood_function_exact",
+    # round-7ad GLM / graph-topology / layout-advisor / uplift /
+    # demand-class / tokenizer-audit ops (registry/round7ad_ops.py)
+    "lineitem_logistic_newton_step",
+    "graph_rich_club_coefficient",
+    "orders_sort_key_pruning_advisor",
+    "events_uplift_qini_by_segment",
+    "part_demand_adi_cv2_classes",
+    "docs_tokenizer_fertility_by_lang",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -665,6 +681,8 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7z_ops  # noqa: F401
     from . import round7aa_ops  # noqa: F401
     from . import round7ab_ops  # noqa: F401
+    from . import round7ac_ops  # noqa: F401
+    from . import round7ad_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
