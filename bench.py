@@ -663,6 +663,12 @@ EXTENDED_R8 = [
     "events_uplift_qini_by_segment",
     "part_demand_adi_cv2_classes",
     "docs_tokenizer_fertility_by_lang",
+    "lineitem_bitmap_index_plan",
+    "join_cardinality_estimate_audit",
+    "events_histogram_selectivity_audit",
+    "sql_pagination_offset_fetch",
+    "events_watermark_delay_planner",
+    "docs_readability_grade",
 ]
 
 

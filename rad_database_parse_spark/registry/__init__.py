@@ -612,6 +612,14 @@ _WINDOW_R12: list[str] = [
     "events_uplift_qini_by_segment",
     "part_demand_adi_cv2_classes",
     "docs_tokenizer_fertility_by_lang",
+    # round-7ae index/CE/histogram/pagination/watermark/readability
+    # ops (registry/round7ae_ops.py)
+    "lineitem_bitmap_index_plan",
+    "join_cardinality_estimate_audit",
+    "events_histogram_selectivity_audit",
+    "sql_pagination_offset_fetch",
+    "events_watermark_delay_planner",
+    "docs_readability_grade",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -683,6 +691,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ab_ops  # noqa: F401
     from . import round7ac_ops  # noqa: F401
     from . import round7ad_ops  # noqa: F401
+    from . import round7ae_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
