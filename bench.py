@@ -669,6 +669,12 @@ EXTENDED_R8 = [
     "sql_pagination_offset_fetch",
     "events_watermark_delay_planner",
     "docs_readability_grade",
+    "nation_eigenvector_centrality_trade",
+    "orders_kingman_queue_estimate",
+    "customer_linkage_u_probabilities",
+    "orders_interval_coalesce_islands",
+    "docs_simhash_bit_balance_audit",
+    "events_retention_powerlaw_fit",
 ]
 
 

@@ -620,6 +620,14 @@ _WINDOW_R12: list[str] = [
     "sql_pagination_offset_fetch",
     "events_watermark_delay_planner",
     "docs_readability_grade",
+    # round-7af centrality/queueing/linkage/intervals/signature/
+    # retention ops (registry/round7af_ops.py)
+    "nation_eigenvector_centrality_trade",
+    "orders_kingman_queue_estimate",
+    "customer_linkage_u_probabilities",
+    "orders_interval_coalesce_islands",
+    "docs_simhash_bit_balance_audit",
+    "events_retention_powerlaw_fit",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -692,6 +700,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ac_ops  # noqa: F401
     from . import round7ad_ops  # noqa: F401
     from . import round7ae_ops  # noqa: F401
+    from . import round7af_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
