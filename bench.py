@@ -675,6 +675,11 @@ EXTENDED_R8 = [
     "orders_interval_coalesce_islands",
     "docs_simhash_bit_balance_audit",
     "events_retention_powerlaw_fit",
+    "docs_dedup_token_savings",
+    "events_session_timeout_sensitivity",
+    "dq_referential_orphan_audit",
+    "orders_data_vault_hash_keys",
+    "emb_second_pc_deflation",
 ]
 
 

@@ -628,6 +628,13 @@ _WINDOW_R12: list[str] = [
     "orders_interval_coalesce_islands",
     "docs_simhash_bit_balance_audit",
     "events_retention_powerlaw_fit",
+    # round-7ag dedup-budget/session-planner/dq/data-vault/deflation
+    # ops (registry/round7ag_ops.py)
+    "docs_dedup_token_savings",
+    "events_session_timeout_sensitivity",
+    "dq_referential_orphan_audit",
+    "orders_data_vault_hash_keys",
+    "emb_second_pc_deflation",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -701,6 +708,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ad_ops  # noqa: F401
     from . import round7ae_ops  # noqa: F401
     from . import round7af_ops  # noqa: F401
+    from . import round7ag_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
