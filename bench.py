@@ -680,6 +680,12 @@ EXTENDED_R8 = [
     "dq_referential_orphan_audit",
     "orders_data_vault_hash_keys",
     "emb_second_pc_deflation",
+    "lineitem_quantile_regression_grid",
+    "docs_mixture_temperature_plan",
+    "orders_business_day_sla",
+    "orders_snapshot_vs_cdc_cost",
+    "orders_cumulative_distinct_customers",
+    "dq_freshness_staleness_audit",
 ]
 
 

@@ -635,6 +635,14 @@ _WINDOW_R12: list[str] = [
     "dq_referential_orphan_audit",
     "orders_data_vault_hash_keys",
     "emb_second_pc_deflation",
+    # round-7ah quantile-grid/mixture/business-day/replication/
+    # distinct-window/freshness ops (registry/round7ah_ops.py)
+    "lineitem_quantile_regression_grid",
+    "docs_mixture_temperature_plan",
+    "orders_business_day_sla",
+    "orders_snapshot_vs_cdc_cost",
+    "orders_cumulative_distinct_customers",
+    "dq_freshness_staleness_audit",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -709,6 +717,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ae_ops  # noqa: F401
     from . import round7af_ops  # noqa: F401
     from . import round7ag_ops  # noqa: F401
+    from . import round7ah_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
