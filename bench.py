@@ -686,6 +686,12 @@ EXTENDED_R8 = [
     "orders_snapshot_vs_cdc_cost",
     "orders_cumulative_distinct_customers",
     "dq_freshness_staleness_audit",
+    "emb_knn_loo_accuracy",
+    "orders_luhn_check_digit_audit",
+    "events_circular_hour_concentration",
+    "dq_candidate_key_uniqueness",
+    "lineitem_cooks_group_influence",
+    "part_edge_ngram_autocomplete_plan",
 ]
 
 

@@ -643,7 +643,19 @@ _WINDOW_R12: list[str] = [
     "orders_snapshot_vs_cdc_cost",
     "orders_cumulative_distinct_customers",
     "dq_freshness_staleness_audit",
+    # round-7ai knn-eval/luhn/circular/keys/cooks/autocomplete ops
+    # (registry/round7ai_ops.py) — closes _WINDOW_R12 at exactly 50
+    "emb_knn_loo_accuracy",
+    "orders_luhn_check_digit_audit",
+    "events_circular_hour_concentration",
+    "dq_candidate_key_uniqueness",
+    "lineitem_cooks_group_influence",
+    "part_edge_ngram_autocomplete_plan",
 ]
+
+# Round-13 window seed: _WINDOW_R12 closed full at exactly 50 with the
+# round-7ai ops; registrations after that queue here.
+_WINDOW_R13: list[str] = []
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
@@ -718,6 +730,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7af_ops  # noqa: F401
     from . import round7ag_ops  # noqa: F401
     from . import round7ah_ops  # noqa: F401
+    from . import round7ai_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
@@ -734,6 +747,7 @@ def all_queries() -> dict[str, QueryDef]:
         + _WINDOW_R10
         + _WINDOW_R11
         + _WINDOW_R12
+        + _WINDOW_R13
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4

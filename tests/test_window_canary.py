@@ -17,6 +17,7 @@ from rad_database_parse_spark.registry import (
     _WINDOW_R10,
     _WINDOW_R11,
     _WINDOW_R12,
+    _WINDOW_R13,
     all_queries,
 )
 
@@ -32,6 +33,7 @@ def _expected_order():
         + _WINDOW_R10
         + _WINDOW_R11
         + _WINDOW_R12
+        + _WINDOW_R13
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4
@@ -50,6 +52,8 @@ def test_r6_window_leads():
     assert len(_WINDOW_R8) == 50
     assert len(_WINDOW_R9) == 50
     assert len(_WINDOW_R10) == 50
+    assert len(_WINDOW_R11) == 50
+    assert len(_WINDOW_R12) == 50
 
 
 def test_full_pinned_order_holds():
@@ -79,6 +83,7 @@ def test_every_window_name_unique_and_registered():
         _WINDOW_R10,
         _WINDOW_R11,
         _WINDOW_R12,
+        _WINDOW_R13,
     ):
         assert len(set(window)) == len(window)
     registered = set(all_queries())
@@ -94,6 +99,7 @@ def test_every_window_name_unique_and_registered():
             + _WINDOW_R10
             + _WINDOW_R11
             + _WINDOW_R12
+            + _WINDOW_R13
         )
         <= registered
     )
