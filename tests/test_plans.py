@@ -453,6 +453,10 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "lineitem_neyman_allocation_plan",  # totals over 3 strata rows
         "orders_expanding_window_cv",   # CV mean over 6 fold rows
         "supplier_kraljic_quadrants",   # spend share over 4 quadrants
+        "customer_t_closeness_audit",   # global-histogram total (11 bins)
+        "events_uplift_qini_by_segment",  # Qini cumsum over 5 buckets
+        "part_demand_adi_cv2_classes",  # class-census share (4 rows)
+        "orders_cumulative_distinct_customers",  # month axis (~84 rows)
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
