@@ -692,6 +692,12 @@ EXTENDED_R8 = [
     "dq_candidate_key_uniqueness",
     "lineitem_cooks_group_influence",
     "part_edge_ngram_autocomplete_plan",
+    "part_hotelling_t2_brands",
+    "lineitem_wls_discount_slope",
+    "orders_woe_iv_price_bins",
+    "orders_cube_view_selection_greedy",
+    "events_chao1_unseen_users",
+    "events_interrupted_time_series",
 ]
 
 

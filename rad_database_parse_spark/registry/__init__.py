@@ -655,7 +655,16 @@ _WINDOW_R12: list[str] = [
 
 # Round-13 window seed: _WINDOW_R12 closed full at exactly 50 with the
 # round-7ai ops; registrations after that queue here.
-_WINDOW_R13: list[str] = []
+_WINDOW_R13: list[str] = [
+    # round-7aj multivariate-control/WLS/WoE/HRU/chao1/ITS ops
+    # (registry/round7aj_ops.py)
+    "part_hotelling_t2_brands",
+    "lineitem_wls_discount_slope",
+    "orders_woe_iv_price_bins",
+    "orders_cube_view_selection_greedy",
+    "events_chao1_unseen_users",
+    "events_interrupted_time_series",
+]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
@@ -731,6 +740,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ag_ops  # noqa: F401
     from . import round7ah_ops  # noqa: F401
     from . import round7ai_ops  # noqa: F401
+    from . import round7aj_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
