@@ -698,6 +698,12 @@ EXTENDED_R8 = [
     "orders_cube_view_selection_greedy",
     "events_chao1_unseen_users",
     "events_interrupted_time_series",
+    "docs_lead_k_coverage_curve",
+    "nation_settlement_netting_efficiency",
+    "part_price_ladder_gaps",
+    "docs_hash_shard_balance",
+    "customer_segment_bh_fdr",
+    "orders_condorcet_priority_winner",
 ]
 
 

@@ -664,6 +664,14 @@ _WINDOW_R13: list[str] = [
     "orders_cube_view_selection_greedy",
     "events_chao1_unseen_users",
     "events_interrupted_time_series",
+    # round-7ak lead-coverage/netting/ladder/shard/FDR/condorcet ops
+    # (registry/round7ak_ops.py)
+    "docs_lead_k_coverage_curve",
+    "nation_settlement_netting_efficiency",
+    "part_price_ladder_gaps",
+    "docs_hash_shard_balance",
+    "customer_segment_bh_fdr",
+    "orders_condorcet_priority_winner",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -741,6 +749,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ah_ops  # noqa: F401
     from . import round7ai_ops  # noqa: F401
     from . import round7aj_ops  # noqa: F401
+    from . import round7ak_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
