@@ -704,6 +704,11 @@ EXTENDED_R8 = [
     "docs_hash_shard_balance",
     "customer_segment_bh_fdr",
     "orders_condorcet_priority_winner",
+    "join_order_cost_enumeration",
+    "events_markov_next_event_accuracy",
+    "lineitem_rounding_reconciliation",
+    "graph_weight_percolation_reach",
+    "dq_volume_dod_anomaly",
 ]
 
 

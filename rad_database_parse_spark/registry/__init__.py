@@ -672,6 +672,13 @@ _WINDOW_R13: list[str] = [
     "docs_hash_shard_balance",
     "customer_segment_bh_fdr",
     "orders_condorcet_priority_winner",
+    # round-7al selinger/markov-eval/rounding/percolation/volume ops
+    # (registry/round7al_ops.py)
+    "join_order_cost_enumeration",
+    "events_markov_next_event_accuracy",
+    "lineitem_rounding_reconciliation",
+    "graph_weight_percolation_reach",
+    "dq_volume_dod_anomaly",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -750,6 +757,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ai_ops  # noqa: F401
     from . import round7aj_ops  # noqa: F401
     from . import round7ak_ops  # noqa: F401
+    from . import round7al_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to

@@ -457,6 +457,7 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "events_uplift_qini_by_segment",  # Qini cumsum over 5 buckets
         "part_demand_adi_cv2_classes",  # class-census share (4 rows)
         "orders_cumulative_distinct_customers",  # month axis (~84 rows)
+        "dq_volume_dod_anomaly",        # calendar-day grain DoD lag
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
