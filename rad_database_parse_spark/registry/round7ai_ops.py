@@ -20,7 +20,7 @@ from ._util import dec, t
 # 1. emb_knn_loo_accuracy — label coherence of the embedding space
 # ------------------------------------------------------------------
 
-_KNN_QUERY_MOD = 5  # deterministic 20% query sample
+_KNN_QUERY_MOD = 10  # deterministic 10% query sample
 _KNN_SCALE = 1000
 
 
@@ -71,7 +71,7 @@ def emb_knn_loo_accuracy(spark: SparkSession, sf_dir: str):
     trust labels for hard-negative mining or semantic dedup, check
     that nearest neighbors AGREE with them; the nearest-centroid
     confusion op measures cluster geometry, this measures local
-    geometry). A deterministic 20% of vectors query against the full
+    geometry). A deterministic 10% of vectors query against the full
     corpus (minus self); cosine quantizes to micro integers BEFORE
     the per-query argmax (ties broken by candidate id) so the winner
     is engine-identical — integer dot products, IEEE sqrt norms, one
