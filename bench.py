@@ -709,6 +709,11 @@ EXTENDED_R8 = [
     "lineitem_rounding_reconciliation",
     "graph_weight_percolation_reach",
     "dq_volume_dod_anomaly",
+    "emb_pq_code_balance",
+    "customer_supply_shock_exposure",
+    "docs_template_prefix_census",
+    "lineitem_unit_price_consistency_audit",
+    "events_ab_novelty_decay",
 ]
 
 

@@ -679,6 +679,13 @@ _WINDOW_R13: list[str] = [
     "lineitem_rounding_reconciliation",
     "graph_weight_percolation_reach",
     "dq_volume_dod_anomaly",
+    # round-7am pq-balance/shock/template/unit-price/novelty ops
+    # (registry/round7am_ops.py)
+    "emb_pq_code_balance",
+    "customer_supply_shock_exposure",
+    "docs_template_prefix_census",
+    "lineitem_unit_price_consistency_audit",
+    "events_ab_novelty_decay",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -758,6 +765,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7aj_ops  # noqa: F401
     from . import round7ak_ops  # noqa: F401
     from . import round7al_ops  # noqa: F401
+    from . import round7am_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
