@@ -458,6 +458,8 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
         "part_demand_adi_cv2_classes",  # class-census share (4 rows)
         "orders_cumulative_distinct_customers",  # month axis (~84 rows)
         "dq_volume_dod_anomaly",        # calendar-day grain DoD lag
+        "customer_segment_bh_fdr",      # |z| rank over 5 segments
+        "join_order_cost_enumeration",  # plan rank over 4 rows
         # map-side top-k pruned (WindowGroupLimit asserted below):
         "docs_bm25_topk",
         "docs_bpe_first_merge",
