@@ -373,28 +373,38 @@ def lineitem_rounding_reconciliation(spark: SparkSession, sf_dir: str):
 # 4. graph_weight_percolation_reach — robustness profile
 # ------------------------------------------------------------------
 
-_PERC_THRESHOLDS = [2, 3, 4]
+# weight thresholds as QUANTILES of the edge-weight distribution —
+# absolute weights behave oppositely across scale factors (the sf0.01
+# graph is complete at weight 8 while sf0.1 is sparse at 5); quantile
+# cut-points sparsify proportionally at any SF
+_PERC_QUANTILES = [("p95", 0.95), ("p98", 0.98), ("p995", 0.995)]
 
 
 def _perc_oracle() -> str:
     branches = []
-    for w in _PERC_THRESHOLDS:
+    for label, q in _PERC_QUANTILES:
+        thr = f"(SELECT t{label} FROM thr)"
         branches.append(
             f"""
-      SELECT CAST({w} AS BIGINT) AS min_weight,
+      SELECT '{label}' AS weight_quantile,
+             {thr} AS min_weight,
              (SELECT CAST(COUNT(DISTINCT u) AS BIGINT)
-              FROM edges WHERE cnt >= {w}) AS n_nodes,
+              FROM edges WHERE cnt >= {thr}) AS n_nodes,
              (SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM (
                 SELECT DISTINCT d2.u, d2.v FROM (
                   SELECT e1.u, e2.v
                   FROM edges e1 JOIN edges e2
-                    ON e2.u = e1.v AND e1.cnt >= {w}
-                    AND e2.cnt >= {w} AND e1.u != e2.v
+                    ON e2.u = e1.v AND e1.cnt >= {thr}
+                    AND e2.cnt >= {thr} AND e1.u != e2.v
                   UNION ALL
-                  SELECT u, v FROM edges WHERE cnt >= {w}) d2))
+                  SELECT u, v FROM edges WHERE cnt >= {thr}) d2))
                AS pairs_within_2"""
         )
     union = "\n      UNION ALL\n      ".join(branches)
+    cuts = ",\n             ".join(
+        f"CAST(ceil(quantile_cont(cnt, {q})) AS BIGINT) AS t{label}"
+        for label, q in _PERC_QUANTILES
+    )
     return f"""
     WITH base AS (
       SELECT DISTINCT l_orderkey AS ord, l_suppkey AS supp
@@ -404,13 +414,16 @@ def _perc_oracle() -> str:
       FROM base a JOIN base b ON b.ord = a.ord AND a.supp != b.supp
       GROUP BY 1, 2),
     edges AS (SELECT u, v, cnt FROM shared),
+    thr AS (
+      SELECT {cuts}
+      FROM edges),
     grid AS (
       {union})
-    SELECT min_weight, n_nodes, pairs_within_2,
+    SELECT weight_quantile, min_weight, n_nodes, pairs_within_2,
            CAST(pairs_within_2 * 1000000
                 // NULLIF(n_nodes * (n_nodes - 1) // 2, 0) AS BIGINT)
              AS reach2_ppm
-    FROM grid ORDER BY min_weight
+    FROM grid ORDER BY weight_quantile
     """
 
 
@@ -420,16 +433,20 @@ def graph_weight_percolation_reach(spark: SparkSession, sf_dir: str):
     graph: raise the minimum edge weight (co-fulfilled orders) and
     watch 2-hop reachability collapse — the robustness readout behind
     'how much does the network depend on weak ties' (Granovetter's
-    question as a measurement): a network whose reach survives w≥4
-    pruning has redundant strong corridors; one that shatters at w≥2
-    routes everything over one-off relationships. Reuses the bounded
-    co-supply pair list (ONE fact-grain build serves all thresholds);
-    per threshold, reach is one pair×edge join + distinct capped at
-    radius 2 — the neighborhood-function machinery with the weight
-    knob swept instead of the radius. All counts exact; reach in
-    integer ppm of all node pairs at that threshold. At 100 TB the
-    percolation sweep shares the single pair-list shuffle — each
-    threshold is a filter, not a rebuild."""
+    question as a measurement): a network whose reach survives p99.5
+    pruning has redundant strong corridors; one that shatters below
+    p95 routes everything over one-off relationships. Thresholds are
+    QUANTILES of the edge-weight distribution, not absolute weights —
+    absolute cut-points behave oppositely across scale factors (the
+    sf0.01 co-supply graph is complete at weight 8 while sf0.1 is
+    sparse at 5, and the first version's fixed w≥2 left a ~690-degree
+    near-complete graph whose 2-hop closure cost 23s at sf0.1);
+    keeping only the top 2-5% of edges bounds the closure's degree by
+    construction at ANY scale. One fact-grain pair build serves all
+    thresholds (filter, not rebuild); per threshold, reach is one
+    pair×edge join + distinct capped at radius 2. Exact interpolated
+    quantile cut-points ceil to integers identically in both
+    engines; all counts exact, reach in integer ppm."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     base = li.select(
         F.col("l_orderkey").alias("ord"),
@@ -448,16 +465,32 @@ def graph_weight_percolation_reach(spark: SparkSession, sf_dir: str):
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .persist()
     )
+    thr = shared.agg(
+        *[
+            F.expr(
+                f"CAST(ceil(percentile(cnt, {q})) AS BIGINT)"
+            ).alias(f"t{label}")
+            for label, q in _PERC_QUANTILES
+        ]
+    )
     out = None
-    for wthr in _PERC_THRESHOLDS:
-        ew = shared.filter(F.col("cnt") >= wthr).select("u", "v")
-        nn = ew.agg(F.count_distinct("u").cast("bigint").alias("n_nodes"))
+    for label, _q in _PERC_QUANTILES:
+        ew = (
+            shared.crossJoin(F.broadcast(thr))
+            .filter(F.col("cnt") >= F.col(f"t{label}"))
+            .select("u", "v", F.col(f"t{label}").alias("min_weight"))
+        )
+        nn = ew.agg(
+            F.count_distinct("u").cast("bigint").alias("n_nodes"),
+            F.min("min_weight").cast("bigint").alias("min_weight"),
+        )
         e2 = ew.select(F.col("u").alias("pu"), F.col("v").alias("pv"))
         two_hop = (
-            ew.join(e2, ew.v == F.col("pu"))
+            ew.select("u", "v")
+            .join(e2, F.col("v") == F.col("pu"))
             .filter(F.col("u") != F.col("pv"))
             .select("u", F.col("pv").alias("v"))
-            .union(ew)
+            .union(ew.select("u", "v"))
             .distinct()
         )
         cnt2 = two_hop.agg(
@@ -468,13 +501,15 @@ def graph_weight_percolation_reach(spark: SparkSession, sf_dir: str):
         row = (
             nn.crossJoin(F.broadcast(cnt2))
             .select(
-                F.lit(wthr).cast("bigint").alias("min_weight"),
+                F.lit(label).alias("weight_quantile"),
+                "min_weight",
                 "n_nodes",
                 "pairs_within_2",
             )
         )
         out = row if out is None else out.union(row)
     return out.select(
+        "weight_quantile",
         "min_weight",
         "n_nodes",
         "pairs_within_2",
@@ -482,7 +517,7 @@ def graph_weight_percolation_reach(spark: SparkSession, sf_dir: str):
             "CAST(pairs_within_2 * 1000000"
             " div NULLIF(n_nodes * (n_nodes - 1) div 2, 0) AS BIGINT)"
         ).alias("reach2_ppm"),
-    ).orderBy("min_weight")
+    ).orderBy("weight_quantile")
 
 
 # ------------------------------------------------------------------
