@@ -714,6 +714,8 @@ EXTENDED_R8 = [
     "docs_template_prefix_census",
     "lineitem_unit_price_consistency_audit",
     "events_ab_novelty_decay",
+    "docs_simhash_width_collisions",
+    "docs_dup_cluster_size_powerlaw",
 ]
 
 

@@ -686,6 +686,10 @@ _WINDOW_R13: list[str] = [
     "docs_template_prefix_census",
     "lineitem_unit_price_consistency_audit",
     "events_ab_novelty_decay",
+    # round-7an signature-width/dup-structure ops
+    # (registry/round7an_ops.py)
+    "docs_simhash_width_collisions",
+    "docs_dup_cluster_size_powerlaw",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -766,6 +770,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ak_ops  # noqa: F401
     from . import round7al_ops  # noqa: F401
     from . import round7am_ops  # noqa: F401
+    from . import round7an_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
