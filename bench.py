@@ -716,6 +716,8 @@ EXTENDED_R8 = [
     "events_ab_novelty_decay",
     "docs_simhash_width_collisions",
     "docs_dup_cluster_size_powerlaw",
+    "customer_order_count_nbd_fit",
+    "customer_first_order_ltv_corr",
 ]
 
 

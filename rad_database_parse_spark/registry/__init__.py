@@ -690,6 +690,10 @@ _WINDOW_R13: list[str] = [
     # (registry/round7an_ops.py)
     "docs_simhash_width_collisions",
     "docs_dup_cluster_size_powerlaw",
+    # round-7ao count-model/acquisition-signal ops
+    # (registry/round7ao_ops.py)
+    "customer_order_count_nbd_fit",
+    "customer_first_order_ltv_corr",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -771,6 +775,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7al_ops  # noqa: F401
     from . import round7am_ops  # noqa: F401
     from . import round7an_ops  # noqa: F401
+    from . import round7ao_ops  # noqa: F401
 
     # round-6 window first (the 50 queries that have never had a driver
     # CORRECTNESS row — all r5 checks were green so there is nothing to
