@@ -777,22 +777,24 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7an_ops  # noqa: F401
     from . import round7ao_ops  # noqa: F401
 
-    # round-6 window first (the 50 queries that have never had a driver
-    # CORRECTNESS row — all r5 checks were green so there is nothing to
-    # re-front), then new round-6 registrations (_WINDOW_R7, positions 51+
-    # this round, 1+ next round), then the prior windows keep their relative
-    # order so any driver overflow re-confirms already-green queries.
+    # Round-7 rotation: CORRECTNESS_r06.json landed with all 50 _WINDOW_R6
+    # queries green (50/50 rows+schema+hash), so per SURVEY §8's plan the
+    # never-driver-checked _WINDOW_R7 tier (txn/lakehouse, Shapley/CUPED,
+    # IVF-PQ ADC, Python DataSource roundtrip) leads positions 1-50 for its
+    # first-ever driver rows. R8..R13 queue behind it; the already-green
+    # windows (R6 first, then R5/R3/R4) trail so any driver overflow
+    # re-confirms green queries rather than starving the backlog.
     seen: set[str] = set()
     window_order = [
         n
-        for n in _WINDOW_R6
-        + _WINDOW_R7
+        for n in _WINDOW_R7
         + _WINDOW_R8
         + _WINDOW_R9
         + _WINDOW_R10
         + _WINDOW_R11
         + _WINDOW_R12
         + _WINDOW_R13
+        + _WINDOW_R6
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4

@@ -1,9 +1,10 @@
-"""Driver-window canary: the first 50 registered queries are the round-6
-correctness window — the complete set of queries that have never had a
-driver CORRECTNESS row (_WINDOW_R6, pinned at exactly 50). An import
-reorder or a family re-registration must not be able to silently re-run an
-already-green window (VERDICT r2 item 7). New round-6 registrations queue
-in _WINDOW_R7 at positions 51+ so they lead the round-7 rotation.
+"""Driver-window canary: CORRECTNESS_r06.json landed all 50 _WINDOW_R6
+queries green, so the round-7 rotation leads with _WINDOW_R7 — the 50
+highest-value never-driver-checked queries (txn/lakehouse tier, Shapley/
+CUPED, IVF-PQ ADC, Python DataSource roundtrip). An import reorder or a
+family re-registration must not be able to silently re-run an
+already-green window (VERDICT r2 item 7). New registrations queue in
+_WINDOW_R13 (the live window) until it closes at 50.
 """
 
 from rad_database_parse_spark.registry import (
@@ -26,14 +27,14 @@ def _expected_order():
     seen = set()
     return [
         n
-        for n in _WINDOW_R6
-        + _WINDOW_R7
+        for n in _WINDOW_R7
         + _WINDOW_R8
         + _WINDOW_R9
         + _WINDOW_R10
         + _WINDOW_R11
         + _WINDOW_R12
         + _WINDOW_R13
+        + _WINDOW_R6
         + _WINDOW_R5
         + _WINDOW_R3
         + _WINDOW_R4
@@ -41,19 +42,23 @@ def _expected_order():
     ]
 
 
-def test_r6_window_leads():
+def test_r7_window_leads():
     names = list(all_queries())
-    # the 50 never-driver-checked queries occupy positions 1-50 — exactly
-    # the driver's correctness window
-    assert names[: len(_WINDOW_R6)] == _WINDOW_R6
-    assert len(_WINDOW_R6) == 50
-    # the round-7..round-10 windows are pinned full at exactly 50
+    # the 50 never-driver-checked _WINDOW_R7 queries occupy positions 1-50
+    # — exactly the driver's correctness window
+    assert names[: len(_WINDOW_R7)] == _WINDOW_R7
     assert len(_WINDOW_R7) == 50
+    # the closed windows are pinned full at exactly 50
+    assert len(_WINDOW_R6) == 50
     assert len(_WINDOW_R8) == 50
     assert len(_WINDOW_R9) == 50
     assert len(_WINDOW_R10) == 50
     assert len(_WINDOW_R11) == 50
     assert len(_WINDOW_R12) == 50
+    # the live window must not silently grow past the driver's 50-query
+    # gate (ADVICE r6): overflow into a future _WINDOW_R14 is an explicit
+    # decision, not an accident
+    assert len(_WINDOW_R13) <= 50
 
 
 def test_full_pinned_order_holds():
@@ -68,7 +73,7 @@ def test_window_is_immune_to_direct_module_imports():
     import rad_database_parse_spark.registry.core_relational  # noqa: F401
     import rad_database_parse_spark.registry.llm_ops  # noqa: F401
 
-    assert list(all_queries())[: len(_WINDOW_R6)] == _WINDOW_R6
+    assert list(all_queries())[: len(_WINDOW_R7)] == _WINDOW_R7
 
 
 def test_every_window_name_unique_and_registered():
@@ -105,9 +110,9 @@ def test_every_window_name_unique_and_registered():
     )
 
 
-def test_r7_seed_queues_directly_after_r6():
-    # post-r6 registrations must sit at positions 51+ (never inside the
-    # r6 window, never unpinned) so they lead the round-7 rotation
+def test_r8_queues_directly_after_r7():
+    # the next driver window (R8) must sit at positions 51+ so the
+    # rotation provably advances one full window per driver round
     names = list(all_queries())
-    for i, q in enumerate(_WINDOW_R7):
+    for i, q in enumerate(_WINDOW_R8):
         assert names[50 + i] == q
