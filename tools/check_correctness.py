@@ -105,6 +105,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # drop persisted intermediates so cached partitions from ops
+            # that persist() mid-plan don't accumulate across the
+            # single-session 569-query run (ADVICE r6; bench.py already
+            # does the same between timed runs)
+            spark.catalog.clearCache()
         if qd.oracle is None:
             ok = len(spark_pdf) >= 0
             print(f"WEAK {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s, no oracle)")
