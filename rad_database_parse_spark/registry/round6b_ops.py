@@ -1414,6 +1414,101 @@ def part_theilsen_trend(spark: SparkSession, sf_dir: str):
 _PC_SCALE = 1000
 
 
+def _int_gram(qarr_df, schema: str = "i int, j int, gij long"):
+    """Exact-integer Gram matrix G = Σ q qᵀ over an int64 array column
+    named `qarr` — one d²-cell partial per PARTITION via mapInArrow
+    (numpy int64 matmul: exact integer arithmetic at C speed), then a
+    bounded groupBy folds the ~num_partitions × d² partials into the
+    final d² cells.  Replaces the double-posexplode build (VERDICT r6):
+    exploding each vector to d² rows before the aggregate was a 4096×
+    row inflation (d=64) through the scan stage — this form touches
+    each vector once and emits only the d² partial per task, so shuffle
+    volume is constant in corpus size.  Quantization stays in Spark
+    expressions upstream, so integer parity with the DuckDB oracle is
+    untouched."""
+
+    def part(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        acc = None
+        for b in batches:
+            col = b.column(0)
+            if col.null_count:
+                col = col.drop_null()
+            if len(col) == 0:
+                continue
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = col.values.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            widths = np.diff(offs)
+            if not widths.size:
+                continue
+            d = int(widths.max())
+            if (widths == d).all():
+                q = vals[offs[0] : offs[-1]].reshape(-1, d)
+                g = q.T @ q
+            else:  # ragged corpus: row-wise outer products (rare path)
+                g = np.zeros((d, d), dtype=np.int64)
+                for k in range(len(widths)):
+                    r = vals[offs[k] : offs[k + 1]]
+                    g[: len(r), : len(r)] += np.outer(r, r)
+            if acc is None:
+                acc = g
+            elif acc.shape[0] >= g.shape[0]:
+                acc[: g.shape[0], : g.shape[0]] += g
+            else:
+                g[: acc.shape[0], : acc.shape[0]] += acc
+                acc = g
+        if acc is not None:
+            d = acc.shape[0]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": np.repeat(np.arange(d, dtype=np.int32), d),
+                    "j": np.tile(np.arange(d, dtype=np.int32), d),
+                    "gij": acc.reshape(-1),
+                }
+            )
+
+    from pyspark.sql import functions as SF
+
+    return (
+        qarr_df.select("qarr")
+        .mapInArrow(part, schema)
+        .groupBy("i", "j")
+        .agg(SF.sum("gij").alias("gij"))
+    )
+
+
+def _power_iterate_int(cells, scale: int):
+    """Two exact-integer power iterations + deterministic sign fix over
+    a COLLECTED Gram matrix — the Markov-ops pattern (fact fold
+    distributed, fixpoint iterate driver-side over bounded state): the
+    d² = 4096 Gram cells are constant in corpus size, and iterating
+    them as Spark jobs paid ~8 sequential broadcast-exchange stages of
+    pure scheduling latency (VERDICT r6 item 5).  Python ints are
+    arbitrary-precision, and `//` is floor division — bit-identical to
+    the floor-div construction the SQL oracle uses."""
+    G: dict[tuple[int, int], int] = {}
+    dims: set[int] = set()
+    for r in cells:
+        G[(r["i"], r["j"])] = int(r["gij"])
+        dims.add(int(r["i"]))
+        dims.add(int(r["j"]))
+    ds = sorted(dims)
+
+    def norm(v):
+        mx = max(abs(x) for x in v.values())
+        return {i: (x * scale) // mx for i, x in v.items()}
+
+    v1 = norm({i: sum(G.get((i, j), 0) for j in ds) * scale for i in ds})
+    v2 = norm({i: sum(G.get((i, j), 0) * v1[j] for j in ds) for i in ds})
+    top = max(ds, key=lambda i: (abs(v2[i]), -i))
+    s = -1 if v2[top] < 0 else 1
+    return [(i, v2[i] * s) for i in ds]
+
+
 @register(
     "emb_top_pc_power_iteration",
     f"""
@@ -1466,12 +1561,22 @@ def emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str):
     This is the dead-dim/anisotropy diagnostic read next to
     emb_dim_variance_profile before ANN index choices: a corpus whose
     top direction dominates wants centering/whitening before IVF."""
+    comp = _top_pc_components(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(i), int(v)) for i, v in comp],
+        "dim int, component_fp bigint",
+    )
+
+
+def _top_pc_components(spark: SparkSession, sf_dir: str):
+    """Shared top-PC computation (also feeds emb_second_pc_deflation's
+    deflation step): distributed Gram fold, then the driver-side
+    exact-integer iterate.  The collect is d² = 4096 cells — bounded
+    at any corpus size."""
     e = t(spark, sf_dir, "embeddings")
-    # Gram build WITHOUT a self-join: quantize once, then a double
-    # posexplode streams the d^2 co-ordinate products straight into the
-    # 4096-group partial aggregate — one scan, zero pre-agg shuffles
-    # (the (vec, dim) self-join variant shuffled the exploded table by
-    # vec_id first; measured 4.3s -> ~2s at sf0.1).
+    # Gram build: quantize in Spark expressions (exact parity with the
+    # oracle's round()), then per-partition integer QᵀQ via _int_gram —
+    # one scan, no row inflation, constant d² shuffle per task.
     qarr = e.select(
         "vec_id",
         F.transform(
@@ -1479,46 +1584,8 @@ def emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str):
             lambda x: F.round(x * _PC_SCALE).cast("bigint"),
         ).alias("qarr"),
     )
-    g = (
-        qarr.select(F.posexplode("qarr").alias("i", "qi"), F.col("qarr"))
-        .select("i", "qi", F.posexplode("qarr").alias("j", "qj"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("qi") * F.col("qj")).alias("gij"))
-    )
-    # components can be NEGATIVE: Spark `div` truncates, DuckDB `//`
-    # floors — subtract the positive remainder first (the Theil-Sen
-    # floor-div construction) so both engines floor identically.
-    nrm = (
-        f"((v * {_PC_SCALE}) - ((((v * {_PC_SCALE}) % mx) + mx) % mx))"
-        f" div mx"
-    )
-    v1 = g.groupBy(F.col("i").alias("dim")).agg(
-        F.sum(F.col("gij") * _PC_SCALE).alias("v")
-    )
-    m1 = v1.agg(F.max(F.abs(F.col("v"))).alias("mx"))
-    v1n = v1.crossJoin(F.broadcast(m1)).select(
-        "dim", F.expr(nrm).alias("v")
-    )
-    v2 = (
-        g.join(v1n.withColumnRenamed("dim", "j"), "j")
-        .groupBy(F.col("i").alias("dim"))
-        .agg(F.sum(F.col("gij") * F.col("v")).alias("v"))
-    )
-    m2 = v2.agg(F.max(F.abs(F.col("v"))).alias("mx"))
-    v2n = v2.crossJoin(F.broadcast(m2)).select(
-        "dim", F.expr(nrm).alias("v")
-    )
-    sgn = (
-        v2n.orderBy(F.abs(F.col("v")).desc(), F.col("dim"))
-        .limit(1)
-        .select(
-            F.when(F.col("v") < 0, -1).otherwise(1).alias("s")
-        )
-    )
-    return v2n.crossJoin(F.broadcast(sgn)).select(
-        F.col("dim").cast("int"),
-        (F.col("v") * F.col("s")).cast("bigint").alias("component_fp"),
-    )
+    cells = _int_gram(qarr).collect()  # 4096 cells: bounded grain
+    return _power_iterate_int(cells, _PC_SCALE)
 
 
 @register(

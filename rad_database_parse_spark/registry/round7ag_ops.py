@@ -509,21 +509,24 @@ def emb_second_pc_deflation(spark: SparkSession, sf_dir: str):
     linear algebra. Sign fixed deterministically as in the top-PC
     op."""
     e = t(spark, sf_dir, "embeddings")
-    from .round6b_ops import emb_top_pc_power_iteration
-
-    u = emb_top_pc_power_iteration(spark, sf_dir)
-    ul = u.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(dim,"
-            " component_fp))), x -> x.component_fp) AS ua"
-        ),
-        F.sum(F.col("component_fp") * F.col("component_fp"))
-        .cast("bigint")
-        .alias("uu"),
+    from .round6b_ops import (
+        _int_gram,
+        _power_iterate_int,
+        _top_pc_components,
     )
+
+    # top PC as driver-side constants (d = 64 components — bounded):
+    # embedding u as LITERAL arrays in the deflation expressions keeps
+    # the whole deflation + Gram fold to TWO Spark jobs, where chaining
+    # the top-PC DataFrame through broadcast crossJoins paid ~8
+    # sequential tiny-stage latencies (VERDICT r6 item 5)
+    comp = _top_pc_components(spark, sf_dir)
+    ua = [v for _, v in sorted(comp)]
+    uu = sum(v * v for v in ua)
     s = _PC2_SCALE
+    ua_sql = "array(" + ", ".join(f"CAST({v} AS BIGINT)" for v in ua) + ")"
     # Spark arrays are 0-based (DuckDB lists 1-based): the Spark text
-    # indexes q0[ii]/ua[ii]; the oracle the 1-based equivalents.
+    # indexes via zip_with; the oracle the 1-based equivalents.
     qraw = e.select(
         "vec_id",
         F.expr(
@@ -531,13 +534,11 @@ def emb_second_pc_deflation(spark: SparkSession, sf_dir: str):
             f" CAST(round(CAST(x AS DOUBLE) * {s}) AS BIGINT)) AS q0"
         ),
     )
-    qdot = qraw.crossJoin(F.broadcast(ul)).select(
+    qdot = qraw.select(
         "vec_id",
         "q0",
-        "ua",
-        "uu",
         F.expr(
-            "CAST(aggregate(zip_with(q0, ua, (a, b) -> a * b),"
+            f"CAST(aggregate(zip_with(q0, {ua_sql}, (a, b) -> a * b),"
             " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
             " AS dot"
         ),
@@ -545,42 +546,17 @@ def emb_second_pc_deflation(spark: SparkSession, sf_dir: str):
     qp = qdot.select(
         "vec_id",
         F.expr(
-            "zip_with(q0, ua, (a, b) -> a"
-            " - CAST(round(CAST(dot AS DOUBLE) * b / uu) AS BIGINT))"
-            " AS q"
+            f"zip_with(q0, {ua_sql}, (a, b) -> a"
+            f" - CAST(round(CAST(dot AS DOUBLE) * b"
+            f" / CAST({uu} AS BIGINT)) AS BIGINT)) AS q"
         ),
     )
-    g2 = (
-        qp.select(F.posexplode("q").alias("i", "qi"), F.col("q"))
-        .select("i", "qi", F.posexplode("q").alias("j", "qj"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("qi") * F.col("qj")).alias("gij"))
-    )
-    nrm = (
-        f"((v * {s}) - ((((v * {s}) % mx) + mx) % mx)) div mx"
-    )
-    w1 = g2.groupBy(F.col("i").alias("dim")).agg(
-        F.sum(F.col("gij") * s).alias("v")
-    )
-    m1 = w1.agg(F.max(F.abs(F.col("v"))).alias("mx"))
-    w1n = w1.crossJoin(F.broadcast(m1)).select(
-        "dim", F.expr(nrm).alias("v")
-    )
-    w2 = (
-        g2.join(w1n.withColumnRenamed("dim", "j"), "j")
-        .groupBy(F.col("i").alias("dim"))
-        .agg(F.sum(F.col("gij") * F.col("v")).alias("v"))
-    )
-    m2 = w2.agg(F.max(F.abs(F.col("v"))).alias("mx"))
-    w2n = w2.crossJoin(F.broadcast(m2)).select(
-        "dim", F.expr(nrm).alias("v")
-    )
-    sgn = (
-        w2n.orderBy(F.abs(F.col("v")).desc(), F.col("dim"))
-        .limit(1)
-        .select(F.when(F.col("v") < 0, -1).otherwise(1).alias("sg"))
-    )
-    return w2n.crossJoin(F.broadcast(sgn)).select(
-        F.col("dim").cast("int"),
-        (F.col("v") * F.col("sg")).cast("bigint").alias("component_fp"),
+    # Gram of the deflated vectors via the shared per-partition integer
+    # QᵀQ (no d²-row inflation), then the driver-side exact-integer
+    # iterate over the collected 4096 bounded cells
+    cells = _int_gram(qp.select(F.col("q").alias("qarr"))).collect()
+    out = _power_iterate_int(cells, s)
+    return spark.createDataFrame(
+        [(int(i), int(v)) for i, v in out],
+        "dim int, component_fp bigint",
     )
