@@ -287,59 +287,39 @@ def customer_coverage_greedy_brands(spark: SparkSession, sf_dir: str):
     hist = masks.groupBy("mask").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
-    hist = hist.persist()
-    pmask = None  # picked-brands mask so far (1-row DataFrame)
-    out = None
+    # the greedy rounds iterate DRIVER-SIDE over the collected mask
+    # histogram (VERDICT r6 item 5, the Markov-ops pattern): the
+    # histogram is bounded in CORPUS size — at most 2^25 distinct
+    # masks over the <=25 brand bits, in practice <= the number of
+    # distinct assortments, concentrated far below the bound — while
+    # each Spark-job round paid ~3 sequential broadcast-exchange
+    # stages of pure scheduling latency (measured 11.6s at sf0.1;
+    # this form ~1.5s).  Python big-int bit ops mirror the oracle's
+    # mask algebra exactly.
+    H = [(int(r["mask"]), int(r["cnt"])) for r in hist.collect()]
+    brand_of = {int(r["bit"]): r["brand"] for r in bits.collect()}
+    p = 0
+    rows = []
     for k in range(1, _COV_ROUNDS + 1):
-        hb = hist.crossJoin(F.broadcast(bits))
-        if pmask is not None:
-            hb = hb.crossJoin(F.broadcast(pmask))
-        else:
-            hb = hb.withColumn("p", F.lit(0).cast("bigint"))
-        gain = hb.groupBy("bit", "brand").agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.expr(
-                            "(mask & (1 << CAST(bit AS INT))) != 0"
-                            " AND (mask & p) = 0"
-                        ),
-                        F.col("cnt"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("gain")
-        )
-        pick = gain.orderBy(F.col("gain").desc(), "brand").limit(1)
-        newp = (
-            pick.crossJoin(F.broadcast(pmask))
-            if pmask is not None
-            else pick.withColumn("p", F.lit(0).cast("bigint"))
-        ).select(
-            F.expr("p | (1 << CAST(bit AS INT))").alias("p")
-        )
-        cov = (
-            hist.crossJoin(F.broadcast(newp))
-            .filter(F.expr("(mask & p) != 0"))
-            .agg(
-                F.sum("cnt").cast("bigint").alias(
-                    "cumulative_covered"
-                )
-            )
-        )
-        row = (
-            pick.select(
-                F.lit(k).cast("bigint").alias("pick_order"),
-                "brand",
-                F.col("gain").alias("marginal_new_customers"),
-            )
-            .crossJoin(F.broadcast(cov))
-        )
-        out = row if out is None else out.unionByName(row)
-        pmask = newp
-    return out.orderBy("pick_order")
+        gains = {b: 0 for b in brand_of}
+        for mask, cnt in H:
+            if mask & p:
+                continue
+            mm = mask
+            while mm:
+                low = mm & -mm
+                gains[low.bit_length() - 1] += cnt
+                mm ^= low
+        # ORDER BY gain DESC, brand LIMIT 1
+        best = min(gains, key=lambda b: (-gains[b], brand_of[b]))
+        p |= 1 << best
+        covered = sum(cnt for mask, cnt in H if mask & p)
+        rows.append((k, brand_of[best], gains[best], covered))
+    return spark.createDataFrame(
+        rows,
+        "pick_order bigint, brand string,"
+        " marginal_new_customers bigint, cumulative_covered bigint",
+    ).orderBy("pick_order")
 
 
 # ------------------------------------------------------------------
