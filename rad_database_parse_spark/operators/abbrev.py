@@ -64,7 +64,7 @@ def expand_abbreviations(
     rows = (
         dictionary.select("abbreviation", "expansion")
         .limit(max_dict_size + 1)
-        .collect()
+        .collect()  # bounded: dict capped at max_dict_size+1
     )
     if len(rows) > max_dict_size:
         raise ValueError(

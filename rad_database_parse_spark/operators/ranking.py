@@ -78,7 +78,7 @@ def exact_global_rank(
         r[_BUCKET]: r["n"]
         for r in bucketed.groupBy(_BUCKET)
         .agg(F.count("*").alias("n"))
-        .collect()
+        .collect()  # bounded: one count per fixed bucket
     }
     total = sum(counts.values())
     if not counts:
@@ -143,7 +143,7 @@ def exact_ntile_multi(
                 F.col(oc).cast("double") > F.lit(c), 1
             ).otherwise(0)
         cur = cur.withColumn(bc, bucket)
-    joint = cur.groupBy(*bks).agg(F.count("*").alias("n")).collect()
+    joint = cur.groupBy(*bks).agg(F.count("*").alias("n")).collect()  # bounded: bucket grid
     total = sum(r["n"] for r in joint)
     if total == 0:
         out = df
@@ -212,7 +212,7 @@ def exact_prefix_sum(
         r[_BUCKET]: r["s"]
         for r in bucketed.groupBy(_BUCKET)
         .agg(F.sum(value_col).alias("s"))
-        .collect()
+        .collect()  # bounded: one partial sum per bucket
     }
     if not per_bucket:
         return df.withColumn(out_col, F.lit(None).cast(df.schema[value_col].dataType))

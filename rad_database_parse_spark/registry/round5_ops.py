@@ -433,7 +433,7 @@ def bloom_prune_semijoin(spark: SparkSession, sf_dir: str):
             F.explode(_bloom_positions(F.col("c_custkey"))).alias("pos")
         )
         .distinct()
-        .collect()
+        .collect()  # bounded: <= m distinct bloom bit positions
     ]
     # Pack the bitset into 64-bit words (BLOOM_BITS/64 longs): membership
     # is then 3 constant-time bit tests per row. A flat position-array

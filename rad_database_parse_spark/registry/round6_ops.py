@@ -135,6 +135,7 @@ def txn_time_travel_read(spark: SparkSession, sf_dir: str):
         commit(spark, scratch, rollup([1996]), "create", expected_version=None)
         commit(spark, scratch, rollup([1996, 1997]), "overwrite", expected_version=0)
         v0 = read_snapshot(spark, scratch, version=0)
+        # bounded: pin the tiny snapshot before the scratch dir vanishes
         return spark.createDataFrame(v0.collect(), v0.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -905,6 +906,7 @@ def txn_vacuum_retention(spark: SparkSession, sf_dir: str):
         assert latest_version(scratch) == 2
         assert len(os.listdir(os.path.join(scratch, "data"))) == 1
         head = read_snapshot(spark, scratch)
+        # bounded: pin the tiny snapshot before the scratch dir vanishes
         return spark.createDataFrame(head.collect(), head.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -998,6 +1000,7 @@ def stream_txn_exactly_once_sink(spark: SparkSession, sf_dir: str):
         assert latest_version(table) == head_before, "redelivery re-applied!"
         _ = last_slice  # replay dir must stay alive until here
         final = read_snapshot(spark, table)
+        # bounded: pin the tiny snapshot before the scratch dir vanishes
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -1493,6 +1496,7 @@ def pyds_jsonl_roundtrip_nation(spark: SparkSession, sf_dir: str):
                 F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
             )
         )
+        # bounded: pin the tiny snapshot before the scratch dir vanishes
         return spark.createDataFrame(back.collect(), back.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -1619,6 +1623,7 @@ def txn_change_data_feed(spark: SparkSession, sf_dir: str):
                 | (F.col("old_cents") != F.col("new_cents"))
             )
         )
+        # bounded: pin the tiny snapshot before the scratch dir vanishes
         return spark.createDataFrame(diff.collect(), diff.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -886,7 +886,7 @@ def txn_optimize_compact(spark: SparkSession, sf_dir: str):
                 F.lit(files_after).cast("int").alias("files_after"),
             )
         )
-        rows = out.collect()  # materialize before the scratch dir vanishes
+        rows = out.collect()  # bounded: one stats row; pin before scratch cleanup
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -3194,7 +3194,7 @@ def pyds_stream_events_replay(spark: SparkSession, sf_dir: str):
                 F.count("*").alias("n"),
                 F.sum("cents").alias("c"),
             )
-            .collect()
+            .collect()  # bounded: flag-grain cells
         ):
             partials.append((r.event_type, r.n, r.c))
 

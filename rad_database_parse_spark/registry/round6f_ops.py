@@ -692,7 +692,7 @@ def emb_farthest_first_centers(spark: SparkSession, sf_dir: str):
             "v"
         ),
     )
-    first = e.orderBy("vec_id").limit(1).collect()[0]
+    first = e.orderBy("vec_id").limit(1).collect()[0]  # bounded: limit 1
     centers = [(1, int(first.vec_id), None, list(first.v))]
     for step in range(2, _FF_K + 1):
         chosen_ids = [c[1] for c in centers]
@@ -720,7 +720,7 @@ def emb_farthest_first_centers(spark: SparkSession, sf_dir: str):
             .select("vec_id", "v", mind.alias("min_d"))
             .orderBy(F.col("min_d").desc(), F.col("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()[0]  # bounded: limit 1 per greedy round
         )
         centers.append(
             (step, int(cand.vec_id), int(cand.min_d), list(cand.v))

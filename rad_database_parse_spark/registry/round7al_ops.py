@@ -465,9 +465,7 @@ def graph_weight_percolation_reach(spark: SparkSession, sf_dir: str):
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .persist()
     )
-    # the three cut-points are ONE bounded row — collect them so the
-    # arms filter on literals (no per-arm crossJoin+broadcast stage)
-    trow = shared.agg(
+    trow = shared.agg(  # bounded: ONE row of cut-points; arms filter on literals
         *[
             F.expr(
                 f"CAST(ceil(percentile(cnt, {q})) AS BIGINT)"

@@ -722,7 +722,7 @@ def events_absorbing_expected_steps(spark: SparkSession, sf_dir: str):
         )
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    rows = [(r["f"], r["t2"], r["cnt"]) for r in raw.collect()]
+    rows = [(r["f"], r["t2"], r["cnt"]) for r in raw.collect()]  # bounded: type pairs
 
     def tdiv(a: int, b: int) -> int:
         q = abs(a) // abs(b)

@@ -114,7 +114,7 @@ def events_markov_reward_value(spark: SparkSession, sf_dir: str):
     )
     rows = [
         (r["f"], r["t2"], r["cnt"], r["rew_cents"])
-        for r in raw.collect()
+        for r in raw.collect()  # bounded: type-pair grain
     ]
 
     def tdiv(a: int, b: int) -> int:

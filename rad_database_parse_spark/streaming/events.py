@@ -70,7 +70,7 @@ def build_time_ordered_replay(
         F.expr(
             f"percentile(unix_micros({ts_col}), array({','.join(map(str, qs))}))"
         ).alias("q")
-    ).collect()[0]["q"]
+    ).collect()[0]["q"]  # bounded: one quantile row
     prev = None
     stamped: set = set()
     # Slice stamps live strictly in the PAST (base - n_slices + i): ascending
