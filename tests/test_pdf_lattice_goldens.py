@@ -1,0 +1,147 @@
+"""Pure-Python golden tests for the lattice extractor across reference
+compendium generations (no Spark needed — the extractor runs inside the
+mapInPandas UDF worker, so this is exactly the code path the Spark
+pipeline executes per file).
+
+Golden counts come from BASELINE.md's per-file distribution (queried
+from the reference's own main.db). The reference run included a manual
+CSV gate, so only the files whose counts reproduce MECHANICALLY are
+asserted exactly here:
+
+- 2006 -> 28 (also field-exact; the Spark end-to-end test asserts that)
+- 2015 -> 64, 2017 -> 16 (mechanically exact counts)
+- 2005 / 2019 -> skipped entirely (no PDF metadata -> get_pdf_title
+  None -> file ignored; the reference's '10/12 PDFs contribute')
+- 2007 is a scanned/OCR file (table rules live in the page IMAGE, not
+  in vector ops) — the pure extractor yields no tables, degrading
+  gracefully to zero rows instead of failing.
+"""
+
+import os
+import re
+
+import pytest
+
+from rad_database_parse_spark.operators.header_map import _partial_ratio
+from rad_database_parse_spark.sources.pdf_lattice import extract_tables
+
+DOCS = "/root/reference/docs"
+
+CATEGORIES = [
+    "part number",
+    "manufacturer",
+    "device function",
+    "technology",
+    "results",
+    "spec",
+    "dose rate",
+    "proton energy",
+    "degradation level",
+    "proton fluence",
+]
+
+
+def _map_header(header):
+    """The reference's map_header (tables.py:167-203): per-category
+    argmax of partial_ratio over the header cells, >= 75 gate, with the
+    'deg level' alias for degradation level."""
+    scores = []
+    for elem in header:
+        e = str(elem).strip().replace("\n", "").lower()
+        scores.append(
+            [
+                max(
+                    _partial_ratio(c, e),
+                    _partial_ratio("deg level", e)
+                    if c == "degradation level"
+                    else 0,
+                )
+                for c in CATEGORIES
+            ]
+        )
+    out = {}
+    for ci, cat in enumerate(CATEGORIES):
+        mx, mi = 0, None
+        for ri in range(len(header)):
+            if scores[ri][ci] > mx:
+                mx, mi = scores[ri][ci], ri
+        out[cat] = mi if mx >= 75 else None
+    return out
+
+
+def _reference_row_count(content: bytes) -> int | None:
+    """The reference loader's row count for one file: density gate +
+    continuation merge (get_all_tables), rad classification
+    (find_table_type), per-table fuzzy header map, the manual-CSV
+    round-trip validity rule (any empty mapped cell -> NaN -> map_row
+    raises -> invalid), and whole-row dedup (check_if_exists with
+    quotes stripped). None when the file has no metadata (skipped)."""
+    title, raw = extract_tables(content)
+    if title is None:
+        return None
+    tables = []
+    for _pno, _bbox, grid, heading in raw:
+        if not grid or not grid[0]:
+            continue
+        density = sum((len(r) - r.count("")) / len(r) for r in grid) / len(grid)
+        if density > 0.25:
+            if heading == "":
+                if tables:
+                    tables[-1] = (tables[-1][0], tables[-1][1] + grid[1:])
+            else:
+                tables.append((heading, list(grid)))
+    n = 0
+    seen = set()
+    for ttitle, grid in tables:
+        if re.search(
+            r"\b(principal|investigator|acronym|abbreviations)\b", ttitle, re.I
+        ):
+            continue
+        if not re.search(
+            r"\b(tid|see|dd|ddd|seu|let|ongoing|dose|result)\b", ttitle, re.I
+        ):
+            continue
+        mapping = _map_header(grid[0])
+        idxs = [mi for mi in mapping.values() if mi is not None]
+        if (len(idxs) + 2) / 10 < 0.5:
+            continue
+        for r in grid[1:]:
+            vals = [(r[mi] if mi < len(r) else None) for mi in idxs]
+            if any(not v for v in vals):
+                continue
+            key = tuple(v.replace('"', "").replace("'", "") for v in vals)
+            if key not in seen:
+                seen.add(key)
+                n += 1
+    return n
+
+
+@pytest.mark.skipif(not os.path.isdir(DOCS), reason="reference docs absent")
+@pytest.mark.parametrize(
+    "fname,golden",
+    [
+        ("2006-nasa-compendium.pdf", 28),
+        ("2015-nasa-compendium.pdf", 64),
+        ("2017-nasa-compendium.pdf", 16),
+    ],
+)
+def test_golden_row_counts(fname, golden):
+    content = open(os.path.join(DOCS, fname), "rb").read()
+    assert _reference_row_count(content) == golden
+
+
+@pytest.mark.skipif(not os.path.isdir(DOCS), reason="reference docs absent")
+@pytest.mark.parametrize(
+    "fname", ["2005-nasa-compendium-b.pdf", "2019-nasa-compendium.pdf"]
+)
+def test_metadata_less_files_are_skipped(fname):
+    content = open(os.path.join(DOCS, fname), "rb").read()
+    assert _reference_row_count(content) is None
+
+
+@pytest.mark.skipif(not os.path.isdir(DOCS), reason="reference docs absent")
+def test_scanned_file_degrades_to_zero_rows():
+    content = open(os.path.join(DOCS, "2007-nasa-compendium.pdf"), "rb").read()
+    # OCR'd scan: metadata exists but the rules are raster — no tables,
+    # no crash (the reference needed Ghostscript+OpenCV to read these)
+    assert _reference_row_count(content) == 0
