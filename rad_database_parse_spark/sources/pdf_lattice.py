@@ -572,6 +572,7 @@ class Glyph:
     w: float
     size: float
     ch: str
+    dir: str = "r"  # advance direction: r/l horizontal, u/d vertical
 
 
 @dataclass
@@ -596,18 +597,34 @@ def derotate(pc: PageContent, pw: float, ph: float):
     rot = max(votes, key=votes.get)
     out = PageContent(rot_votes={"r": 1})
     if rot == "d":  # advance (0,-1) -> (1,0): (x, y) -> (ph - y, x)
+        dmap = {"d": "r", "r": "u", "u": "l", "l": "d"}
         for g in pc.glyphs:
             out.glyphs.append(
-                Glyph(x=ph - g.y, y=g.x, w=g.w, size=g.size, ch=g.ch)
+                Glyph(
+                    x=ph - g.y,
+                    y=g.x,
+                    w=g.w,
+                    size=g.size,
+                    ch=g.ch,
+                    dir=dmap[g.dir],
+                )
             )
         for (x0, x1, y) in pc.hlines:
             out.vlines.append((x0, x1, ph - y))
         for (y0, y1, x) in pc.vlines:
             out.hlines.append((ph - y1, ph - y0, x))
     else:  # 'u': advance (0,1) -> (1,0): (x, y) -> (y, pw - x)
+        dmap = {"u": "r", "r": "d", "d": "l", "l": "u"}
         for g in pc.glyphs:
             out.glyphs.append(
-                Glyph(x=g.y, y=pw - g.x, w=g.w, size=g.size, ch=g.ch)
+                Glyph(
+                    x=g.y,
+                    y=pw - g.x,
+                    w=g.w,
+                    size=g.size,
+                    ch=g.ch,
+                    dir=dmap[g.dir],
+                )
             )
         for (x0, x1, y) in pc.hlines:
             out.vlines.append((pw - x1, pw - x0, y))
@@ -741,15 +758,22 @@ def interpret_page(doc: PdfDoc, page: dict) -> PageContent:
             )
             sdev = (trm[2] * trm[2] + trm[3] * trm[3]) ** 0.5 or size
             if ch:
+                if abs(trm[0]) >= abs(trm[1]):
+                    gdir = "r" if trm[0] >= 0 else "l"
+                else:
+                    gdir = "u" if trm[1] > 0 else "d"
                 out.glyphs.append(
-                    Glyph(x=x, y=y, w=(wx * wx + wy * wy) ** 0.5, size=sdev, ch=ch)
+                    Glyph(
+                        x=x,
+                        y=y,
+                        w=(wx * wx + wy * wy) ** 0.5,
+                        size=sdev,
+                        ch=ch,
+                        dir=gdir,
+                    )
                 )
                 if ch != " ":  # advance-direction vote for page rotation
-                    if abs(trm[0]) >= abs(trm[1]):
-                        key = "r" if trm[0] >= 0 else "l"
-                    else:
-                        key = "u" if trm[1] > 0 else "d"
-                    out.rot_votes[key] = out.rot_votes.get(key, 0) + 1
+                    out.rot_votes[gdir] = out.rot_votes.get(gdir, 0) + 1
             tm = _mat_mul([1, 0, 0, 1, w0 * th, 0], tm)
 
     arr_stack: list[list] = []
@@ -1004,8 +1028,12 @@ def find_tables(pc: PageContent, page_w: float, page_h: float) -> list[Table]:
         # copy_text='v' fan it out to every sub-row
         cellg: dict[tuple[int, int], list[Glyph]] = {}
         for g in pc.glyphs:
-            gx = g.x + g.w / 2.0
-            gy = g.y + g.size * 0.35
+            if g.dir == "d":  # vertical text: advance down, up vector +x
+                gx, gy = g.x + g.size * 0.35, g.y - g.w / 2.0
+            elif g.dir == "u":  # advance up, up vector -x
+                gx, gy = g.x - g.size * 0.35, g.y + g.w / 2.0
+            else:
+                gx, gy = g.x + g.w / 2.0, g.y + g.size * 0.35
             if not (x0 - 1 <= gx <= x1 + 1 and y0 - 1 <= gy <= y1 + 1):
                 continue
             r = c = None
@@ -1047,11 +1075,21 @@ def find_tables(pc: PageContent, page_w: float, page_h: float) -> list[Table]:
 
 
 def _glyphs_to_text(glyphs: list[Glyph]) -> str:
-    """Cluster glyphs into baseline lines (top->bottom), concat by x."""
+    """Cluster glyphs into text lines and join top-to-bottom.
+
+    Horizontal glyphs cluster by baseline y and read by x.  VERTICAL
+    glyphs (rotated headers inside an otherwise-horizontal page — the
+    tall column labels of the newer compendiums) cluster by baseline x
+    and read along their advance direction; successive vertical lines
+    stack perpendicular to it ('u' text: left-to-right, 'd' text:
+    right-to-left), matching how pdfminer's vertical textlines read."""
     if not glyphs:
         return ""
+    horiz = [g for g in glyphs if g.dir in ("r", "l")]
+    vert = [g for g in glyphs if g.dir in ("u", "d")]
+    parts: list[str] = []
     lines: list[list[Glyph]] = []
-    for g in sorted(glyphs, key=lambda g: -g.y):
+    for g in sorted(horiz, key=lambda g: -g.y):
         placed = False
         for ln in lines:
             if abs(ln[0].y - g.y) <= max(2.0, ln[0].size * 0.3):
@@ -1060,10 +1098,24 @@ def _glyphs_to_text(glyphs: list[Glyph]) -> str:
                 break
         if not placed:
             lines.append([g])
-    parts = []
     for ln in lines:
         ln.sort(key=lambda g: g.x)
         parts.append("".join(g.ch for g in ln))
+    if vert:
+        up = sum(1 for g in vert if g.dir == "u") >= len(vert) / 2
+        vlines: list[list[Glyph]] = []
+        for g in sorted(vert, key=lambda g: (g.x if up else -g.x)):
+            placed = False
+            for ln in vlines:
+                if abs(ln[0].x - g.x) <= max(2.0, ln[0].size * 0.3):
+                    ln.append(g)
+                    placed = True
+                    break
+            if not placed:
+                vlines.append([g])
+        for ln in vlines:
+            ln.sort(key=lambda g: g.y, reverse=not up)
+            parts.append("".join(g.ch for g in ln))
     return "\n".join(parts)
 
 
