@@ -39,9 +39,18 @@ def normalize_strings(
 # A9 — rule-based classifier: CASE WHEN over word-boundary regex
 # (reference tables.py:140-153)
 # --------------------------------------------------------------------------
-PI_KEYWORDS = ["principal", "investigator", "investigators"]
-ABBREV_KEYWORDS = ["abbreviation", "abbreviations", "acronym", "acronyms"]
-RAD_KEYWORDS = ["tid", "see", "dd", "ddd", "seu", "let", "ongoing", "dose", "result", "results"]
+# EXACT reference keyword sets (tables.py:145-153) — the reference
+# matches whole words only, and its lists are deliberately quirky:
+# 'investigator' singular (so 'INVESTIGATORS' only matches via
+# 'principal'), 'abbreviations' plural but 'acronym' singular (so a
+# bare 'ACRONYMS' title classifies as NOTHING and the table drops),
+# and 'result' singular (so 'ELDRS TEST RESULTS' is NOT rad — verified
+# against main.db: the 2017 ELDRS table contributed zero rows).
+# Round 7 removed the extra plural forms this engine had added; they
+# over-classified real compendium tables the reference drops.
+PI_KEYWORDS = ["principal", "investigator"]
+ABBREV_KEYWORDS = ["acronym", "abbreviations"]
+RAD_KEYWORDS = ["tid", "see", "dd", "ddd", "seu", "let", "ongoing", "dose", "result"]
 
 
 def _kw_rx(words: Sequence[str]) -> str:

@@ -1,0 +1,204 @@
+"""The reference's END-TO-END rad-table workflow (E1) as one callable —
+binaryFile rows → cell grid → A5 density gate → A6 continuation merge →
+A9 classification → A10 per-table fuzzy header mapping → row validity →
+A14 exact dedup.  Reference chain: tables.py get_all_tables (51-97) +
+find_table_type (140-153) + map_header/map_row (167-263) +
+main.py:88-106 (csv_check's pandas round trip is what makes an empty
+mapped cell invalidate its row: '' → NaN → map_row raises).
+
+Used by the registry query `pdf_real_lattice_goldens` (driver-checked
+against the pinned golden per-file counts) and by
+tests/test_pdf_real_extractor.py (field-exact comparison against the
+reference's own main.db).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import classify_title, table_density_filter
+from .header_map import resolve_header_mapping
+from ..sources.pdf import extract_pdf_cells
+
+RAD_CATEGORIES = [
+    "part_number",
+    "manufacturer",
+    "device_function",
+    "technology",
+    "results",
+    "spec",
+    "dose_rate",
+    "proton_energy",
+    "degradation_level",
+    "proton_fluence",
+]
+
+
+def reference_rad_rows(
+    spark: SparkSession, binary_files: DataFrame
+) -> DataFrame:
+    """binaryFile rows → the reference's deduped rad-table records.
+
+    Output: one row per inserted rad record with `doc_filename`,
+    `doc_title`, and the ten canonical columns (unmapped ones null).
+    Table-grain planning (headers, mappings) is BOUNDED driver work;
+    everything row-grain is Catalyst."""
+    cells = extract_pdf_cells(binary_files).persist()
+
+    # A5: table density gate (get_table_density > 0.25)
+    dense = table_density_filter(
+        cells,
+        group_cols=["doc_filename", "page", "table_idx"],
+        value_cols=["value"],
+        threshold=0.25,
+    )
+
+    # A6: continuation merge — '' titles adopt the last surviving anchor
+    # and drop their repeated header row
+    w = (
+        Window.partitionBy("doc_filename")
+        .orderBy("page", "table_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_anchor = F.trim(F.col("table_title")) != ""
+    titled = (
+        dense.withColumn(
+            "effective_title",
+            F.last(
+                F.when(is_anchor, F.col("table_title")), ignorenulls=True
+            ).over(w),
+        )
+        .withColumn(
+            "anchor",
+            F.last(
+                F.when(is_anchor, F.struct("page", "table_idx")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("anchor").isNotNull())
+        .filter(is_anchor | (F.col("row_idx") > 0))
+    )
+
+    # A9: rad classification on the merged title
+    rad = titled.withColumn(
+        "ttype", classify_title("effective_title")
+    ).filter(F.col("ttype") == "rad")
+
+    # A10: per-merged-table header mapping — headers are bounded (one
+    # row of cells per table), so resolution is driver-side planning
+    hdr_rows = (
+        rad.filter(is_anchor & (F.col("row_idx") == 0))
+        .select("doc_filename", "anchor", "col_idx", "value")
+        .collect()  # bounded: one header row of cells per table
+    )
+    headers: dict[tuple, dict[int, str]] = {}
+    for r in hdr_rows:
+        key = (r["doc_filename"], r["anchor"]["page"], r["anchor"]["table_idx"])
+        headers.setdefault(key, {})[r["col_idx"]] = r["value"]
+    mapping_rows = []
+    for (fname, apage, atidx), hmap in headers.items():
+        hdr = [hmap.get(i, "") for i in range(max(hmap) + 1)]
+        mapping = resolve_header_mapping(hdr, RAD_CATEGORIES)
+        if (len(mapping) + 2) / 10 < 0.5:
+            continue  # mapped_header too sparse: table contributes no rows
+        for canon, idx in mapping.items():
+            mapping_rows.append((fname, apage, atidx, idx, canon))
+    if not mapping_rows:
+        return spark.createDataFrame(
+            [],
+            "doc_filename string, doc_title string, "
+            + ", ".join(f"{c} string" for c in RAD_CATEGORIES),
+        )
+    mapping_df = spark.createDataFrame(
+        mapping_rows,
+        "doc_filename string, apage int, atidx int, col_idx int,"
+        " canon string",
+    )
+
+    # project mapped columns per table (broadcast plan join + pivot)
+    data = rad.filter(~(is_anchor & (F.col("row_idx") == 0))).select(
+        "doc_filename",
+        "doc_title",
+        F.col("anchor.page").alias("apage"),
+        F.col("anchor.table_idx").alias("atidx"),
+        "page",
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        "value",
+    )
+    recs = (
+        data.join(
+            F.broadcast(mapping_df),
+            ["doc_filename", "apage", "atidx", "col_idx"],
+        )
+        .groupBy(
+            "doc_filename",
+            "doc_title",
+            "apage",
+            "atidx",
+            "page",
+            "table_idx",
+            "row_idx",
+        )
+        .agg(
+            *[
+                F.max(F.when(F.col("canon") == c, F.col("value"))).alias(c)
+                for c in RAD_CATEGORIES
+            ]
+        )
+    )
+
+    # row validity: the manual-CSV round trip turns empty mapped cells
+    # into NaN and map_row raises — a row survives only when every
+    # MAPPED cell of ITS table is non-empty
+    mapped_flags = F.array(
+        *[
+            F.struct(F.lit(c).alias("canon"), F.col(c).alias("v"))
+            for c in RAD_CATEGORIES
+        ]
+    )
+    per_table_mapped = mapping_df.groupBy(
+        "doc_filename", "apage", "atidx"
+    ).agg(F.collect_set("canon").alias("mapped_cats"))
+    valid = (
+        recs.join(
+            F.broadcast(per_table_mapped),
+            ["doc_filename", "apage", "atidx"],
+        )
+        .withColumn(
+            "n_bad",
+            F.size(
+                F.filter(
+                    mapped_flags,
+                    lambda s: F.array_contains(
+                        F.col("mapped_cats"), s["canon"]
+                    )
+                    & (s["v"].isNull() | (s["v"] == "")),
+                )
+            ),
+        )
+        .filter(F.col("n_bad") == 0)
+    )
+
+    # map_row newline flattening + A14 exact dedup on quote-stripped keys
+    out = valid.select(
+        "doc_filename",
+        "doc_title",
+        *[
+            F.regexp_replace(F.col(c), "\n", " ").alias(c)
+            for c in RAD_CATEGORIES
+        ],
+    )
+    key = F.concat_ws(
+        "\x1f",
+        F.col("doc_filename"),
+        *[
+            F.coalesce(F.translate(F.col(c), "'\"", ""), F.lit("\x00"))
+            for c in RAD_CATEGORIES
+        ],
+    )
+    return (
+        out.withColumn("_key", key).dropDuplicates(["_key"]).drop("_key")
+    )

@@ -694,6 +694,9 @@ _WINDOW_R13: list[str] = [
     # (registry/round7ao_ops.py)
     "customer_order_count_nbd_fit",
     "customer_first_order_ltv_corr",
+    # round-7ap: the REAL PDF lattice pipeline vs pinned goldens
+    # (registry/round7ap_ops.py)
+    "pdf_real_lattice_goldens",
 ]
 
 # Fallback ordering for everything already driver-green (r1+r2 families).
@@ -776,6 +779,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7am_ops  # noqa: F401
     from . import round7an_ops  # noqa: F401
     from . import round7ao_ops  # noqa: F401
+    from . import round7ap_ops  # noqa: F401
 
     # Round-7 rotation: CORRECTNESS_r06.json landed with all 50 _WINDOW_R6
     # queries green (50/50 rows+schema+hash), so per SURVEY §8's plan the

@@ -56,11 +56,11 @@ _TITLE_SQL = """
     typed AS (
       SELECT doc_id, title,
              CASE
-               WHEN regexp_matches(lower(title), '\\b(principal|investigator|investigators)\\b')
+               WHEN regexp_matches(lower(title), '\\b(principal|investigator)\\b')
                  THEN 'principal_investigator'
-               WHEN regexp_matches(lower(title), '\\b(abbreviation|abbreviations|acronym|acronyms)\\b')
+               WHEN regexp_matches(lower(title), '\\b(acronym|abbreviations)\\b')
                  THEN 'abbreviation'
-               WHEN regexp_matches(lower(title), '\\b(tid|see|dd|ddd|seu|let|ongoing|dose|result|results)\\b')
+               WHEN regexp_matches(lower(title), '\\b(tid|see|dd|ddd|seu|let|ongoing|dose|result)\\b')
                  THEN 'rad'
              END AS table_type
       FROM titled)
