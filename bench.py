@@ -650,6 +650,12 @@ EXTENDED_R7AB = [
 # Round-8 additions, ALL batches in one family (one summary subtotal —
 # the driver keeps only the last ~2000 bytes of stdout, so per-batch
 # subtotal keys must stop growing; registry/round7ac_ops.py onward).
+# Deliberately absent from every bench family: pdf_real_lattice_goldens
+# (round 7) — it reads FIXED reference PDFs from /root/reference/docs,
+# so its wall time is constant in sf and benching it would dilute the
+# sf-scaled throughput signal the headline tracks; its correctness is
+# value-gated (pinned golden oracle) and its cost is characterized by
+# the gate timing (~7s cold, IO+extraction bound).
 EXTENDED_R8 = [
     "events_ratio_metric_delta_method",
     "orders_crps_ensemble_eval",
