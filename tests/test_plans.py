@@ -484,3 +484,30 @@ def test_unpartitioned_window_whitelist_does_not_grow(spark, sf_dir):
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 assert "WindowGroupLimit" in plan, name
     assert set(offenders) <= whitelist, offenders
+
+
+def test_gram_build_is_arrow_partial_not_posexplode(spark, sf_dir):
+    # r7 re-plan guard: the PC Gram builds must stay the per-partition
+    # integer QtQ (mapInArrow partial + bounded groupBy), never the
+    # double-posexplode that inflated each vector to d^2 rows through
+    # the scan stage (VERDICT r6 item 4).
+    from rad_database_parse_spark.plans import physical_plan
+    from rad_database_parse_spark.registry import all_queries
+
+    for name in ("emb_top_pc_power_iteration", "emb_second_pc_deflation"):
+        df = all_queries()[name].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "Generate explode" not in plan and "PosExplode" not in plan, name
+
+
+def test_ahash_band_join_count_and_fold_parallelism(spark, sf_dir):
+    # r7 re-plan guard: the widened aHash keeps FOUR band-bucket join
+    # arms (exact ham<=3 pigeonhole) and hash-repartitions the payload
+    # fold so a single-file scan cannot serialize it onto one core.
+    from rad_database_parse_spark.plans import physical_plan
+    from rad_database_parse_spark.registry import all_queries
+
+    df = all_queries()["multimodal_payload_ahash_dedup"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("bit_count") >= 4  # per-band XOR popcount verify
+    assert "hashpartitioning(doc_id" in plan  # fold spread across cores
