@@ -303,6 +303,20 @@ _WINDOW_R7: list[str] = [
     "events_markov_stationary_power",
 ]
 
+# Round-8 repins (VERDICT r7 item 1): CORRECTNESS_r07 landed 50/50
+# green, so nothing fails forward — but the real-PDF golden pipeline
+# needs its FIRST driver row, and the three queries whose semantics
+# changed with the A9 classifier-fidelity fix (commit 6d16a90) rest on
+# pre-fix r3 rows and need FRESH ones. They lead the r8 rotation at
+# positions 1-4; _WINDOW_R8 follows (its displaced 4-query tail leads
+# the r9 round by the standard overflow rule).
+_REPIN_R8: list[str] = [
+    "pdf_real_lattice_goldens",
+    "classify_titles",
+    "etl_pipeline_end_to_end",
+    "continuation_propagate_titles",
+]
+
 # Round-8 window seed: _WINDOW_R7 is full (exactly 50), so queries
 # registered after it queue here — they trail the r7 rotation and lead
 # r8's. CORRECTNESS_r07 failures get prepended when the file lands.
@@ -781,23 +795,25 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ao_ops  # noqa: F401
     from . import round7ap_ops  # noqa: F401
 
-    # Round-7 rotation: CORRECTNESS_r06.json landed with all 50 _WINDOW_R6
+    # Round-8 rotation: CORRECTNESS_r07.json landed with all 50 _WINDOW_R7
     # queries green (50/50 rows+schema+hash), so per SURVEY §8's plan the
-    # never-driver-checked _WINDOW_R7 tier (txn/lakehouse, Shapley/CUPED,
-    # IVF-PQ ADC, Python DataSource roundtrip) leads positions 1-50 for its
-    # first-ever driver rows. R8..R13 queue behind it; the already-green
-    # windows (R6 first, then R5/R3/R4) trail so any driver overflow
-    # re-confirms green queries rather than starving the backlog.
+    # never-driver-checked _WINDOW_R8 tier takes the driver window — led by
+    # the 4 _REPIN_R8 queries (real-PDF golden's first row + the 3
+    # post-classifier-fix refreshes; VERDICT r7 item 1). R9..R13 queue
+    # behind; the already-green windows (R7/R6 first, then R5/R3/R4) trail
+    # so any driver overflow re-confirms green queries rather than
+    # starving the backlog.
     seen: set[str] = set()
     window_order = [
         n
-        for n in _WINDOW_R7
+        for n in _REPIN_R8
         + _WINDOW_R8
         + _WINDOW_R9
         + _WINDOW_R10
         + _WINDOW_R11
         + _WINDOW_R12
         + _WINDOW_R13
+        + _WINDOW_R7
         + _WINDOW_R6
         + _WINDOW_R5
         + _WINDOW_R3

@@ -1,13 +1,14 @@
-"""Driver-window canary: CORRECTNESS_r06.json landed all 50 _WINDOW_R6
-queries green, so the round-7 rotation leads with _WINDOW_R7 — the 50
-highest-value never-driver-checked queries (txn/lakehouse tier, Shapley/
-CUPED, IVF-PQ ADC, Python DataSource roundtrip). An import reorder or a
-family re-registration must not be able to silently re-run an
+"""Driver-window canary: CORRECTNESS_r07.json landed all 50 _WINDOW_R7
+queries green, so the round-8 rotation leads with _REPIN_R8 (the
+real-PDF golden's first driver row + the 3 post-classifier-fix
+refreshes, VERDICT r7 item 1) followed by _WINDOW_R8. An import reorder
+or a family re-registration must not be able to silently re-run an
 already-green window (VERDICT r2 item 7). New registrations queue in
 _WINDOW_R13 (the live window) until it closes at 50.
 """
 
 from rad_database_parse_spark.registry import (
+    _REPIN_R8,
     _WINDOW_R3,
     _WINDOW_R4,
     _WINDOW_R5,
@@ -27,13 +28,14 @@ def _expected_order():
     seen = set()
     return [
         n
-        for n in _WINDOW_R7
+        for n in _REPIN_R8
         + _WINDOW_R8
         + _WINDOW_R9
         + _WINDOW_R10
         + _WINDOW_R11
         + _WINDOW_R12
         + _WINDOW_R13
+        + _WINDOW_R7
         + _WINDOW_R6
         + _WINDOW_R5
         + _WINDOW_R3
@@ -42,14 +44,18 @@ def _expected_order():
     ]
 
 
-def test_r7_window_leads():
+def test_r8_window_leads():
     names = list(all_queries())
-    # the 50 never-driver-checked _WINDOW_R7 queries occupy positions 1-50
-    # — exactly the driver's correctness window
-    assert names[: len(_WINDOW_R7)] == _WINDOW_R7
-    assert len(_WINDOW_R7) == 50
+    # positions 1-4: the repinned queries (first-ever row for the real-PDF
+    # golden; fresh rows for the three queries behind the A9 classifier
+    # fix); positions 5-50: the first 46 _WINDOW_R8 entries. Together they
+    # are exactly the driver's 50-query correctness window.
+    assert names[: len(_REPIN_R8)] == _REPIN_R8
+    assert len(_REPIN_R8) == 4
+    assert names[4:50] == _WINDOW_R8[:46]
     # the closed windows are pinned full at exactly 50
     assert len(_WINDOW_R6) == 50
+    assert len(_WINDOW_R7) == 50
     assert len(_WINDOW_R8) == 50
     assert len(_WINDOW_R9) == 50
     assert len(_WINDOW_R10) == 50
@@ -73,11 +79,12 @@ def test_window_is_immune_to_direct_module_imports():
     import rad_database_parse_spark.registry.core_relational  # noqa: F401
     import rad_database_parse_spark.registry.llm_ops  # noqa: F401
 
-    assert list(all_queries())[: len(_WINDOW_R7)] == _WINDOW_R7
+    assert list(all_queries())[: len(_REPIN_R8)] == _REPIN_R8
 
 
 def test_every_window_name_unique_and_registered():
     for window in (
+        _REPIN_R8,
         _WINDOW_R3,
         _WINDOW_R4,
         _WINDOW_R5,
@@ -94,7 +101,8 @@ def test_every_window_name_unique_and_registered():
     registered = set(all_queries())
     assert (
         set(
-            _WINDOW_R3
+            _REPIN_R8
+            + _WINDOW_R3
             + _WINDOW_R4
             + _WINDOW_R5
             + _WINDOW_R6
@@ -110,9 +118,14 @@ def test_every_window_name_unique_and_registered():
     )
 
 
-def test_r8_queues_directly_after_r7():
-    # the next driver window (R8) must sit at positions 51+ so the
-    # rotation provably advances one full window per driver round
+def test_r8_tail_and_r9_queue_directly_after_window():
+    # the displaced _WINDOW_R8 tail (4 entries) then _WINDOW_R9 must sit
+    # at positions 51+ so the rotation provably advances one full window
+    # per driver round
     names = list(all_queries())
-    for i, q in enumerate(_WINDOW_R8):
+    for i, q in enumerate(_WINDOW_R8[46:]):
         assert names[50 + i] == q
+    seen = set(_REPIN_R8) | set(_WINDOW_R8)
+    r9_dedup = [q for q in _WINDOW_R9 if q not in seen]
+    for i, q in enumerate(r9_dedup):
+        assert names[54 + i] == q
