@@ -28,42 +28,44 @@ from pyspark.sql import functions as F
 
 from ..catalog.schemas import CANONICAL_RAD_COLUMNS
 
-# Extra alias the reference special-cases (tables.py:182-183).
-EXTRA_ALIASES = {"degradation_level": ["deg level", "deg. level"]}
+# Extra alias the reference special-cases (tables.py:181-183):
+# exactly "deg level", nothing else.
+EXTRA_ALIASES = {"degradation_level": ["deg level"]}
 
 DEFAULT_THRESHOLD = 75
 
 
 def _norm(s: str) -> str:
-    return " ".join(s.split()).strip().lower()
+    # The reference's header normalization (tables.py:178) DELETES
+    # newlines (no space inserted) and does not collapse other
+    # whitespace: str(elem).strip().replace("\n","").lower().
+    return s.strip().replace("\n", "").lower()
 
 
 def _partial_ratio(needle: str, hay: str) -> int:
-    """Best-window Levenshtein similarity of the shorter string slid over the
-    longer — the published fuzzywuzzy partial_ratio semantics, implemented
-    from the public definition (not vendored). Returns 0..100."""
-    a, b = (needle, hay) if len(needle) <= len(hay) else (hay, needle)
-    if not a:
+    """fuzzywuzzy's partial_ratio (the reference's scorer, tables.py:
+    183-186), re-implemented from the published algorithm: difflib
+    matching blocks align the shorter string against same-length
+    substrings of the longer, and the best SequenceMatcher.ratio()
+    over those alignments (scaled, round-half-away like fuzzywuzzy's
+    utils.intr) is the score. Returns 0..100."""
+    import difflib
+
+    shorter, longer = (
+        (needle, hay) if len(needle) <= len(hay) else (hay, needle)
+    )
+    if not shorter:
         return 0
+    blocks = difflib.SequenceMatcher(None, shorter, longer).get_matching_blocks()
     best = 0.0
-    for start in range(0, len(b) - len(a) + 1 or 1):
-        window = b[start : start + len(a)]
-        dist = _levenshtein(a, window)
-        score = 1.0 - dist / max(len(a), len(window), 1)
-        best = max(best, score)
-        if best == 1.0:
-            break
-    return int(round(best * 100))
-
-
-def _levenshtein(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+    for i, j, _size in blocks:
+        start = max(j - i, 0)
+        window = longer[start : start + len(shorter)]
+        r = difflib.SequenceMatcher(None, shorter, window).ratio()
+        if r > 0.995:
+            return 100
+        best = max(best, r)
+    return int(best * 100 + 0.5)
 
 
 def resolve_header_mapping(

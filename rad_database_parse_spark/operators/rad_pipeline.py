@@ -10,6 +10,20 @@ Used by the registry query `pdf_real_lattice_goldens` (driver-checked
 against the pinned golden per-file counts) and by
 tests/test_pdf_real_extractor.py (field-exact comparison against the
 reference's own main.db).
+
+Known, measured-immaterial divergence (ADVICE r7): the A14 dedup here
+keys on all 10 canonical columns (nulls as a sentinel), while the
+reference's check_if_exists (database.py:43-60 via map_row's keys)
+constrains only the row's OWN mapped columns — a subset match against
+every previously-inserted row of the same file. A row from a
+subset-mapped table that agrees with an earlier, more-fully-mapped row
+on just its own columns would be dropped by the reference but kept
+here. tools/dedup_semantics_probe.py replays BOTH semantics over all
+10 contributing compendium PDFs: per-file counts are IDENTICAL on
+every file (no table-pair in the corpus has a containment-related
+mapped set with colliding values), so the simpler whole-key dedup is
+kept — it is one hash-shuffle with no row replication, where faithful
+subset matching needs a per-subset-class projection join.
 """
 
 from __future__ import annotations
@@ -35,6 +49,14 @@ RAD_CATEGORIES = [
 ]
 
 
+# The persisted cell grid of the most recent invocation. The returned
+# DataFrame is lazy and still reads `cells` when the CALLER acts on it,
+# so the cache cannot be dropped inside this function; instead each new
+# invocation releases the previous one's blocks so repeated calls in one
+# session hold at most one cached grid (ADVICE r7).
+_last_cells: DataFrame | None = None
+
+
 def reference_rad_rows(
     spark: SparkSession, binary_files: DataFrame
 ) -> DataFrame:
@@ -44,7 +66,11 @@ def reference_rad_rows(
     `doc_title`, and the ten canonical columns (unmapped ones null).
     Table-grain planning (headers, mappings) is BOUNDED driver work;
     everything row-grain is Catalyst."""
+    global _last_cells
+    if _last_cells is not None:
+        _last_cells.unpersist(blocking=False)
     cells = extract_pdf_cells(binary_files).persist()
+    _last_cells = cells
 
     # A5: table density gate (get_table_density > 0.25)
     dense = table_density_filter(

@@ -1500,6 +1500,8 @@ def _power_iterate_int(cells, scale: int):
 
     def norm(v):
         mx = max(abs(x) for x in v.values())
+        if mx == 0:  # all-zero Gram (empty/all-zero corpus): zero vector
+            return {i: 0 for i in v}
         return {i: (x * scale) // mx for i, x in v.items()}
 
     v1 = norm({i: sum(G.get((i, j), 0) for j in ds) * scale for i in ds})

@@ -161,8 +161,12 @@ def _parse_string(data: bytes, i: int):
                 j += 2
             elif nxt and nxt[0:1].isdigit():
                 m = re.match(rb"[0-7]{1,3}", data[j + 1 : j + 4])
-                out.append(int(m.group(0), 8) & 0xFF)
-                j += 1 + m.end()
+                if m is None:  # \8 or \9: not octal — PDF spec says the
+                    out.append(nxt[0])  # backslash is simply ignored
+                    j += 2
+                else:
+                    out.append(int(m.group(0), 8) & 0xFF)
+                    j += 1 + m.end()
             elif nxt in (b"\n",):
                 j += 2  # line continuation
             elif nxt == b"\r":

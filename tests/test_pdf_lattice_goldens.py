@@ -141,6 +141,16 @@ def test_metadata_less_files_are_skipped(fname):
     assert _reference_row_count(content) is None
 
 
+def test_parse_string_non_octal_escape_is_literal():
+    # PDF spec: a backslash before a non-octal digit is ignored — \8
+    # must yield '8', not crash the whole file's extraction (ADVICE r7)
+    from rad_database_parse_spark.sources.pdf_lattice import _parse_string
+
+    out, j = _parse_string(rb"(a\8b\101c)", 0)
+    assert out == b"a8bAc"
+    assert j == len(rb"(a\8b\101c)")
+
+
 @pytest.mark.skipif(not os.path.isdir(DOCS), reason="reference docs absent")
 def test_scanned_file_degrades_to_zero_rows():
     content = open(os.path.join(DOCS, "2007-nasa-compendium.pdf"), "rb").read()

@@ -10,7 +10,6 @@ import math
 from hypothesis import given, settings, strategies as st
 
 from rad_database_parse_spark.operators.header_map import (
-    _levenshtein,
     _partial_ratio,
     resolve_header_mapping,
 )
@@ -39,11 +38,11 @@ def test_partial_ratio_substring_is_100(a, pad):
 
 
 @settings(deadline=None)
-@given(words, words)
-def test_levenshtein_symmetry_and_triangle_zero(a, b):
-    assert _levenshtein(a, b) == _levenshtein(b, a)
-    assert _levenshtein(a, a) == 0
-    assert _levenshtein(a, b) <= max(len(a), len(b))
+@given(words)
+def test_partial_ratio_identity_is_100(a):
+    # fuzzywuzzy semantics: identical non-empty strings score 100;
+    # the empty needle scores 0 (guarded, never a ZeroDivision)
+    assert _partial_ratio(a, a) == (100 if a else 0)
 
 
 @settings(deadline=None)
