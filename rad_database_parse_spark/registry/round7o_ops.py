@@ -19,6 +19,16 @@ from ._util import dec, t
 # ------------------------------------------------------------------
 
 _AA_K = 20
+# Hub cap (VERDICT r7 item 3): a customer contributes at most this many
+# suppliers to pair generation, so one hub key can emit at most
+# cap²/2 ≈ 8k pairs instead of deg²/2 (5·10⁷ at deg 10⁴). The cap is in
+# BOTH engines' plans (oracle in lockstep) and is deliberately above the
+# corpus maximum at test scales (max customer degree: 67 @ sf0.01,
+# 102 @ sf0.1 — measured, tools/dedup_semantics_probe round-8 session),
+# so it binds only at the 100× skew it exists for. NOT silent: the cap
+# constant, the measured headroom, and the binding condition are
+# documented here and in SCALE.md.
+_AA_HUB_CAP = 128
 
 
 @register(
@@ -33,17 +43,22 @@ _AA_K = 20
       SELECT sc.s, sc.c,
              CAST(round(1e6 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT) AS w
       FROM sc JOIN deg ON deg.c = sc.c WHERE deg.d >= 2),
+    wcap AS (
+      SELECT s, c, w FROM (
+        SELECT s, c, w,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn
+        FROM wsc) WHERE rn <= {cap}),
     pairs AS (
       SELECT a.s AS supp_a, b.s AS supp_b,
              CAST(SUM(a.w) AS BIGINT) AS aa_score_micro,
              CAST(COUNT(*) AS BIGINT) AS n_shared
-      FROM wsc a JOIN wsc b ON b.c = a.c AND a.s < b.s
+      FROM wcap a JOIN wcap b ON b.c = a.c AND a.s < b.s
       GROUP BY 1, 2)
     SELECT supp_a, supp_b, n_shared, aa_score_micro
     FROM pairs
     ORDER BY aa_score_micro DESC, supp_a, supp_b
     LIMIT {k}
-    """.replace("{k}", str(_AA_K)),
+    """.replace("{k}", str(_AA_K)).replace("{cap}", str(_AA_HUB_CAP)),
 )
 def graph_adamic_adar_suppliers(spark: SparkSession, sf_dir: str):
     """Adamic-Adar link prediction on the supplier co-purchase graph:
@@ -55,10 +70,23 @@ def graph_adamic_adar_suppliers(spark: SparkSession, sf_dir: str):
     6x faster than the array-collapse form, r5); the degree weight is
     one bounded aggregate joined back before pair generation, and
     degree-1 customers drop early (they produce no pairs and ln 1
-    would divide by zero). Micro-quantized weights sum exactly in
-    both engines; top-{_AA_K} via orderBy+limit."""
+    would divide by zero). Hub cap (VERDICT r7): each customer
+    contributes only its first {_AA_HUB_CAP} suppliers (deterministic
+    key order; the AA weight keeps the TRUE degree) so join OUTPUT per
+    key is bounded at cap²/2 — output skew is the one kind AQE cannot
+    split. The cap exceeds the corpus max degree at test scales
+    (102 @ sf0.1), binding only at the 100× hubs it guards against.
+    Micro-quantized weights sum exactly in both engines; top-{_AA_K}
+    via orderBy+limit."""
     li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
+    # broadcast the 2-column orderkey->custkey map (16 B/row; ~2.4 MB
+    # at sf0.1 — measured 5.5s -> 4.9s warm). The hint holds while
+    # orders stays under ~10^8 rows; past that, drop it and the same
+    # plan runs as a shuffle join — a size-tuning knob, not a
+    # correctness dependence.
+    o = F.broadcast(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    )
     sc = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -66,10 +94,15 @@ def graph_adamic_adar_suppliers(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    deg = sc.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
-    wsc = (
-        sc.join(deg, "c")
-        .filter(F.col("d") >= 2)
+    # degree + hub-cap rank in ONE window pass (one shuffle on c; the
+    # pair self-join below reuses the same hash(c) exchange) — replaces
+    # the groupBy(c) aggregate + join-back, measured 6.3s -> see
+    # SCALE.md round-8 re-plan note
+    wc = Window.partitionBy("c")
+    wcap = (
+        sc.withColumn("d", F.count("*").over(wc).cast("bigint"))
+        .withColumn("rn", F.row_number().over(wc.orderBy("s")))
+        .filter((F.col("d") >= 2) & (F.col("rn") <= _AA_HUB_CAP))
         .select(
             "s",
             "c",
@@ -78,8 +111,8 @@ def graph_adamic_adar_suppliers(spark: SparkSession, sf_dir: str):
             ).alias("w"),
         )
     )
-    a = wsc.select(F.col("s").alias("supp_a"), "c", F.col("w"))
-    b = wsc.select(F.col("s").alias("supp_b"), F.col("c").alias("c2"))
+    a = wcap.select(F.col("s").alias("supp_a"), "c", F.col("w"))
+    b = wcap.select(F.col("s").alias("supp_b"), F.col("c").alias("c2"))
     pairs = (
         a.join(b, (F.col("c") == F.col("c2")) & (F.col("supp_a") < F.col("supp_b")))
         .groupBy("supp_a", "supp_b")
