@@ -765,22 +765,30 @@ def main() -> int:
             timings[name] = round(best, 3)
         return timings
 
-    # Machine-speed calibration: a fixed data-independent CPU-bound job
-    # (hash+sum over 2^27 rows, all 32 threads), min-of-2. Round-over-round
-    # BENCH files come from different VMs with up to ~1.5x speed spread
-    # (r2→r3 measured 1.3x, r3→r5 1.45x median over identical code);
-    # dividing query times by `calib_sec` puts rounds on one scale.
-    calib = None
-    for _ in range(2):
+    # Machine-speed calibration: a fixed data-independent CPU-bound job,
+    # median-of-5. Round-over-round BENCH files come from different VMs
+    # with up to ~1.5x speed spread (r2→r3 measured 1.3x, r3→r5 1.45x
+    # median over identical code); dividing the headline by `calib_sec`
+    # puts rounds on one scale (`headline_per_calib`, LOWER IS BETTER).
+    # Re-defined in round 8 (VERDICT r7): the old 2^27 single-hash job
+    # ran ~0.2-0.3s — scheduling overhead dominated and the measured
+    # calib varied 2.5x across VMs, making normalized trends garbage.
+    # The job is now an 8-deep xxhash64 chain over 2^30 rows (~2s on
+    # this VM, <±3% run spread measured) so the CPU term dominates.
+    # calib_sec values from rounds ≤7 are in DIFFERENT units — only
+    # compare headline_per_calib from r8 onward.
+    calib_runs = []
+    _chain8 = "xxhash64(" * 8 + "id" + ")" * 8
+    for _ in range(5):
         t0 = time.perf_counter()
-        spark.range(1 << 27).selectExpr(
-            "sum(xxhash64(id) % 1000000) AS s"  # bounded: no ANSI long overflow
+        spark.range(1 << 30).selectExpr(
+            f"sum({_chain8} % 1000000) AS s"  # bounded: no ANSI long overflow
         ).write.format(
             "noop"
         ).mode("overwrite").save()
-        c = time.perf_counter() - t0
-        calib = c if calib is None else min(calib, c)
+        calib_runs.append(time.perf_counter() - t0)
         spark._jvm.System.gc()
+    calib = sorted(calib_runs)[2]  # median-of-5
 
     timings = run(HEADLINE)
     total = round(sum(timings.values()), 3)
@@ -931,6 +939,9 @@ def main() -> int:
         "value_extended_r7ab": round(sum(extended_r7ab.values()), 3),
         "value_extended_r8": round(sum(extended_r8.values()), 3),
         "calib_sec": round(calib, 3),
+        # the cross-VM-comparable headline (lower is better); see the
+        # calibration comment — comparable from round 8 onward only
+        "headline_per_calib": round(total / calib, 2),
         "sf": sf,
     }
     # Full per-query map FIRST (for humans / local archives), compact

@@ -49,28 +49,56 @@ RAD_CATEGORIES = [
 ]
 
 
-# The persisted cell grid of the most recent invocation. The returned
-# DataFrame is lazy and still reads `cells` when the CALLER acts on it,
-# so the cache cannot be dropped inside this function; instead each new
-# invocation releases the previous one's blocks so repeated calls in one
-# session hold at most one cached grid (ADVICE r7).
-_last_cells: DataFrame | None = None
+# Persisted cell grids of recent invocations. The returned DataFrame is
+# lazy and still reads `cells` when the CALLER acts on it, so the cache
+# cannot be dropped inside this function; instead each new invocation
+# releases older blocks so repeated calls in one session hold at most
+# two cached grids (ADVICE r7; two because pdf_real_lattice_goldens
+# legitimately unions a strict-regime and a density-regime branch).
+_live_cells: list[DataFrame] = []
 
 
 def reference_rad_rows(
-    spark: SparkSession, binary_files: DataFrame
+    spark: SparkSession,
+    binary_files: DataFrame,
+    validity: str = "strict",
 ) -> DataFrame:
     """binaryFile rows → the reference's deduped rad-table records.
 
     Output: one row per inserted rad record with `doc_filename`,
     `doc_title`, and the ten canonical columns (unmapped ones null).
     Table-grain planning (headers, mappings) is BOUNDED driver work;
-    everything row-grain is Catalyst."""
-    global _last_cells
-    if _last_cells is not None:
-        _last_cells.unpersist(blocking=False)
+    everything row-grain is Catalyst.
+
+    `validity` selects the row-validity regime, because the reference's
+    loader had TWO depending on the --csv_bypass flag (main.py:96,
+    tables.py:252-263 get_mapped_row_type), and main.db was built
+    incrementally across runs with different flags (main.py:90 skips
+    already-loaded files, so per-file regimes coexist in one db):
+
+    - "strict": the manual-CSV-gate regime. tables.py csv_check's
+      pandas round trip turns every empty mapped cell into NaN, which
+      map_row (tables.py:227-236) raises on → ANY empty mapped cell
+      invalidates the row. Proven for 2006: main.db's 2006 rows contain
+      zero ''-valued fields and the strict count reproduces its 28
+      byte-exactly.
+    - "density": the --csv_bypass regime. Values reach map_row as the
+      strings camelot extracted ('' included, never NaN), so the only
+      gate is get_mapped_row_type's density check: a row is valid iff
+      (non-empty mapped values + 2 constants) / 10 >= 0.5, and empty
+      mapped cells are INSERTED as ''. Proven for 2016: main.db's 2016
+      rows include 4 rows with ''-valued mapped fields (ids 3/7/34:
+      manufacturer='', technology='', spec=''), which the strict regime
+      could never insert, and the density count reproduces its 67
+      exactly (the 67th row — part '(ENGINEERING SAMPLES)', dose 0.5,
+      degradation >20, main.db id 34 — has empty mapped technology and
+      spec cells and is valid only under this rule)."""
+    if validity not in ("strict", "density"):
+        raise ValueError(f"unknown validity regime: {validity!r}")
+    while len(_live_cells) >= 2:
+        _live_cells.pop(0).unpersist(blocking=False)
     cells = extract_pdf_cells(binary_files).persist()
-    _last_cells = cells
+    _live_cells.append(cells)
 
     # A5: table density gate (get_table_density > 0.25)
     dense = table_density_filter(
@@ -176,9 +204,9 @@ def reference_rad_rows(
         )
     )
 
-    # row validity: the manual-CSV round trip turns empty mapped cells
-    # into NaN and map_row raises — a row survives only when every
-    # MAPPED cell of ITS table is non-empty
+    # row validity — regime-dependent, see the docstring:
+    # strict: every mapped cell of the row's table must be non-empty
+    # density: >= 3 non-empty mapped cells ((n + 2 constants)/10 >= 0.5)
     mapped_flags = F.array(
         *[
             F.struct(F.lit(c).alias("canon"), F.col(c).alias("v"))
@@ -188,12 +216,12 @@ def reference_rad_rows(
     per_table_mapped = mapping_df.groupBy(
         "doc_filename", "apage", "atidx"
     ).agg(F.collect_set("canon").alias("mapped_cats"))
-    valid = (
-        recs.join(
-            F.broadcast(per_table_mapped),
-            ["doc_filename", "apage", "atidx"],
-        )
-        .withColumn(
+    flagged = recs.join(
+        F.broadcast(per_table_mapped),
+        ["doc_filename", "apage", "atidx"],
+    )
+    if validity == "strict":
+        valid = flagged.withColumn(
             "n_bad",
             F.size(
                 F.filter(
@@ -204,9 +232,21 @@ def reference_rad_rows(
                     & (s["v"].isNull() | (s["v"] == "")),
                 )
             ),
-        )
-        .filter(F.col("n_bad") == 0)
-    )
+        ).filter(F.col("n_bad") == 0)
+    else:
+        valid = flagged.withColumn(
+            "n_ok",
+            F.size(
+                F.filter(
+                    mapped_flags,
+                    lambda s: F.array_contains(
+                        F.col("mapped_cats"), s["canon"]
+                    )
+                    & s["v"].isNotNull()
+                    & (s["v"] != ""),
+                )
+            ),
+        ).filter(F.col("n_ok") >= 3)
 
     # map_row newline flattening + A14 exact dedup on quote-stripped keys
     out = valid.select(

@@ -22,17 +22,24 @@ from . import register
 _DOCS_DIR = "/root/reference/docs"
 # files whose reference row counts reproduce MECHANICALLY (the other
 # generations passed through the reference's manual CSV gate, so their
-# counts are not a pure function of the PDF bytes)
-_GOLDEN_FILES = {
+# counts are not a pure function of the PDF bytes), keyed by the
+# validity regime their main.db load ran under (see
+# operators/rad_pipeline.reference_rad_rows: main.db was built
+# incrementally, and 2016's ''-valued fields prove its load used
+# --csv_bypass, whose only row gate is the density >= 0.5 check)
+_GOLDEN_STRICT = {
     "2006-nasa-compendium.pdf": 28,
     "2011-nasa-compendium.pdf": 91,
     "2015-nasa-compendium.pdf": 64,
     "2017-nasa-compendium.pdf": 16,
 }
+_GOLDEN_DENSITY = {
+    "2016-nasa-compendium.pdf": 67,
+}
 
 _VALUES = ",\n      ".join(
     f"('{name}', CAST({n} AS BIGINT))"
-    for name, n in sorted(_GOLDEN_FILES.items())
+    for name, n in sorted({**_GOLDEN_STRICT, **_GOLDEN_DENSITY}.items())
 )
 
 
@@ -56,16 +63,24 @@ def pdf_real_lattice_goldens(spark: SparkSession, sf_dir: str):
     The oracle pins the golden counts because the comparison target is
     the reference's own database, not a SQL re-derivation: 28/91/64/16
     are what the reference pipeline itself produced into main.db for
-    these four files, and this engine reproduces them from the raw PDF
-    bytes (2006 additionally matches all six mapped fields
-    byte-for-byte — asserted in tests, where sqlite is available).
-    Scale shape: one partition per file, extraction parallel across
-    files, everything after the cell grid is Catalyst."""
+    the four strict-regime files, and 67 for 2016 under the
+    --csv_bypass (density) regime its load demonstrably ran with —
+    this engine reproduces all five from the raw PDF bytes (2006
+    additionally matches all six mapped fields byte-for-byte —
+    asserted in tests, where sqlite is available). Scale shape: one
+    partition per file, extraction parallel across files, everything
+    after the cell grid is Catalyst; the two regimes are two branches
+    of one union (each file extracted once)."""
     from ..operators.rad_pipeline import reference_rad_rows
 
-    paths = [os.path.join(_DOCS_DIR, f) for f in sorted(_GOLDEN_FILES)]
-    files = spark.read.format("binaryFile").load(paths)
-    rows = reference_rad_rows(spark, files)
+    def branch(golden: dict, validity: str):
+        paths = [os.path.join(_DOCS_DIR, f) for f in sorted(golden)]
+        files = spark.read.format("binaryFile").load(paths)
+        return reference_rad_rows(spark, files, validity=validity)
+
+    rows = branch(_GOLDEN_STRICT, "strict").unionByName(
+        branch(_GOLDEN_DENSITY, "density")
+    )
     return (
         rows.groupBy("doc_filename")
         .agg(F.count("*").cast("bigint").alias("n_rows"))

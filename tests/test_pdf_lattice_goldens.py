@@ -70,13 +70,25 @@ def _map_header(header):
     return out
 
 
-def _reference_row_count(content: bytes) -> int | None:
+def _reference_row_count(content: bytes, validity: str = "strict") -> int | None:
     """The reference loader's row count for one file: density gate +
     continuation merge (get_all_tables), rad classification
-    (find_table_type), per-table fuzzy header map, the manual-CSV
-    round-trip validity rule (any empty mapped cell -> NaN -> map_row
-    raises -> invalid), and whole-row dedup (check_if_exists with
-    quotes stripped). None when the file has no metadata (skipped)."""
+    (find_table_type), per-table fuzzy header map, the regime-selected
+    row-validity rule, and whole-row dedup (check_if_exists with quotes
+    stripped). None when the file has no metadata (skipped).
+
+    Validity regimes (the reference had BOTH, selected by main.py's
+    --csv_bypass flag, and main.db was built incrementally across runs
+    with different flags — main.py:90 skips already-loaded files):
+    - "strict" (csv_check ran): the pandas round trip turns every empty
+      mapped cell into NaN and map_row raises -> ANY empty mapped cell
+      invalidates the row. main.db's 2006 rows have zero ''-fields.
+    - "density" (--csv_bypass): values reach map_row as camelot's
+      strings ('' included), so the only gate is get_mapped_row_type's
+      (tables.py:252-263) density check: valid iff (non-empty mapped
+      values + 2 constants)/10 >= 0.5, empty mapped cells INSERTED as
+      ''. main.db's 2016 rows include 4 rows with ''-valued mapped
+      fields (ids 3/7/34), which strict could never produce."""
     title, raw = extract_tables(content)
     if title is None:
         return None
@@ -108,9 +120,15 @@ def _reference_row_count(content: bytes) -> int | None:
             continue
         for r in grid[1:]:
             vals = [(r[mi] if mi < len(r) else None) for mi in idxs]
-            if any(not v for v in vals):
-                continue
-            key = tuple(v.replace('"', "").replace("'", "") for v in vals)
+            if validity == "strict":
+                if any(not v for v in vals):
+                    continue
+            else:
+                if sum(1 for v in vals if v) + 2 < 5:
+                    continue
+            key = tuple(
+                (v or "").replace('"', "").replace("'", "") for v in vals
+            )
             if key not in seen:
                 seen.add(key)
                 n += 1
@@ -130,6 +148,22 @@ def _reference_row_count(content: bytes) -> int | None:
 def test_golden_row_counts(fname, golden):
     content = open(os.path.join(DOCS, fname), "rb").read()
     assert _reference_row_count(content) == golden
+
+
+@pytest.mark.skipif(not os.path.isdir(DOCS), reason="reference docs absent")
+def test_golden_2016_density_regime():
+    """2016's main.db load ran under --csv_bypass: its 67 rows include 4
+    with ''-valued MAPPED fields (ids 3/7/34 — manufacturer='',
+    technology='', spec=''), which the strict (csv_check) regime can
+    never insert ('' -> NaN -> map_row raises). Under the density
+    regime the count is exactly 67; under strict it is 66 — the one
+    missing row is main.db id 34 (part '(ENGINEERING  SAMPLES)',
+    dose_rate 0.5, degradation '>20'), whose mapped technology and spec
+    cells are empty and which only get_mapped_row_type's density>=0.5
+    gate admits (6 non-empty mapped + 2 constants = 0.8)."""
+    content = open(os.path.join(DOCS, "2016-nasa-compendium.pdf"), "rb").read()
+    assert _reference_row_count(content, validity="density") == 67
+    assert _reference_row_count(content, validity="strict") == 66
 
 
 @pytest.mark.skipif(not os.path.isdir(DOCS), reason="reference docs absent")
