@@ -13,9 +13,26 @@ asserted exactly here:
   2011 is also 81/91 field-exact — the rest differ by one space)
 - 2005 / 2019 -> skipped entirely (no PDF metadata -> get_pdf_title
   None -> file ignored; the reference's '10/12 PDFs contribute')
+- 2016 -> 67 under the DENSITY validity regime (its main.db load ran
+  with --csv_bypass; see test_golden_2016_density_regime)
 - 2007 is a scanned/OCR file (table rules live in the page IMAGE, not
   in vector ops) — the pure extractor yields no tables, degrading
-  gracefully to zero rows instead of failing.
+  gracefully to zero rows instead of failing; the decoder-unavailable
+  proof is pinned in test_2007_rules_are_provably_unreachable_without_jbig2.
+
+The four remaining residuals (2010 55vs50, 2013 97vs95, 2014 102vs86,
+2018 15vs12) are GRID-level camelot divergences, proven by forensics on
+main.db rather than loader semantics (round 8): the reference's 2013
+`results` values carry the PI column's initials as prefixes ("JP ",
+"MeC ", "DC ", "RL " — e.g. 'JP All parameters passed up to…'), i.e.
+camelot's Ghostscript-raster line detection at line_scale=40 MERGED the
+PI column into RESULTS, and several multi-line cells were split into
+separate rows ('monotonically for biased par…' as a standalone results
+value). Row-by-row, our 2013 extraction matches main.db pairwise except
+for those merge artifacts. Reproducing them would mean replicating
+Ghostscript rasterization + OpenCV morphology pixel-exactly — raster
+artifacts, not PDF semantics — so the residual counts are pinned here
+as documented divergences, not bugs.
 """
 
 import os
