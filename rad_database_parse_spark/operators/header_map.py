@@ -65,7 +65,9 @@ def _partial_ratio(needle: str, hay: str) -> int:
         if r > 0.995:
             return 100
         best = max(best, r)
-    return int(best * 100 + 0.5)
+    # fuzzywuzzy utils.intr is int(round(n)) — Python banker's rounding,
+    # NOT half-up; at a .5 boundary next to the 75 gate the two differ
+    return int(round(best * 100))
 
 
 def resolve_header_mapping(
