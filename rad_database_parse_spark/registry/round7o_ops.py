@@ -23,8 +23,9 @@ _AA_K = 20
 # suppliers to pair generation, so one hub key can emit at most
 # cap²/2 ≈ 8k pairs instead of deg²/2 (5·10⁷ at deg 10⁴). The cap is in
 # BOTH engines' plans (oracle in lockstep) and is deliberately above the
-# corpus maximum at test scales (max customer degree: 67 @ sf0.01,
-# 102 @ sf0.1 — measured, tools/dedup_semantics_probe round-8 session),
+# corpus maximum at test scales (max distinct suppliers per customer:
+# 67 @ sf0.01, 102 @ sf0.1 — measured via DuckDB over the testdata
+# parquet, round-8 session; SCALE.md "Re-plans recorded in round 8"),
 # so it binds only at the 100× skew it exists for. NOT silent: the cap
 # constant, the measured headroom, and the binding condition are
 # documented here and in SCALE.md.
