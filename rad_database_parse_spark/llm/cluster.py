@@ -122,7 +122,7 @@ def pagerank_fixed_point(
     iters: int = 8,
     scale: int = 1_000_000,
     base: int = 150_000,
-    ckpt_every: int = 4,
+    ckpt_every: int = 0,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list where every node has
     out-degree ≥ 1 (nodes with no out-edges are absent from the edge list's
@@ -154,11 +154,17 @@ def pagerank_fixed_point(
     # aggregate (hashpartitioning(dst, n) satisfies the groupBy's clustered-
     # distribution requirement, so Catalyst adds no second exchange).
     # n is sized to the edge count (~1M narrow rows / ~30 MB per partition),
-    # floored at 8: the iterate's state tables scale with nodes, not with
-    # the session's global shuffle width — measured 25% off the iterate's
-    # wall at sf0.1, and at 100 TB the same formula lands in the thousands.
+    # floored at min(32, defaultParallelism): the iterate's state tables
+    # scale with nodes, not with the session's global shuffle width, but a
+    # floor of 8 left 24 of 32 local cores idle through every iterate stage
+    # (r8 re-audit: floor 8 → 32 measured 6.7 → 5.5s warm at sf0.1, cold
+    # first-run 20 → 8s; values identical — exact integers). The 32 cap
+    # keeps a huge cluster's defaultParallelism from shattering tiny state
+    # into thousands of overhead-dominated partitions; at 100 TB the
+    # edge-count term dominates anyway.
     n_edges = e.count()
-    nparts = max(8, -(-n_edges // 1_000_000))
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    nparts = max(min(32, par), -(-n_edges // 1_000_000))
     edges_deg = (
         e.join(deg, "src")
         .repartition(nparts, "src")
@@ -201,10 +207,14 @@ def pagerank_fixed_point(
             )
             .select(F.col("dst").alias("node"), "r")
         )
-        # truncate the unrolled join lineage mid-flight: an 8-deep plan
-        # pays real codegen/planning overhead (measured 9.5 → 8.2s at
-        # sf0.1 with one checkpoint after iteration 4); values are exact
-        # integers, so the checkpoint cannot change results
+        # optional mid-flight lineage truncation. The r6 measurement had
+        # ckpt-after-4 winning (9.5 → 8.2s); the r8 re-audit reversed it
+        # (ckpt4 7.1-7.6s vs no-ckpt 5.5-6.7s warm — the eager
+        # materialization now costs more than the lineage it trims), so
+        # the default is OFF. Values are exact integers either way. At
+        # 100 TB on a real cluster, pass ckpt_every>0 and use reliable
+        # `checkpoint` — there the concern is executor-loss recompute of
+        # an 8-deep lineage, not local codegen overhead.
         if ckpt_every and i % ckpt_every == 0 and i < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_fp"))

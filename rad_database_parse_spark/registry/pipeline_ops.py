@@ -809,6 +809,11 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str):
     against a pure-Python reference on a controlled graph."""
     from ..llm.cluster import pagerank_fixed_point
 
+    # NOTE (r8 re-audit): broadcasting the orderkey->custkey map here —
+    # the hint that won 0.6s on graph_adamic_adar_suppliers — was A/B
+    # measured at sf0.1 and REJECTED: interleaved runs showed no gain
+    # (plain 6.0-8.2s vs bcast 7.0-8.5s); pagerank's wall is the iterate
+    # and the three persist+count materializations, not the base join.
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
