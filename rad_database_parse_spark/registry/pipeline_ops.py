@@ -582,7 +582,18 @@ def part_name_neardup(spark: SparkSession, sf_dir: str):
     selectivity is THE tuning knob: a one-token block over this small-
     vocabulary corpus admits ~100× the candidates (measured 11.7M pairs at
     sf0.1) for near-zero extra recall at dist ≤ 2. JVM levenshtein, no
-    UDF."""
+    UDF.
+
+    Measured degeneracy note (r8 bench audit, sf0.1): this corpus's
+    generator yields only 64 distinct two-token prefixes over 20k parts,
+    so blocking admits 3.12M candidates — and every one passes dist<=2,
+    i.e. the op is OUTPUT-volume-bound (3.1M true near-dup pairs), the
+    same cost class as docs_minhash_lsh. Its 5.9s bench entry is pair
+    emission, not plan waste. At 100× the same 64 blocks would each hold
+    ~31k parts (~0.5G pairs/block, one task per block): the remedy is a
+    longer block key (3 tokens) or an LSH secondary block — a recall
+    trade the caller must own, so it is documented rather than silently
+    applied here."""
     p = t(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
