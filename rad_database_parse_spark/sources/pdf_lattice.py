@@ -1006,6 +1006,45 @@ class Table:
     top_open: list  # [row][col] True when no rule between cell and the one above
 
 
+def _word_runs(glyphs: list[Glyph]) -> list[list[Glyph]]:
+    """Split horizontal glyphs into WORD runs — maximal stream-order
+    sequences of touching glyphs, where a space glyph ends its run
+    (attaching to the word on its LEFT). Cell assignment then places a
+    run atomically by its midpoint, which fixes two per-glyph
+    mis-assignments found by the r8 field-exactness audit WITHOUT
+    fusing adjacent cells the way whole-textline assignment would:
+    - a word hugging a column rule in a justified cell ('…failures at '
+      where the final 't' and trailing space cross the rule) stays in
+      the cell that holds its bulk instead of leaking 't ' into the
+      neighbor;
+    - a subscript that touches its base word ('I' + 'off') stays with
+      it, so the line assembly can interleave it by x.
+    Word grain is the right atom because the painter NEVER splits a
+    word across cells, but DOES bridge adjacent cells with a single
+    spaced text run ('Technology PI') — splitting at spaces keeps those
+    separable exactly as the per-glyph path always did."""
+    runs: list[list[Glyph]] = []
+    for g in glyphs:
+        if runs:
+            p = runs[-1][-1]
+            vov = min(p.y + p.size, g.y + g.size) - max(p.y, g.y)
+            gap = g.x - (p.x + p.w)
+            if g.ch == " ":
+                # a space glyph stays with its stream run even when the
+                # painter kerns it BEHIND the preceding glyph ('31 '
+                # printed as '3','1',' '@x-2.6pt — x-sorting the space
+                # between the digits made '3 1'; pdfminer appends in
+                # stream order and never splits a line on x-reversal)
+                if vov > 0 and gap <= 2.0 * max(p.w, g.w, 2.0):
+                    runs[-1].append(g)
+                    continue
+            elif p.ch != " " and vov > 0 and -1.0 <= gap <= 1.5:
+                runs[-1].append(g)
+                continue
+        runs.append([g])
+    return runs
+
+
 def find_tables(pc: PageContent, page_w: float, page_h: float) -> list[Table]:
     """Camelot-lattice-style grid discovery from ruled lines."""
     min_h = page_w / 40.0  # line_scale=40 equivalents
@@ -1052,6 +1091,11 @@ def find_tables(pc: PageContent, page_w: float, page_h: float) -> list[Table]:
                     return True
         return False
 
+    # horizontal WORD runs, built ONCE per page and assigned to cells
+    # atomically; vertical (rotated-header) glyphs keep the per-glyph
+    # path below
+    h_runs = _word_runs([g for g in pc.glyphs if g.dir in ("r", "l")])
+
     tables = []
     for _root, (ghs, gvs) in groups.items():
         if len(ghs) < 2 or len(gvs) < 2:
@@ -1083,21 +1127,16 @@ def find_tables(pc: PageContent, page_w: float, page_h: float) -> list[Table]:
             for r in range(nrows)
         ]
 
-        # assign glyphs to cells; text inside a spanning cell reduces to
-        # the span's top-left ANCHOR (camelot _reduce_index): walk left
-        # across missing left edges, then up across missing top edges —
-        # this is what makes a row-spanning part-number land once and
-        # copy_text='v' fan it out to every sub-row
-        cellg: dict[tuple[int, int], list[Glyph]] = {}
-        for g in pc.glyphs:
-            if g.dir == "d":  # vertical text: advance down, up vector +x
-                gx, gy = g.x + g.size * 0.35, g.y - g.w / 2.0
-            elif g.dir == "u":  # advance up, up vector -x
-                gx, gy = g.x - g.size * 0.35, g.y + g.w / 2.0
-            else:
-                gx, gy = g.x + g.w / 2.0, g.y + g.size * 0.35
-            if not (x0 - 1 <= gx <= x1 + 1 and y0 - 1 <= gy <= y1 + 1):
-                continue
+        # assign text to cells — horizontal WORD runs atomically by the
+        # run's midpoint, vertical glyphs individually; text inside a
+        # spanning cell reduces to the span's top-left ANCHOR (camelot
+        # _reduce_index): walk left across missing left edges, then up
+        # across missing top edges — this is what makes a row-spanning
+        # part-number land once and copy_text='v' fan it out to every
+        # sub-row
+        cellg: dict[tuple[int, int], list[list[Glyph]]] = {}
+
+        def assign(gx, gy, gl):
             r = c = None
             for ri in range(nrows):
                 if ys_desc[ri + 1] <= gy <= ys_desc[ri]:
@@ -1108,16 +1147,36 @@ def find_tables(pc: PageContent, page_w: float, page_h: float) -> list[Table]:
                     c = ci
                     break
             if r is None or c is None:
-                continue
+                return
             while c > 0 and not left_edge[r][c]:
                 c -= 1
             while r > 0 and not top_edge[r][c]:
                 r -= 1
-            cellg.setdefault((r, c), []).append(g)
+            cellg.setdefault((r, c), []).append(gl)
+
+        for run in h_runs:
+            # run midpoint over the NON-SPACE span (a trailing space
+            # hugging the rule must not drag the word's center)
+            core = [g for g in run if g.ch != " "] or run
+            gx = (core[0].x + core[-1].x + core[-1].w) / 2.0
+            gy = core[0].y + core[0].size * 0.35
+            if not (x0 - 1 <= gx <= x1 + 1 and y0 - 1 <= gy <= y1 + 1):
+                continue
+            assign(gx, gy, run)
+        for g in pc.glyphs:
+            if g.dir == "d":  # vertical text: advance down, up vector +x
+                gx, gy = g.x + g.size * 0.35, g.y - g.w / 2.0
+            elif g.dir == "u":  # advance up, up vector -x
+                gx, gy = g.x - g.size * 0.35, g.y + g.w / 2.0
+            else:
+                continue
+            if not (x0 - 1 <= gx <= x1 + 1 and y0 - 1 <= gy <= y1 + 1):
+                continue
+            assign(gx, gy, [g])
 
         grid = [["" for _ in range(ncols)] for _ in range(nrows)]
-        for (r, c), gl in cellg.items():
-            grid[r][c] = _glyphs_to_text(gl)
+        for (r, c), cruns in cellg.items():
+            grid[r][c] = _runs_to_text(cruns)
 
         # vertical-span copy (camelot copy_text=['v']): an empty cell
         # with no top border inherits the text above it
@@ -1136,6 +1195,70 @@ def find_tables(pc: PageContent, page_w: float, page_h: float) -> list[Table]:
     return tables
 
 
+def _runs_to_text(runs: list[list[Glyph]]) -> str:
+    """Assemble a cell's text from word RUNS (see _word_runs):
+
+    - horizontal runs group into LINES by vertical band overlap (> 0.5
+      of the smaller height — pdfminer line_overlap) against the line's
+      running band, so sub/superscript runs join their base line;
+    - within a line, runs order by the x of their first NON-SPACE glyph
+      and each run's glyphs emit in STREAM order (pdfminer appends in
+      order and never re-sorts — a kerned space printed behind its
+      predecessor must not migrate);
+    - a space is SYNTHESIZED between runs whose x-gap exceeds
+      word_margin=0.1 of the next glyph's size (pdfminer LTTextLine
+      word spacing) — this is how 'V' + subscript 'th' + 'degrades'
+      with no space glyph reads 'Vth degrades', exactly as the
+      reference's pdfminer pass produced it;
+    - vertical (rotated) glyphs keep the legacy assembly and append
+      after the horizontal lines."""
+    horiz = [r for r in runs if r and r[0].dir in ("r", "l")]
+    vert = [g for r in runs for g in r if g.dir in ("u", "d")]
+    lines: list[dict] = []
+    for run in sorted(horiz, key=lambda r: -max(g.y + g.size for g in r)):
+        lo = min(g.y for g in run)
+        hi = max(g.y + g.size for g in run)
+        placed = False
+        for ln in lines:
+            ov = min(ln["hi"], hi) - max(ln["lo"], lo)
+            if ov > 0.5 * min(hi - lo, ln["hi"] - ln["lo"]):
+                ln["runs"].append(run)
+                ln["lo"] = min(ln["lo"], lo)
+                ln["hi"] = max(ln["hi"], hi)
+                placed = True
+                break
+        if not placed:
+            lines.append({"lo": lo, "hi": hi, "runs": [run]})
+    parts: list[str] = []
+    for ln in lines:
+        ordered = sorted(
+            ln["runs"],
+            key=lambda r: next((g.x for g in r if g.ch != " "), r[0].x),
+        )
+        buf: list[str] = []
+        cursor: float | None = None
+        for run in ordered:
+            first = next((g for g in run if g.ch != " "), run[0])
+            if cursor is not None:
+                gap = first.x - cursor
+                if (
+                    gap > 0.1 * max(first.w, first.size)
+                    and buf
+                    and not buf[-1].endswith(" ")
+                    and run[0].ch != " "
+                ):
+                    buf.append(" ")
+            buf.append("".join(g.ch for g in run))
+            right = max(g.x + g.w for g in run)
+            cursor = right if cursor is None else max(cursor, right)
+        parts.append("".join(buf))
+    if vert:
+        vtext = _glyphs_to_text(vert)
+        if vtext:
+            parts.append(vtext)
+    return "\n".join(parts)
+
+
 def _glyphs_to_text(glyphs: list[Glyph]) -> str:
     """Cluster glyphs into text lines and join top-to-bottom.
 
@@ -1150,21 +1273,36 @@ def _glyphs_to_text(glyphs: list[Glyph]) -> str:
     horiz = [g for g in glyphs if g.dir in ("r", "l")]
     vert = [g for g in glyphs if g.dir in ("u", "d")]
     parts: list[str] = []
-    lines: list[list[Glyph]] = []
-    for g in sorted(horiz, key=lambda g: -g.y):
+    lines: list[dict] = []
+    for g in sorted(horiz, key=lambda g: -(g.y + g.size)):
+        # pdfminer-style grouping: a glyph joins a line when its
+        # vertical band overlaps the line's RUNNING band by more than
+        # half the smaller height (line_overlap=0.5). This absorbs
+        # super- AND subscripts into the base line even when a
+        # superscript seeded it — the old first-glyph 0.45em baseline
+        # rule rejected a subscript 4.4pt below a superscript seed,
+        # exiling 'off' of 'Ioff' to its own trailing line (r8
+        # field-exactness audit, 2017 misses)
+        glo, ghi = g.y, g.y + g.size
         placed = False
         for ln in lines:
-            # 0.45em tolerance (of the LARGER glyph — superscripts are
-            # small, their base line is not) absorbs super/subscripts
-            # into their base line, as pdfminer's line grouping does
-            if abs(ln[0].y - g.y) <= max(2.0, max(ln[0].size, g.size) * 0.45):
-                ln.append(g)
+            ov = min(ln["hi"], ghi) - max(ln["lo"], glo)
+            if ov > 0.5 * min(ghi - glo, ln["hi"] - ln["lo"]):
+                ln["glyphs"].append(g)
+                ln["lo"] = min(ln["lo"], glo)
+                ln["hi"] = max(ln["hi"], ghi)
                 placed = True
                 break
         if not placed:
-            lines.append([g])
-    for ln in lines:
-        ln.sort(key=lambda g: g.x)
+            lines.append({"lo": glo, "hi": ghi, "glyphs": [g]})
+    for ln_d in lines:
+        ln = ln_d["glyphs"]
+        # quantize the x-key to 1pt: near-coincident glyphs keep their
+        # STREAM order (stable sort), matching pdfminer's in-order line
+        # assembly — a kerned space printed 0.1pt LEFT of the glyph it
+        # follows must not jump ahead of it ('errors ' -> 'error s',
+        # r8 field-exactness audit)
+        ln.sort(key=lambda g: round(g.x))
         parts.append("".join(g.ch for g in ln))
     if vert:
         up = sum(1 for g in vert if g.dir == "u") >= len(vert) / 2
