@@ -250,6 +250,112 @@ def ivf_cosine_topk(
     )
 
 
+def ivf_cosine_topk_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ivf_cosine_topk with the per-pair cosine computed as a BLOCKED
+    numpy pass per inverted list (applyInPandas over cent_id) instead of
+    the interpreted zip_with/aggregate HOF — for the corpus-probes-itself
+    shape (kNN-graph construction) where pair volume is n·nprobe·n/nlists
+    and the HOF fold dominates wall time.
+
+    BIT-EXACT by construction, not approximately: the kernel accumulates
+    dimension-by-dimension (``acc += outer(Q[:,d], C[:,d])``), which per
+    pair is the identical left-to-right IEEE-double fold the HOF performs
+    (((0+q0c0)+q1c1)+...); norms fold the same way before one sqrt; the
+    division is the same dot/(qn*cn) expression. float32 inputs widen to
+    f64 exactly on both paths. Selection safety: the kernel emits, per
+    query and list, every pair whose RAW sim is within 1e-6 (one rounding
+    granule at round_digits=6) of the k-th best raw sim — a PROVABLE
+    superset of the rounded top-k (|round6(x)-x| <= 5e-7, so any excluded
+    x has >= k pairs whose rounded sim is strictly greater) — and the
+    final round + window ranking then run in Spark exactly as the HOF
+    path, so the oracle contract is unchanged. Measured (r8, sf0.1 kNN
+    graph, 12.5M pairs): see SCALE.md."""
+    import pandas as pd
+
+    inv = ivf_assign(corpus, centroids, 1, id_col, vec_col, round_digits)
+    probes = ivf_assign(
+        queries, centroids, nprobe, id_col, vec_col, round_digits
+    )
+    tagged = inv.select(
+        F.lit(0).alias("role"),
+        F.col(id_col).cast("bigint").alias("rid"),
+        F.col(vec_col).alias("v"),
+        F.col("cent_id").cast("bigint").alias("cent_id"),
+    ).unionByName(
+        probes.select(
+            F.lit(1).alias("role"),
+            F.col(id_col).cast("bigint").alias("rid"),
+            F.col(vec_col).alias("v"),
+            F.col("cent_id").cast("bigint").alias("cent_id"),
+        )
+    )
+    margin = 10.0 ** (-round_digits)
+
+    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        qs = pdf[pdf["role"] == 1]
+        cs = pdf[pdf["role"] == 0]
+        if qs.empty or cs.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim_raw": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "sim_raw": "float64"})
+        Q = np.stack(qs["v"].to_numpy()).astype(np.float64)
+        C = np.stack(cs["v"].to_numpy()).astype(np.float64)
+        nq, d = Q.shape
+        nc = C.shape[0]
+        # dimension-ordered folds — bit-identical to the HOF per pair
+        acc = np.zeros((nq, nc))
+        qn = np.zeros(nq)
+        cn = np.zeros(nc)
+        for j in range(d):
+            acc += np.multiply.outer(Q[:, j], C[:, j])
+            qn += Q[:, j] * Q[:, j]
+            cn += C[:, j] * C[:, j]
+        sims = acc / np.multiply.outer(np.sqrt(qn), np.sqrt(cn))
+        qid = qs["rid"].to_numpy()
+        cid = cs["rid"].to_numpy()
+        self_mask = np.equal.outer(qid, cid)
+        sims_sel = np.where(self_mask, -np.inf, sims)
+        if nc - 1 > k:  # per-query k-th best among non-self pairs
+            kth = np.partition(sims_sel, -k, axis=1)[:, -k]
+            keep = sims_sel >= (kth - margin)[:, None]
+        else:
+            keep = ~self_mask
+        keep &= ~self_mask
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "query_id": qid[qi],
+                "neighbor_id": cid[ci],
+                "sim_raw": sims[qi, ci],
+            }
+        )
+
+    cand = tagged.groupBy("cent_id").applyInPandas(
+        block, "query_id bigint, neighbor_id bigint, sim_raw double"
+    )
+    sims = cand.withColumn("sim", F.round(F.col("sim_raw"), round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def lsh_bucketed_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

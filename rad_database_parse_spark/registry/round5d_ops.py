@@ -1008,10 +1008,14 @@ def part_knn_graph_stats(spark: SparkSession, sf_dir: str):
     id); per-side norms are precomputed scan-locally (llm/similarity).
     The reciprocity/in-degree rollups are single hash aggregates on the
     O(k·n) edge list."""
-    from ..llm.similarity import ivf_cosine_topk
+    from ..llm.similarity import ivf_cosine_topk_blocked
 
     e = t(spark, sf_dir, "embeddings")
-    knn = ivf_cosine_topk(
+    # the corpus-probes-itself shape has n·nprobe·n/nlists pair volume
+    # (12.5M at sf0.1) — the blocked Arrow/numpy kernel computes the
+    # SAME bit-exact folds per inverted list instead of the interpreted
+    # HOF (see ivf_cosine_topk_blocked; r8 re-plan, SCALE.md)
+    knn = ivf_cosine_topk_blocked(
         e, e, centroids=e.filter(F.col("vec_id") < 16), k=_KNN_K, nprobe=2
     ).select(F.col("query_id").alias("u"), F.col("neighbor_id").alias("v"))
     knn = knn.persist()

@@ -812,3 +812,35 @@ def test_order_sensitive_ops_stable_under_repartition(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert mig2 == base_mig
     assert sorted(bpe2) == sorted(base_bpe)
+
+
+def test_ivf_blocked_kernel_bit_identical_to_hof(spark, sf_dir):
+    """The blocked numpy IVF kernel (r8 re-plan behind
+    part_knn_graph_stats) must return the EXACT rows of the HOF path —
+    same pairs, same rounded sims, same ranks — because its per-pair
+    fold is the identical IEEE op sequence (see
+    ivf_cosine_topk_blocked's docstring). Full-output equality, not a
+    spot check; sf0.1 was additionally verified once in-session (10,000
+    edges identical)."""
+    from pyspark.sql import functions as F
+
+    from rad_database_parse_spark.llm.similarity import (
+        ivf_cosine_topk,
+        ivf_cosine_topk_blocked,
+    )
+    from rad_database_parse_spark.registry._util import t
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 16)
+    hof = sorted(
+        (int(r.query_id), int(r.neighbor_id), r.sim, r.rank)
+        for r in ivf_cosine_topk(e, e, cents, k=5, nprobe=2).collect()
+    )
+    blk = sorted(
+        (int(r.query_id), int(r.neighbor_id), r.sim, r.rank)
+        for r in ivf_cosine_topk_blocked(
+            e, e, cents, k=5, nprobe=2
+        ).collect()
+    )
+    assert hof == blk
+    assert len(hof) > 0
