@@ -57,6 +57,67 @@ def test_header_mapping_threshold_monotone(headers, thr):
         assert lo[canon] == idx
 
 
+# ------------------------------------------------- glyph assembly (r8)
+glyph_lists = st.lists(
+    st.tuples(
+        st.floats(0, 600, allow_nan=False, width=32),  # x
+        st.floats(0, 750, allow_nan=False, width=32),  # y
+        st.floats(0.5, 8, allow_nan=False, width=32),  # w
+        st.floats(4, 14, allow_nan=False, width=32),  # size
+        st.sampled_from(list("abcXYZ09 ")),  # ch (incl. space)
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _mk_glyphs(tuples):
+    from rad_database_parse_spark.sources.pdf_lattice import Glyph
+
+    return [
+        Glyph(x=x, y=y, w=w, size=s, ch=c, dir="r")
+        for x, y, w, s, c in tuples
+    ]
+
+
+@settings(deadline=None)
+@given(glyph_lists)
+def test_word_runs_partition_glyphs_in_order(tuples):
+    """_word_runs must PARTITION the stream: every glyph appears in
+    exactly one run, runs preserve stream order, and no text is lost —
+    the invariant that makes word-atomic cell assignment safe."""
+    from rad_database_parse_spark.sources.pdf_lattice import _word_runs
+
+    glyphs = _mk_glyphs(tuples)
+    runs = _word_runs(glyphs)
+    flat = [g for run in runs for g in run]
+    assert flat == glyphs  # same objects, same stream order
+    assert all(run for run in runs)
+
+
+@settings(deadline=None)
+@given(glyph_lists)
+def test_runs_to_text_preserves_every_char(tuples):
+    """Cell assembly may reorder and add separators ('\\n' between
+    lines, synthesized spaces) but must never DROP a glyph's char."""
+    from collections import Counter
+
+    from rad_database_parse_spark.sources.pdf_lattice import (
+        _runs_to_text,
+        _word_runs,
+    )
+
+    glyphs = _mk_glyphs(tuples)
+    text = _runs_to_text(_word_runs(glyphs))
+    have = Counter(text)
+    want = Counter(g.ch for g in glyphs)
+    for ch, n in want.items():
+        if ch == " ":
+            assert have[ch] >= n  # synthesis may add, never remove
+        else:
+            assert have[ch] >= n
+
+
 # ---------------------------------------------------------- Spark-backed
 @settings(max_examples=5, deadline=None)
 @given(
