@@ -29,10 +29,16 @@ camelot's Ghostscript-raster line detection at line_scale=40 MERGED the
 PI column into RESULTS, and several multi-line cells were split into
 separate rows ('monotonically for biased par…' as a standalone results
 value). Row-by-row, our 2013 extraction matches main.db pairwise except
-for those merge artifacts. Reproducing them would mean replicating
-Ghostscript rasterization + OpenCV morphology pixel-exactly — raster
-artifacts, not PDF semantics — so the residual counts are pinned here
-as documented divergences, not bugs.
+for those merge artifacts. 2014 (the largest residual) completes the
+story from the other side: ALL 86 of its main.db part numbers appear
+in our 102 extracted rows — the residual is PURE over-extraction of 16
+rows (15 part numbers + 1 multiplicity) scattered inside Tables
+VII/VIII that camelot's raster grid lost or invalidated; nothing the
+reference extracted is missing from us on any residual file.
+Reproducing the losses would mean replicating Ghostscript
+rasterization + OpenCV morphology pixel-exactly — raster artifacts,
+not PDF semantics — so the residual counts are pinned here as
+documented divergences, not bugs.
 """
 
 import os
