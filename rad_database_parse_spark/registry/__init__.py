@@ -795,24 +795,24 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ao_ops  # noqa: F401
     from . import round7ap_ops  # noqa: F401
 
-    # Round-8 rotation: CORRECTNESS_r07.json landed with all 50 _WINDOW_R7
-    # queries green (50/50 rows+schema+hash), so per SURVEY §8's plan the
-    # never-driver-checked _WINDOW_R8 tier takes the driver window — led by
-    # the 4 _REPIN_R8 queries (real-PDF golden's first row + the 3
-    # post-classifier-fix refreshes; VERDICT r7 item 1). R9..R13 queue
-    # behind; the already-green windows (R7/R6 first, then R5/R3/R4) trail
-    # so any driver overflow re-confirms green queries rather than
-    # starving the backlog.
+    # Round-9 rotation: CORRECTNESS_r08.json landed with all 50 checks
+    # green (the 4 _REPIN_R8 repins + _WINDOW_R8[:46]), so per SURVEY §8
+    # and VERDICT r8 item 1 the driver window advances — led by the 4
+    # displaced _WINDOW_R8 tail queries (never driver-checked), then
+    # _WINDOW_R9 (its own tail of 4 displaces into r10 by the same
+    # overflow rule). R10..R13 queue behind; the already-green windows
+    # (R8/R7/R6 first, then R5/R3/R4) trail so any driver overflow
+    # re-confirms green queries rather than starving the backlog.
     seen: set[str] = set()
     window_order = [
         n
-        for n in _REPIN_R8
-        + _WINDOW_R8
+        for n in _WINDOW_R8[46:]
         + _WINDOW_R9
         + _WINDOW_R10
         + _WINDOW_R11
         + _WINDOW_R12
         + _WINDOW_R13
+        + _WINDOW_R8
         + _WINDOW_R7
         + _WINDOW_R6
         + _WINDOW_R5

@@ -1,10 +1,10 @@
-"""Driver-window canary: CORRECTNESS_r07.json landed all 50 _WINDOW_R7
-queries green, so the round-8 rotation leads with _REPIN_R8 (the
-real-PDF golden's first driver row + the 3 post-classifier-fix
-refreshes, VERDICT r7 item 1) followed by _WINDOW_R8. An import reorder
-or a family re-registration must not be able to silently re-run an
-already-green window (VERDICT r2 item 7). New registrations queue in
-_WINDOW_R13 (the live window) until it closes at 50.
+"""Driver-window canary: CORRECTNESS_r08.json landed all 50 checks green
+(the 4 _REPIN_R8 repins + _WINDOW_R8[:46]), so the round-9 rotation leads
+with the 4 displaced _WINDOW_R8 tail queries (never driver-checked)
+followed by _WINDOW_R9. An import reorder or a family re-registration
+must not be able to silently re-run an already-green window (VERDICT r2
+item 7). New registrations queue in _WINDOW_R13 (the live window) until
+it closes at 50.
 """
 
 from rad_database_parse_spark.registry import (
@@ -28,13 +28,13 @@ def _expected_order():
     seen = set()
     return [
         n
-        for n in _REPIN_R8
-        + _WINDOW_R8
+        for n in _WINDOW_R8[46:]
         + _WINDOW_R9
         + _WINDOW_R10
         + _WINDOW_R11
         + _WINDOW_R12
         + _WINDOW_R13
+        + _WINDOW_R8
         + _WINDOW_R7
         + _WINDOW_R6
         + _WINDOW_R5
@@ -44,15 +44,14 @@ def _expected_order():
     ]
 
 
-def test_r8_window_leads():
+def test_r9_window_leads():
     names = list(all_queries())
-    # positions 1-4: the repinned queries (first-ever row for the real-PDF
-    # golden; fresh rows for the three queries behind the A9 classifier
-    # fix); positions 5-50: the first 46 _WINDOW_R8 entries. Together they
-    # are exactly the driver's 50-query correctness window.
-    assert names[: len(_REPIN_R8)] == _REPIN_R8
-    assert len(_REPIN_R8) == 4
-    assert names[4:50] == _WINDOW_R8[:46]
+    # positions 1-4: the _WINDOW_R8 tail displaced by the r8 repins (their
+    # first-ever driver rows); positions 5-50: the first 46 _WINDOW_R9
+    # entries. Together they are exactly the driver's 50-query
+    # correctness window for round 9.
+    assert names[:4] == _WINDOW_R8[46:]
+    assert names[4:50] == _WINDOW_R9[:46]
     # the closed windows are pinned full at exactly 50
     assert len(_WINDOW_R6) == 50
     assert len(_WINDOW_R7) == 50
@@ -79,7 +78,7 @@ def test_window_is_immune_to_direct_module_imports():
     import rad_database_parse_spark.registry.core_relational  # noqa: F401
     import rad_database_parse_spark.registry.llm_ops  # noqa: F401
 
-    assert list(all_queries())[: len(_REPIN_R8)] == _REPIN_R8
+    assert list(all_queries())[:4] == _WINDOW_R8[46:]
 
 
 def test_every_window_name_unique_and_registered():
@@ -118,14 +117,14 @@ def test_every_window_name_unique_and_registered():
     )
 
 
-def test_r8_tail_and_r9_queue_directly_after_window():
-    # the displaced _WINDOW_R8 tail (4 entries) then _WINDOW_R9 must sit
+def test_r9_tail_and_r10_queue_directly_after_window():
+    # the displaced _WINDOW_R9 tail (4 entries) then _WINDOW_R10 must sit
     # at positions 51+ so the rotation provably advances one full window
     # per driver round
     names = list(all_queries())
-    for i, q in enumerate(_WINDOW_R8[46:]):
+    for i, q in enumerate(_WINDOW_R9[46:]):
         assert names[50 + i] == q
-    seen = set(_REPIN_R8) | set(_WINDOW_R8)
-    r9_dedup = [q for q in _WINDOW_R9 if q not in seen]
-    for i, q in enumerate(r9_dedup):
+    seen = set(_WINDOW_R8) | set(_WINDOW_R9)
+    r10_dedup = [q for q in _WINDOW_R10 if q not in seen]
+    for i, q in enumerate(r10_dedup):
         assert names[54 + i] == q
