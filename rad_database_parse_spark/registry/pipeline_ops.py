@@ -588,36 +588,44 @@ def part_name_neardup(spark: SparkSession, sf_dir: str):
     generator yields only 64 distinct two-token prefixes over 20k parts,
     so blocking admits 3.12M candidates — and every one passes dist<=2,
     i.e. the op is OUTPUT-volume-bound (3.1M true near-dup pairs), the
-    same cost class as docs_minhash_lsh. Its 5.9s bench entry is pair
-    emission, not plan waste. At 100× the same 64 blocks would each hold
-    ~31k parts (~0.5G pairs/block, one task per block): the remedy is a
-    longer block key (3 tokens) or an LSH secondary block — a recall
-    trade the caller must own, so it is documented rather than silently
-    applied here."""
+    same cost class as docs_minhash_lsh. Its bench entry is pair
+    emission, not plan waste.
+
+    Skew fix (r9, closes VERDICT r8 item 1): the length prefilter
+    |la-lb| <= 2 — a free levenshtein lower bound — is folded INTO the
+    join key instead of applied after it. The probe side explodes each
+    name into 5 keys (blk, la+d) for d in -2..2 and the build side keys
+    on (blk, lb); a qualifying pair matches at exactly one d = lb-la, so
+    the output is IDENTICAL to the post-join filter by construction (no
+    cap, no recall trade, nothing to log under the no-silent-caps rule —
+    the oracle's abs(ln) predicate is the same set). At 100× scale the
+    former worst case (64 blocks × ~31k parts = ~0.5G pairs in ONE task,
+    join-output skew AQE cannot split) becomes 64 × ~35 length sub-blocks
+    of ~5M candidate pairs each — ~100× less per-task volume, and a
+    standard many-key shuffle AQE can split further."""
     p = t(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         F.regexp_extract("p_name", r"^[^ ]+ [^ ]+", 0).alias("blk"),
         F.length("p_name").alias("ln"),
     )
-    a = p.select(
+    a = p.withColumn(
+        "d", F.explode(F.array(*[F.lit(d) for d in range(-2, 3)]))
+    ).select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("na"),
         "blk",
-        F.col("ln").alias("la"),
+        (F.col("ln") + F.col("d")).alias("lk"),
     )
     b = p.select(
         F.col("p_partkey").alias("id_b"),
         F.col("p_name").alias("nb"),
         "blk",
-        F.col("ln").alias("lb"),
+        F.col("ln").alias("lk"),
     )
     return (
-        a.join(b, "blk")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= 2)
-        )
+        a.join(b, ["blk", "lk"])
+        .filter(F.col("id_a") < F.col("id_b"))
         # thresholded levenshtein (Spark 3.5+) runs the banded O(len·k) DP
         # and returns -1 past the threshold — exact distances for every
         # surviving row, ~15% cheaper verify than the full O(len²) matrix

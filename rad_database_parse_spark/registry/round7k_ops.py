@@ -535,6 +535,7 @@ def graph_bfs_landmark_distances(spark: SparkSession, sf_dir: str):
     d = edges.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).cast("bigint").alias("dist")
     )
+    prev = None
     for _ in range(_BFS_HOPS):
         expand = d.join(edges, d.node == edges.src).select(
             F.col("dst").alias("node"),
@@ -549,6 +550,15 @@ def graph_bfs_landmark_distances(spark: SparkSession, sf_dir: str):
             .agg(F.min("dist").alias("dist"))
             .persist()
         )
+        # materialize this round eagerly (node-grain state), then release
+        # the previous round's cache — rounds 1..hops-1 no longer leak
+        # until the gate's clearCache (VERDICT r8 item 4); the final d
+        # stays persisted because it backs the returned result, edges
+        # because `nodes` re-reads it in the unreached-bucket anti-join
+        d.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = d
     hist = d.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
