@@ -278,7 +278,16 @@ def ivf_cosine_topk_blocked(
     x has >= k pairs whose rounded sim is strictly greater) — and the
     final round + window ranking then run in Spark exactly as the HOF
     path, so the oracle contract is unchanged. Measured (r8, sf0.1 kNN
-    graph, 12.5M pairs): see SCALE.md."""
+    graph, 12.5M pairs): see SCALE.md.
+
+    PRECONDITION (ADVICE r8): all vectors must have non-zero norm. A
+    zero-norm vector yields sim = NaN, and the two paths then DIVERGE —
+    the HOF path keeps NaN rows and Spark's window ordering ranks NaN
+    above every double, while this kernel's ``NaN >= kth - margin``
+    comparison is False (silent prune; a NaN kth would prune the whole
+    list). Rather than silently emit either behavior, the kernel raises
+    on a zero-norm input; callers with unnormalized corpora must filter
+    or impute upstream."""
     import pandas as pd
 
     inv = ivf_assign(corpus, centroids, 1, id_col, vec_col, round_digits)
@@ -322,6 +331,13 @@ def ivf_cosine_topk_blocked(
             acc += np.multiply.outer(Q[:, j], C[:, j])
             qn += Q[:, j] * Q[:, j]
             cn += C[:, j] * C[:, j]
+        if not (qn.all() and cn.all()):
+            raise ValueError(
+                "ivf_cosine_topk_blocked: zero-norm embedding in block — "
+                "cosine is undefined (NaN) and the blocked kernel's top-k "
+                "prune would silently diverge from the HOF path; filter "
+                "or impute zero vectors upstream"
+            )
         sims = acc / np.multiply.outer(np.sqrt(qn), np.sqrt(cn))
         qid = qs["rid"].to_numpy()
         cid = cs["rid"].to_numpy()

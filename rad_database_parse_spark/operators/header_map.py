@@ -55,6 +55,17 @@ def _partial_ratio(needle: str, hay: str) -> int:
         (needle, hay) if len(needle) <= len(hay) else (hay, needle)
     )
     if not shorter:
+        # DELIBERATE divergence from fuzzywuzzy (ADVICE r8): its
+        # partial_ratio returns 100 for an empty needle (the matching-
+        # blocks dummy yields ratio('','') == 1.0), so in the reference
+        # an empty header cell scored 100 against every category and an
+        # early empty cell could win the argmax. We return 0 here and
+        # resolve_header_mapping additionally skips empty normalized
+        # headers — blank cells never claim a canonical column. On the
+        # golden corpus this is unobservable (all per-file counts and
+        # 259/266 byte-exact fields reproduce); a future corpus with
+        # blank header cells would map differently than the reference,
+        # by choice.
         return 0
     blocks = difflib.SequenceMatcher(None, shorter, longer).get_matching_blocks()
     best = 0.0

@@ -96,7 +96,15 @@ def reference_rad_rows(
     if validity not in ("strict", "density"):
         raise ValueError(f"unknown validity regime: {validity!r}")
     while len(_live_cells) >= 2:
-        _live_cells.pop(0).unpersist(blocking=False)
+        stale = _live_cells.pop(0)
+        try:
+            stale.unpersist(blocking=False)
+        except Exception:
+            # eviction is best-effort: the module-level FIFO can hold a
+            # DataFrame from a STOPPED SparkSession (test suites spin up
+            # several sessions per process), and unpersist on a dead
+            # context raises instead of no-opping (ADVICE r8)
+            pass
     cells = extract_pdf_cells(binary_files).persist()
     _live_cells.append(cells)
 
