@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -145,7 +146,6 @@ def pagerank_fixed_point(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("d"))
     # One exchange per iteration (r5): edges and ranks are explicitly
     # CO-PARTITIONED on the same key count — edges hash(src, n) once here,
     # ranks hash(dst→node, n) as the groupBy's own exchange — so the
@@ -165,9 +165,17 @@ def pagerank_fixed_point(
     n_edges = e.count()
     par = edges.sparkSession.sparkContext.defaultParallelism
     nparts = max(min(32, par), -(-n_edges // 1_000_000))
+    # r9 persist-fold (VERDICT r8 item 6): degree comes from a window
+    # over the already-repartitioned edges — ONE exchange instead of
+    # three (deg groupBy + join + repartition), and edges+deg are a
+    # single persisted relation. sources_zero and all_nodes derive from
+    # edges_deg (identical rows: deg covers every src), so the raw edge
+    # cache serves setup only and is RELEASED before the iterate —
+    # steady-state caches drop from 3 to 2. Measured at sf0.1 in
+    # SCALE.md; rank values are exact integers, hashes unchanged.
     edges_deg = (
-        e.join(deg, "src")
-        .repartition(nparts, "src")
+        e.repartition(nparts, "src")
+        .withColumn("d", F.count("*").over(Window.partitionBy("src")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges_deg.count()  # materialize once; every iteration reuses it
@@ -176,16 +184,21 @@ def pagerank_fixed_point(
     # base + floor(0.85·0) = base, identical to the old constant-rank
     # union) so the union cannot destroy the rank table's partitioning.
     sources_zero = (
-        e.select(F.col("src").alias("dst"))
+        edges_deg.select(F.col("src").alias("dst"))
         .distinct()
-        .join(e.select(F.col("dst").alias("dst")).distinct(), "dst", "left_anti")
+        .join(
+            edges_deg.select(F.col("dst").alias("dst")).distinct(),
+            "dst",
+            "left_anti",
+        )
         .select("dst", F.lit(0).cast("bigint").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sources_zero.count()
-    all_nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
+    all_nodes = edges_deg.select(F.col("src").alias("node")).union(
+        edges_deg.select(F.col("dst").alias("node"))
     ).distinct()
+    e.unpersist()  # setup-only cache; the iterate reads edges_deg
     ranks = all_nodes.select(
         "node", F.lit(scale).cast("bigint").alias("r")
     ).repartition(nparts, "node")
