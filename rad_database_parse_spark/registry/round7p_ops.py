@@ -20,14 +20,30 @@ from ._util import t
 
 _CF_K = 20
 _CF_MIN_CO = 2
+# Hub-customer cap, the r8 co-purchase-family recipe (see _AA_HUB_CAP in
+# round7o_ops.py): a basket of B parts emits B²/2 pairs through the
+# customer-keyed self-join — join-OUTPUT skew AQE cannot split. The cap
+# bounds any basket at cap²/2 ≈ 8k pairs and sits in BOTH engines' plans
+# (row_number by part key, deterministic). Deliberately above the corpus
+# maxima at test scales (max distinct parts per customer: 90 @ sf0.01,
+# 105 @ sf0.1 — measured via DuckDB, round-9 session), so it binds only
+# at the 100× hub skew it exists for. NOT silent: cap constant, measured
+# headroom, and binding condition documented here and in SCALE.md.
+# Popularity (n_a/n_b) is computed from the CAPPED baskets so the cosine
+# stays self-consistent when the cap binds.
+_CF_HUB_CAP = 128
 
 
 @register(
     "part_item_item_cf_topk",
     f"""
-    WITH baskets AS (
+    WITH baskets0 AS (
       SELECT DISTINCT o_custkey AS c, l_partkey AS p
       FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    baskets AS (
+      SELECT c, p FROM (
+        SELECT c, p, ROW_NUMBER() OVER (PARTITION BY c ORDER BY p) AS rn
+        FROM baskets0) WHERE rn <= {_CF_HUB_CAP}),
     pop AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS np
             FROM baskets GROUP BY 1),
     co AS (
@@ -55,19 +71,28 @@ def part_item_item_cf_topk(spark: SparkSession, sf_dir: str):
     dominate the way they do in raw co-counts
     (supplier_shared_customer_graph) or AA weighting
     (graph_adamic_adar_suppliers). Codegen equi-key self-join on the
-    customer key generates pairs; the HAVING >= {_CF_MIN_CO} support
-    cut prunes the singleton-pair tail BEFORE the popularity joins
-    (selective at any SF — co-purchase counts follow a power law);
-    cosine takes one sqrt from exact integers. Top-{_CF_K} via
-    orderBy+limit."""
+    customer key generates pairs; hub baskets are capped at
+    {_CF_HUB_CAP} parts per customer (see _CF_HUB_CAP — above all
+    measured corpus maxima, mirrored in the oracle) so no single
+    customer can emit an unsplittable pair block at 100×; the HAVING
+    >= {_CF_MIN_CO} support cut prunes the singleton-pair tail BEFORE
+    the popularity joins (selective at any SF — co-purchase counts
+    follow a power law); cosine takes one sqrt from exact integers.
+    Top-{_CF_K} via orderBy+limit."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    baskets = (
+    baskets0 = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
         )
         .distinct()
+    )
+    wcap = Window.partitionBy("c").orderBy("p")
+    baskets = (
+        baskets0.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _CF_HUB_CAP)
+        .drop("rn")
     )
     pop = baskets.groupBy("p").agg(
         F.count("*").cast("bigint").alias("np")
