@@ -511,3 +511,40 @@ def test_ahash_band_join_count_and_fold_parallelism(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("bit_count") >= 4  # per-band XOR popcount verify
     assert "hashpartitioning(doc_id" in plan  # fold spread across cores
+
+
+def test_part_name_neardup_length_band_in_join_key(spark, sf_dir):
+    # r9 skew re-plan guard: the |len_a-len_b|<=2 prefilter must live IN
+    # the join key (probe side explodes 5 length keys), not in a
+    # post-join filter — at 100x a post-join filter leaves ~0.5G pairs
+    # of one hot block in a single un-splittable task.
+    import re
+
+    from rad_database_parse_spark.plans import physical_plan
+    from rad_database_parse_spark.registry.pipeline_ops import part_name_neardup
+
+    plan = physical_plan(part_name_neardup(spark, sf_dir))
+    assert re.search(r"Join \[blk#\d+, lk#\d+\]", plan), plan[:2000]
+    assert "abs(" not in plan  # the length band is keyed, never filtered
+
+
+def test_pagerank_degree_window_adds_no_exchange(spark, sf_dir):
+    # r9 persist-fold premise (llm/cluster.pagerank_fixed_point): a
+    # count(*) window partitioned by src on top of repartition(n, src)
+    # must satisfy the window's required distribution — ONE exchange in
+    # the whole subplan. If a Spark upgrade ever breaks this, the fold
+    # silently doubles its setup shuffles; fail loudly here instead.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rad_database_parse_spark.plans import physical_plan
+
+    e = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    deg = e.repartition(8, "src").withColumn(
+        "d", F.count("*").over(Window.partitionBy("src"))
+    )
+    plan = physical_plan(deg)
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan

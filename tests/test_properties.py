@@ -457,3 +457,14 @@ def test_cdc_squash_matches_python_mirror(spark_session_holder, changes):
         else:
             net = "U"
         assert got[k] == (net, len(ops))
+
+
+@given(st.integers(1, 60), st.integers(1, 60))
+def test_neardup_length_band_key_matches_exactly_once(la, lb):
+    """part_name_neardup's keyed join (r9 re-plan): the probe side
+    explodes keys la+d for d in -2..2 and the build side keys on lb. A
+    pair with |la-lb| <= 2 must match at EXACTLY one d (so no distinct
+    is needed and the output equals the post-join length filter); a
+    pair with |la-lb| > 2 must match at none (the filter semantics)."""
+    matches = sum(1 for d in range(-2, 3) if la + d == lb)
+    assert matches == (1 if abs(la - lb) <= 2 else 0)
