@@ -66,26 +66,42 @@ def lineitem_quantile_regression_grid(spark: SparkSession, sf_dir: str):
     distributed, no iterative solver. All arithmetic in exact milli
     integers (x = discount points, y = quantity·1000); the medians
     land on .5-grain binary-exact doubles and round once; tau=0.5
-    pinball = |r|/2 stays integer. The fact table crosses the bounded
-    grid (11× one scan's rows — the grid IS the parallelism unit at
-    100 TB, and a finer grid is more rows, not more passes). is_best
-    marks the grid argmin; the flat-vs-sharp loss profile around it is
-    the identifiability readout."""
+    pinball = |r|/2 stays integer.
+
+    r9 re-plan: the grid no longer crosses FACT rows — residuals for
+    every slope are a function of (x, y) alone, so one fact scan
+    aggregates to (x, y, n) sufficient statistics (≤ |distinct
+    discounts| × |distinct quantities| rows — ~550 here, bounded by
+    value domains, and degrading gracefully toward fact grain on
+    continuous data, never past it), the 11-slope cross runs on that
+    bounded table, the median becomes Spark's exact frequency-weighted
+    percentile(r, 0.5, n) (identical multiset ⇒ identical
+    interpolation), and the pinball sum weights by n. This deletes the
+    old 11×-fact persisted residual cache — the thing that would
+    actually hurt at 100 TB — and measured 4.9-6.3s → ~1.1s at sf0.1
+    with values identical (SCALE.md). is_best marks the grid argmin;
+    the flat-vs-sharp loss profile around it is the identifiability
+    readout."""
     li = t(spark, sf_dir, "lineitem")
-    base = li.select(
-        (dec("l_discount") * 100).cast("bigint").alias("x"),
-        (F.col("l_quantity").cast("bigint") * 1000).alias("y_milli"),
+    xy = (
+        li.select(
+            (dec("l_discount") * 100).cast("bigint").alias("x"),
+            (F.col("l_quantity").cast("bigint") * 1000).alias("y_milli"),
+        )
+        .groupBy("x", "y_milli")
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
     grid = spark.createDataFrame(
         [(b,) for b in _QR_SLOPES], "slope_milli BIGINT"
     )
-    resid = base.crossJoin(F.broadcast(grid)).select(
+    resid = xy.crossJoin(F.broadcast(grid)).select(
         "slope_milli",
         (F.col("y_milli") - F.col("slope_milli") * F.col("x")).alias("r"),
-    ).persist()
+        "n",
+    )
     med = resid.groupBy("slope_milli").agg(
         F.expr(
-            "CAST(round(percentile(r, 0.5)) AS BIGINT)"
+            "CAST(round(percentile(r, 0.5, n)) AS BIGINT)"
         ).alias("intercept_milli")
     )
     loss = (
@@ -93,7 +109,7 @@ def lineitem_quantile_regression_grid(spark: SparkSession, sf_dir: str):
         .groupBy("slope_milli", "intercept_milli")
         .agg(
             F.expr(
-                "CAST(SUM(ABS(r - intercept_milli)) div 2 AS BIGINT)"
+                "CAST(SUM(n * ABS(r - intercept_milli)) div 2 AS BIGINT)"
             ).alias("pinball_sum_milli")
         )
     )
