@@ -565,6 +565,8 @@ def docs_bpe_multi_merge(spark: SparkSession, sf_dir: str):
         pick = pairs.orderBy(
             F.col("support").desc(), "s1", "s2"
         ).limit(1).collect()
+        if not pick:  # empty/degenerate corpus: no pair left to merge
+            break
         s1, s2, support = pick[0]["s1"], pick[0]["s2"], pick[0]["support"]
         merges.append((k, s1 + s2, support))
         if k == _BPE_ROUNDS:

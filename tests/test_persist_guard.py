@@ -74,9 +74,7 @@ def _loop_persist_offenders():
                             self.fn[-1][1] = True
                     self.generic_visit(n)
 
-            v = V()
-            v.visit(tree)
-            offenders.extend([])  # offenders filled inside visitor
+            V().visit(tree)  # offenders filled via closure
     return offenders
 
 
