@@ -556,8 +556,15 @@ def lineitem_huber_m_estimator(spark: SparkSession, sf_dir: str):
     (median, MAD, 2 rounds) — at 100 TB you'd persist the single-column
     projection once (~8 bytes/row) and/or swap approx_percentile into
     the scale step; the per-round aggregate is a map-side partial
-    either way. n_clipped_final reports how much tail the estimator is
-    actually resisting."""
+    either way. A (x, n) value-histogram form (frequency-weighted
+    percentile + n-weighted clips — sufficient stats, the
+    quantile-grid r9 recipe) was A/B-measured at sf0.1 and REJECTED
+    for now: values identical, but ~480k of 600k rows are distinct so
+    the extra groupBy costs ~15% here. It becomes the right plan when
+    rows ≫ |parts|×50 (the histogram's bound) — i.e., exactly at
+    100 TB — so the swap is recorded as the scale path, conditional on
+    that ratio, not applied at bench scale. n_clipped_final reports
+    how much tail the estimator is actually resisting."""
     li = t(spark, sf_dir, "lineitem")
     base = li.select(
         (dec("l_extendedprice") * 100).cast("bigint").alias("x")
