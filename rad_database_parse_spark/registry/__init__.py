@@ -317,6 +317,15 @@ _REPIN_R8: list[str] = [
     "continuation_propagate_titles",
 ]
 
+# Round-10 re-pin: CORRECTNESS_r09's single hash-fail. The Spark result
+# was value-identical to the oracle; the miss was DuckDB HUGEINT
+# materializing as float64 against Spark's int64 (VERDICT r9 item 1).
+# The oracle now casts both SUM columns to BIGINT; per the standing
+# error-re-check rule the query leads the r10 rotation at position 1.
+_REPIN_R10: list[str] = [
+    "q12_latency_priority",
+]
+
 # Round-8 window seed: _WINDOW_R7 is full (exactly 50), so queries
 # registered after it queue here — they trail the r7 rotation and lead
 # r8's. CORRECTNESS_r07 failures get prepended when the file lands.
@@ -795,23 +804,26 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ao_ops  # noqa: F401
     from . import round7ap_ops  # noqa: F401
 
-    # Round-9 rotation: CORRECTNESS_r08.json landed with all 50 checks
-    # green (the 4 _REPIN_R8 repins + _WINDOW_R8[:46]), so per SURVEY §8
-    # and VERDICT r8 item 1 the driver window advances — led by the 4
-    # displaced _WINDOW_R8 tail queries (never driver-checked), then
-    # _WINDOW_R9 (its own tail of 4 displaces into r10 by the same
-    # overflow rule). R10..R13 queue behind; the already-green windows
-    # (R8/R7/R6 first, then R5/R3/R4) trail so any driver overflow
-    # re-confirms green queries rather than starving the backlog.
+    # Round-10 rotation: CORRECTNESS_r09.json landed 49/50 green; the one
+    # hash-fail (q12_latency_priority) was an oracle dtype artifact (DuckDB
+    # HUGEINT -> pandas float64 vs Spark int64 — values identical), fixed
+    # by CAST(... AS BIGINT) in round7_ops.py. Per the standing
+    # error-re-check rule (VERDICT r9 item 1) q12 re-pins FIRST, followed
+    # by the 4 displaced _WINDOW_R9 tail queries (never driver-checked),
+    # then _WINDOW_R10 (its own tail of 5 displaces into r11 by the same
+    # overflow rule). R11..R13 queue behind; the already-green windows
+    # trail so any driver overflow re-confirms green queries rather than
+    # starving the backlog.
     seen: set[str] = set()
     window_order = [
         n
-        for n in _WINDOW_R8[46:]
-        + _WINDOW_R9
+        for n in _REPIN_R10
+        + _WINDOW_R9[46:]
         + _WINDOW_R10
         + _WINDOW_R11
         + _WINDOW_R12
         + _WINDOW_R13
+        + _WINDOW_R9
         + _WINDOW_R8
         + _WINDOW_R7
         + _WINDOW_R6

@@ -96,9 +96,9 @@ def _mrk_oracle() -> str:
       WHERE c.scenario != 'base')
     SELECT channel, conv_base_micro, conv_removed_micro,
            removal_effect_micro,
-           removal_effect_micro * 1000000
+           CAST(removal_effect_micro * 1000000
              // GREATEST(SUM(removal_effect_micro) OVER (), 1)
-             AS attribution_share_ppm
+             AS BIGINT) AS attribution_share_ppm
     FROM eff ORDER BY channel
     """
 

@@ -48,8 +48,9 @@ from ._util import dec, t
              c.r * 1000000 // c.n AS raw_ppm,
              MAX(m.m) OVER (ORDER BY c.d) AS iso_ppm
       FROM cells c JOIN mins m ON m.d = c.d)
-    SELECT d AS discount_pct, n AS n_rows, raw_ppm AS raw_return_ppm,
-           iso_ppm AS iso_return_ppm,
+    SELECT d AS discount_pct, n AS n_rows,
+           CAST(raw_ppm AS BIGINT) AS raw_return_ppm,
+           CAST(iso_ppm AS BIGINT) AS iso_return_ppm,
            CAST(CASE WHEN raw_ppm >= iso_ppm THEN raw_ppm - iso_ppm
                 ELSE iso_ppm - raw_ppm END AS BIGINT) AS adjustment_ppm
     FROM fit ORDER BY d

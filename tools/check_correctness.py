@@ -65,6 +65,24 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = canon(spark_pdf), canon(duck_pdf)
     for c in s.columns:
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        # Dtype parity: the driver hashes each side's materialized pandas
+        # values, so an integer column on one side vs float64 on the other
+        # (DuckDB HUGEINT -> float64 is the trigger; q12_latency_priority,
+        # CORRECTNESS_r09) hash-fails even when every value is numerically
+        # identical. Fail here too, so the local gate is no weaker than
+        # the driver's hash (VERDICT r9 item 3).
+        s_int = np.issubdtype(sv.dtype, np.integer)
+        d_int = np.issubdtype(dv.dtype, np.integer)
+        if s_int != d_int and (
+            np.issubdtype(sv.dtype, np.floating)
+            or np.issubdtype(dv.dtype, np.floating)
+        ):
+            problems.append(
+                f"col {c}: dtype parity: spark={sv.dtype} duckdb={dv.dtype} "
+                "(int-vs-float split hash-fails on the driver even when "
+                "values are equal — CAST the oracle to BIGINT)"
+            )
+            continue
         if np.issubdtype(sv.dtype, np.floating) and np.issubdtype(dv.dtype, np.floating):
             both_nan = np.isnan(sv.astype(float)) & np.isnan(dv.astype(float))
             eq = (sv == dv) | both_nan
