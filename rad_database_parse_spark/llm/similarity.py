@@ -45,6 +45,25 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _norm_checked(a: Column, ctx: str) -> Column:
+    """_norm that raises on a zero-norm vector instead of yielding a norm
+    that turns every downstream cosine into NaN. Shared precondition for
+    the HOF and blocked IVF paths (ADVICE r9): before r10 the blocked
+    kernel raised while the HOF path silently kept NaN rows (ranked first
+    by Spark's window) — now both paths fail identically, at the one place
+    every corpus/query/centroid vector flows through (ivf_assign)."""
+    n = _norm(a)
+    return F.when(
+        n == F.lit(0.0),
+        F.raise_error(
+            F.lit(
+                f"{ctx}: zero-norm embedding — cosine is undefined; "
+                "filter or impute zero vectors upstream"
+            )
+        ).cast("double"),
+    ).otherwise(n)
+
+
 def brute_force_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -160,12 +179,12 @@ def ivf_assign(
     (id, cent_id) pairs."""
     c = centroids.select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
-    ).withColumn("cent_n", _norm(F.col("cent_v")))
+    ).withColumn("cent_n", _norm_checked(F.col("cent_v"), "ivf_assign(centroid)"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("cent_sim").desc(), F.col("cent_id").asc()
     )
     return (
-        df.withColumn("vn", _norm(F.col(vec_col)))
+        df.withColumn("vn", _norm_checked(F.col(vec_col), "ivf_assign"))
         .crossJoin(F.broadcast(c))
         .withColumn(
             "cent_sim",
@@ -280,14 +299,15 @@ def ivf_cosine_topk_blocked(
     path, so the oracle contract is unchanged. Measured (r8, sf0.1 kNN
     graph, 12.5M pairs): see SCALE.md.
 
-    PRECONDITION (ADVICE r8): all vectors must have non-zero norm. A
-    zero-norm vector yields sim = NaN, and the two paths then DIVERGE —
-    the HOF path keeps NaN rows and Spark's window ordering ranks NaN
-    above every double, while this kernel's ``NaN >= kth - margin``
-    comparison is False (silent prune; a NaN kth would prune the whole
-    list). Rather than silently emit either behavior, the kernel raises
-    on a zero-norm input; callers with unnormalized corpora must filter
-    or impute upstream."""
+    PRECONDITION (ADVICE r8/r9): all vectors must have non-zero norm. A
+    zero-norm vector yields sim = NaN, and before r10 the two paths
+    DIVERGED — the HOF path kept NaN rows (Spark's window ranks NaN above
+    every double) while this kernel's ``NaN >= kth - margin`` comparison
+    is False (silent prune). Since r10 the precondition is enforced ONCE
+    in ivf_assign (``_norm_checked``), which every corpus, query, and
+    centroid vector flows through on BOTH paths — HOF and blocked now
+    raise identically. The in-kernel raise below stays as defense in
+    depth for direct callers that bypass ivf_assign."""
     import pandas as pd
 
     inv = ivf_assign(corpus, centroids, 1, id_col, vec_col, round_digits)

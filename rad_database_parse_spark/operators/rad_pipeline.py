@@ -97,14 +97,19 @@ def reference_rad_rows(
         raise ValueError(f"unknown validity regime: {validity!r}")
     while len(_live_cells) >= 2:
         stale = _live_cells.pop(0)
+        # The module-level FIFO can hold a DataFrame from a STOPPED
+        # SparkSession (test suites spin up several sessions per process)
+        # and unpersist on a dead context raises instead of no-opping
+        # (ADVICE r8). Probe liveness explicitly so ONLY the dead-session
+        # case is skipped — any other unpersist failure is a genuine
+        # cache-management bug and must propagate (ADVICE r9).
         try:
-            stale.unpersist(blocking=False)
+            jsc = stale.sparkSession.sparkContext._jsc
+            alive = jsc is not None and not jsc.sc().isStopped()
         except Exception:
-            # eviction is best-effort: the module-level FIFO can hold a
-            # DataFrame from a STOPPED SparkSession (test suites spin up
-            # several sessions per process), and unpersist on a dead
-            # context raises instead of no-opping (ADVICE r8)
-            pass
+            alive = False
+        if alive:
+            stale.unpersist(blocking=False)
     cells = extract_pdf_cells(binary_files).persist()
     _live_cells.append(cells)
 

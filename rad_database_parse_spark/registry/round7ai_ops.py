@@ -22,7 +22,22 @@ from ._util import dec, t
 
 _KNN_QUERY_MOD = 10  # deterministic 10% query sample
 _KNN_SCALE = 1000
-_KNN_NB = 16  # corpus blocks for the exact blocked kernel (r9)
+_KNN_NB_MIN = 16  # block-count floor for the exact blocked kernel (r9)
+# Per-block dense sims matrix is n_q x (n/nb) float64; cap its cell count
+# so block count grows with the corpus instead of the matrix (ADVICE r9:
+# a fixed 16 caps parallelism AND lets the per-block matrix grow
+# quadratically). 8M cells = 64 MB per block at float64.
+_KNN_MAX_BLOCK_CELLS = 8_000_000
+
+
+def _knn_block_count(n_rows: int) -> int:
+    """ceil(n_q * n / max_cells), floored at _KNN_NB_MIN and capped at
+    n_rows — the output is invariant to the block count (the kernel's
+    1.0-micro emission is a provable argmax superset for ANY blocking),
+    so this only sizes parallelism and per-block memory."""
+    n_q = max(1, n_rows // _KNN_QUERY_MOD)
+    need = math.ceil((n_q * max(1, n_rows)) / _KNN_MAX_BLOCK_CELLS)
+    return max(_KNN_NB_MIN, min(need, max(1, n_rows)))
 
 
 @register(
@@ -80,8 +95,10 @@ def emb_knn_loo_accuracy(spark: SparkSession, sf_dir: str):
 
     r9 blocked kernel (the ivf_cosine_topk_blocked recipe,
     llm/similarity.py): the interpreted zip_with/aggregate fold was
-    the wall, so the corpus splits into {_KNN_NB} blocks
-    (vec_id % {_KNN_NB}), queries replicate to every block, and one
+    the wall, so the corpus splits into nb blocks (vec_id % nb, where
+    nb = max({_KNN_NB_MIN}, ceil(n_q*n / {_KNN_MAX_BLOCK_CELLS})) sizes
+    the per-block dense sims matrix to ≤64 MB — block count scales with
+    the corpus, r10), queries replicate to every block, and one
     applyInPandas pass per block computes the EXACT int64 matmul
     (|qa| ≲ 3e3 at 64 dims ⇒ |dot| ≲ 6e8, no overflow) and the
     identical IEEE expression (1e6·dot)/(√nn_a·√nn_b). Selection
@@ -115,17 +132,21 @@ def emb_knn_loo_accuracy(spark: SparkSession, sf_dir: str):
             " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS nn"
         ),
     ).persist()
+    # Bounded-grain count: materializes the persisted nq cache (reused by
+    # corpus/queries/label lookups below) and sizes the block count so the
+    # per-block dense matrix stays ≤64 MB at any corpus size.
+    nb = _knn_block_count(nq.count())
     corpus_t = nq.select(
         F.lit(0).alias("role"),
         F.col("vec_id").alias("rid"),
         "qa",
         "nn",
-        (F.col("vec_id") % _KNN_NB).alias("blk"),
+        (F.col("vec_id") % nb).alias("blk"),
     )
     queries_t = (
         nq.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
         .withColumn(
-            "blk", F.explode(F.array(*[F.lit(i) for i in range(_KNN_NB)]))
+            "blk", F.explode(F.array(*[F.lit(i) for i in range(nb)]))
         )
         .select(
             F.lit(1).alias("role"),

@@ -589,8 +589,16 @@ def graph_ppr_seed_part(spark: SparkSession, sf_dir: str):
     from .round6b_ops import _copurchase_labels
 
     _edges, und, _r2 = _copurchase_labels(spark, sf_dir)
+    # Partition sizing reuses the pagerank formula (llm/cluster.py:167,
+    # ADVICE r9 — a literal 32 over-shatters small machines and
+    # under-partitions at scale): ~1M undirected edges per partition,
+    # floored at min(32, defaultParallelism). und reads the persisted
+    # edge cache, so the count is a cache scan, not a recompute.
+    n_und = und.count()
+    par = spark.sparkContext.defaultParallelism
+    nparts = max(min(32, par), -(-n_und // 1_000_000))
     ed = (
-        und.repartition(32, "u")
+        und.repartition(nparts, "u")
         .withColumn(
             "d", F.count("*").over(Window.partitionBy("u")).cast("bigint")
         )

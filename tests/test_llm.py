@@ -158,3 +158,33 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     # cap=1 drops every shared shingle -> no candidate pairs at all
     capped = ngram_jaccard_pairs(docs, "text", "doc_id", max_shingle_df=1)
     assert capped.count() == 0
+
+
+def test_ivf_zero_norm_raises_on_both_paths(spark):
+    # ADVICE r9: the HOF path silently kept NaN rows for zero-norm
+    # vectors while the blocked kernel raised. Both now enforce the same
+    # precondition in ivf_assign (_norm_checked) and fail identically.
+    import pytest
+
+    from rad_database_parse_spark.llm.similarity import (
+        ivf_cosine_topk,
+        ivf_cosine_topk_blocked,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    for fn in (ivf_cosine_topk, ivf_cosine_topk_blocked):
+        with pytest.raises(Exception, match="zero-norm"):
+            fn(vecs, vecs, cents, k=1, nprobe=1).collect()
+    # and a zero-norm CENTROID raises too, on clean vectors
+    ok = vecs.filter(F.col("vec_id") != 2)
+    bad_cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        ivf_cosine_topk(ok, ok, bad_cents, k=1, nprobe=1).collect()
