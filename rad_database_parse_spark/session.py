@@ -52,6 +52,17 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Janino generated-class cache (default 100 entries). A long
+        # session running many distinct plans (the bench battery, the
+        # 570-query gate, any multi-query job) evicts earlier fragments,
+        # and big-plan queries then RECOMPILE every execution — measured
+        # r10: docs_minhash_lsh (12-join plan) reads 5.1-5.4s in a fresh
+        # session but 6.9-7.5s after 21 bench predecessors with the
+        # default cache; at 1000 entries the same polluted-session run
+        # returns to 5.07-5.19s. Cost is bounded driver memory for cached
+        # class objects; on a cluster the same thrash would hit every
+        # executor-side codegen consumer, so the setting travels.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
