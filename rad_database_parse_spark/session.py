@@ -63,6 +63,16 @@ def get_session(
         # class objects; on a cluster the same thrash would hit every
         # executor-side codegen consumer, so the setting travels.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # The larger codegen cache pins more generated classes' JIT'd
+        # code; JDK17's default 240 MB ReservedCodeCacheSize can then
+        # fill over a many-hundred-plan session, disabling further JIT
+        # compilation (everything after runs interpreted). 512 MB keeps
+        # the battery fully compiled; applies at driver-JVM launch, a
+        # no-op when the JVM already exists (getActiveSession reuse).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
