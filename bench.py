@@ -36,7 +36,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rad_database_parse_spark.registry import all_queries  # noqa: E402
-from rad_database_parse_spark.session import get_session  # noqa: E402
+from rad_database_parse_spark.session import clear_caches, get_session  # noqa: E402
 
 HEADLINE = [
     # relational core: scan -> pushdown -> broadcast joins -> agg -> top-k
@@ -746,7 +746,7 @@ def main() -> int:
     registry["docs_minhash_lsh"].fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
-    spark.catalog.clearCache()
+    clear_caches(spark)
 
     def run(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -758,9 +758,11 @@ def main() -> int:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None else min(best, elapsed)
-                # drop persisted intermediates AND force a full JVM GC
-                # (outside the timed window) so no run inherits heap debt
-                spark.catalog.clearCache()
+                # drop persisted intermediates (catalog caches AND
+                # RDD-level localCheckpoint blocks — ADVICE r10) and
+                # force a full JVM GC (outside the timed window) so no
+                # run inherits heap debt
+                clear_caches(spark)
                 spark._jvm.System.gc()
             timings[name] = round(best, 3)
         return timings
@@ -777,18 +779,72 @@ def main() -> int:
     # this VM, <±3% run spread measured) so the CPU term dominates.
     # calib_sec values from rounds ≤7 are in DIFFERENT units — only
     # compare headline_per_calib from r8 onward.
-    calib_runs = []
     _chain8 = "xxhash64(" * 8 + "id" + ")" * 8
-    for _ in range(5):
+
+    def calib_cpu_once() -> float:
         t0 = time.perf_counter()
         spark.range(1 << 30).selectExpr(
             f"sum({_chain8} % 1000000) AS s"  # bounded: no ANSI long overflow
-        ).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        calib_runs.append(time.perf_counter() - t0)
+        ).write.format("noop").mode("overwrite").save()
         spark._jvm.System.gc()
-    calib = sorted(calib_runs)[2]  # median-of-5
+        return time.perf_counter() - t0
+
+    # SECOND calibration (VERDICT r10 item 2a): a fixed data-independent
+    # memory/shuffle-bound job. The xxhash chain above is pure CPU and
+    # cannot see memory-bandwidth/GC/shuffle drift — exactly the axis the
+    # r10 driver battery blowup (+35% at flat CPU calib) lives on. This
+    # job shuffles ~560 MB (2^23 rows x ~70-byte string payload) through
+    # one exchange into a 1M-group aggregate; measured spread on this VM
+    # <±5% after one warm-up run. Reported pre-battery AND post-battery
+    # (median-of-5 / median-of-3): a post/pre rise at flat CPU calib is
+    # the session/VM degrading on the memory axis over the battery.
+    def calib_mem_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(1 << 23)
+            .selectExpr(
+                "id",
+                "(id * 2654435761) % 1048576 AS k",
+                "repeat('x', CAST(64 + id % 7 AS INT)) AS payload",
+            )
+            .repartition(64, "k")
+            .groupBy("k")
+            .agg({"payload": "max", "id": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        spark._jvm.System.gc()
+        return time.perf_counter() - t0
+
+    def median_of(fn, n: int) -> float:
+        runs = sorted(fn() for _ in range(n))
+        return runs[n // 2]
+
+    calib = median_of(calib_cpu_once, 5)
+    calib_mem_once()  # throwaway: first run carries codegen/JIT warm-up
+    calib_mem = median_of(calib_mem_once, 5)
+
+    def jvm_stats() -> dict[str, int]:
+        """Driver-JVM GC totals + code-cache/heap usage (VERDICT r10
+        item 2a): carried in the summary so a driver-side round can be
+        classified as VM drift vs JIT/GC pressure without local re-runs."""
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        gc_ms = gc_n = 0
+        for b in mf.getGarbageCollectorMXBeans():
+            gc_ms += max(0, b.getCollectionTime())
+            gc_n += max(0, b.getCollectionCount())
+        code_used = 0
+        for p in mf.getMemoryPoolMXBeans():
+            if "CodeHeap" in p.getName() or "Code Cache" in p.getName():
+                code_used += p.getUsage().getUsed()
+        heap_used = mf.getMemoryMXBean().getHeapMemoryUsage().getUsed()
+        return {
+            "gc_ms": int(gc_ms),
+            "gc_n": int(gc_n),
+            "codecache_mb": int(code_used / (1024 * 1024)),
+            "heap_mb": int(heap_used / (1024 * 1024)),
+        }
 
     timings = run(HEADLINE)
     total = round(sum(timings.values()), 3)
@@ -887,6 +943,11 @@ def main() -> int:
         **extended_r7ab,
         **extended_r8,
     }
+    # post-battery calibration re-measures + JVM stats — the
+    # driver-visible discriminator for battery-end degradation
+    calib_post = median_of(calib_cpu_once, 3)
+    calib_mem_post = median_of(calib_mem_once, 3)
+    stats_post = jvm_stats()
     summary = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -942,6 +1003,16 @@ def main() -> int:
         # the cross-VM-comparable headline (lower is better); see the
         # calibration comment — comparable from round 8 onward only
         "headline_per_calib": round(total / calib, 2),
+        # memory/shuffle-bound calibration + post-battery re-measures +
+        # JVM GC/code-cache totals (VERDICT r10 item 2a): calib_post ≈
+        # calib_sec and calib_mem_post ≈ calib_mem_sec on a healthy
+        # session; a post-only rise means the battery degraded the JVM
+        # (GC/JIT pressure), a pre+post rise at flat headline means the
+        # VM itself is slower on that axis.
+        "calib_mem_sec": round(calib_mem, 3),
+        "calib_post": round(calib_post, 3),
+        "calib_mem_post": round(calib_mem_post, 3),
+        **stats_post,
         "sf": sf,
     }
     # Full per-query map FIRST (for humans / local archives), compact

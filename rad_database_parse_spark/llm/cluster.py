@@ -150,10 +150,15 @@ def pagerank_fixed_point(
     # persists stay LAZY — the caller's single action populates them
     # in-flight and every iteration branch reads the same
     # InMemoryRelation within that execution. The hint only sizes
-    # partitions; an over-estimate over-partitions and AQE coalesces the
-    # small shuffle partitions back at runtime, while rank values are
-    # exact integers under ANY partitioning. Without a hint the eager r9
-    # behavior is unchanged.
+    # partitions, and rank values are exact integers under ANY
+    # partitioning — but note (ADVICE r10): repartition(nparts, col) is
+    # REPARTITION_BY_NUM, which AQE does NOT coalesce, so an
+    # over-estimated hint over-shatters every iteration's shuffle.
+    # Callers with a loose upper bound should pay one exact-count job
+    # once the bound-derived nparts exceeds a few multiples of the
+    # session parallelism (see registry/pipeline_ops.py's
+    # graph_pagerank_fixedpoint). Without a hint the eager r9 behavior
+    # is unchanged.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if n_edges_hint is None:
         e = e.persist(StorageLevel.MEMORY_AND_DISK)

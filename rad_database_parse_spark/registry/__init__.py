@@ -804,25 +804,21 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ao_ops  # noqa: F401
     from . import round7ap_ops  # noqa: F401
 
-    # Round-10 rotation: CORRECTNESS_r09.json landed 49/50 green; the one
-    # hash-fail (q12_latency_priority) was an oracle dtype artifact (DuckDB
-    # HUGEINT -> pandas float64 vs Spark int64 — values identical), fixed
-    # by CAST(... AS BIGINT) in round7_ops.py. Per the standing
-    # error-re-check rule (VERDICT r9 item 1) q12 re-pins FIRST, followed
-    # by the 4 displaced _WINDOW_R9 tail queries (never driver-checked),
-    # then _WINDOW_R10 (its own tail of 5 displaces into r11 by the same
-    # overflow rule). R11..R13 queue behind; the already-green windows
-    # trail so any driver overflow re-confirms green queries rather than
-    # starving the backlog.
+    # Round-11 rotation: CORRECTNESS_r10.json landed fully green (50/50
+    # rows+schema+hash on _REPIN_R10 + _WINDOW_R9[46:] + _WINDOW_R10[:45])
+    # — no errors to re-pin. The 5 displaced _WINDOW_R10 tail queries
+    # (never driver-checked) lead, then _WINDOW_R11 (its own tail of 5
+    # displaces into r12 by the same overflow rule). R12..R13 queue
+    # behind; the already-green windows trail so any driver overflow
+    # re-confirms green queries rather than starving the backlog.
     seen: set[str] = set()
     window_order = [
         n
-        for n in _REPIN_R10
-        + _WINDOW_R9[46:]
-        + _WINDOW_R10
+        for n in _WINDOW_R10[45:]
         + _WINDOW_R11
         + _WINDOW_R12
         + _WINDOW_R13
+        + _WINDOW_R10
         + _WINDOW_R9
         + _WINDOW_R8
         + _WINDOW_R7

@@ -854,18 +854,34 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str):
     # every run pay the iterate's eager setup (raw-edge persist + 3 count
     # jobs). The partition-sizing edge count only needs an UPPER BOUND:
     # every lineitem row yields at most one (cust, supp) pair, so
-    # 2*|lineitem| >= |edges|; the bound is one narrow parquet-scan job,
-    # the raw edge relation is then consumed exactly once, and the
-    # edges_deg/sources_zero persists populate lazily inside the caller's
-    # single action. Over-partitioning from the bound is coalesced back
-    # by AQE; ranks are exact integers under any partitioning.
+    # 2*|lineitem| >= |edges|; the bound is one narrow parquet-scan job
+    # and the raw edge relation is then consumed exactly once, with the
+    # edges_deg/sources_zero persists populating lazily inside the
+    # caller's single action. CAVEAT (ADVICE r10): the iterate's
+    # repartition(nparts, col) is REPARTITION_BY_NUM, which AQE does NOT
+    # coalesce — a loose bound genuinely over-shatters every iteration's
+    # shuffle. The bound is therefore only used while it stays harmless
+    # (nparts within a few multiples of the session's parallelism, true
+    # at bench SFs where nparts floors at 32 anyway); past that, one
+    # distinct-count job over the persisted pair relation buys the exact
+    # size — amortized over the 8 iterations it saves, the right trade
+    # at 100 TB. Ranks are exact integers under any partitioning.
     n_edges_bound = 2 * li.count()
+    par = spark.sparkContext.defaultParallelism
+    if -(-n_edges_bound // 1_000_000) > 4 * par:
+        # persist: single cache backing both the count here and the edge
+        # union above (the CacheManager matches `edges`' two branches to
+        # this plan); released by the gate/bench clearCache (class 1)
+        pairs.persist()
+        n_edges_hint = 2 * pairs.count()
+    else:
+        n_edges_hint = n_edges_bound
     return pagerank_fixed_point(
         edges,
         iters=PR_ITERS,
         scale=PR_SCALE,
         base=PR_BASE,
-        n_edges_hint=n_edges_bound,
+        n_edges_hint=n_edges_hint,
     )
 
 

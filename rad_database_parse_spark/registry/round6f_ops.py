@@ -180,76 +180,87 @@ def orders_column_profile(spark: SparkSession, sf_dir: str):
     ANALYZE TABLE / data-catalog statistics shape: per column the row
     count, null count, exact distinct count, and min/max rendered as
     strings so heterogeneous column types share one report schema.
-    Every statistic for every column computes in a SINGLE pass (one
-    wide aggregate — the profiler never scans per-column), then a
-    6-way literal unpivot reshapes the one stats row into the report.
-    Money distincts count on exact integer cents; dates render
-    ISO-formatted. At 100 TB the exact distincts are the cost —
-    the documented swap is approx_count_distinct per column (HLL,
-    mergeable), same single-scan shape."""
+    Plan shape (re-planned round 11, VERDICT r10 item 2): the obvious
+    single wide aggregate with six countDistinct triggers Catalyst's
+    RewriteDistinctAggregates, whose Expand replicates EVERY scanned
+    row x7 before the partial aggregate — the scale-killer the r10
+    driver bench surfaced (7.85s, #2 slowest). Instead this builds SIX
+    per-column single-distinct aggregates and unions the one-row
+    results: each leg's parquet scan is column-pruned to exactly its
+    own column (total column IO identical to one wide scan), and a
+    single-distinct aggregate gets the no-Expand two-stage dedup
+    rewrite. One job, six scan legs, zero row replication. Money
+    distincts count on exact integer cents; dates render ISO-formatted.
+    At 100 TB the exact distincts are still the cost — the documented
+    swap is approx_count_distinct per column (HLL, mergeable), same
+    shape."""
     o = t(spark, sf_dir, "orders")
-    s = o.agg(
-        F.count("*").alias("n"),
-        F.count("o_orderkey").alias("nn_orderkey"),
-        F.countDistinct("o_orderkey").alias("nd_orderkey"),
-        F.min("o_orderkey").cast("string").alias("mn_orderkey"),
-        F.max("o_orderkey").cast("string").alias("mx_orderkey"),
-        F.count("o_custkey").alias("nn_custkey"),
-        F.countDistinct("o_custkey").alias("nd_custkey"),
-        F.min("o_custkey").cast("string").alias("mn_custkey"),
-        F.max("o_custkey").cast("string").alias("mx_custkey"),
-        F.count("o_orderstatus").alias("nn_status"),
-        F.countDistinct("o_orderstatus").alias("nd_status"),
-        F.min("o_orderstatus").alias("mn_status"),
-        F.max("o_orderstatus").alias("mx_status"),
-        F.count("o_totalprice").alias("nn_totalprice"),
-        F.countDistinct(
-            (dec("o_totalprice") * 100).cast("bigint")
-        ).alias("nd_totalprice"),
-        F.min(dec("o_totalprice")).cast("string").alias("mn_totalprice"),
-        F.max(dec("o_totalprice")).cast("string").alias("mx_totalprice"),
-        F.count("o_orderdate").alias("nn_orderdate"),
-        F.countDistinct("o_orderdate").alias("nd_orderdate"),
-        F.min(F.col("o_orderdate").cast("date"))
-        .cast("string")
-        .alias("mn_orderdate"),
-        F.max(F.col("o_orderdate").cast("date"))
-        .cast("string")
-        .alias("mx_orderdate"),
-        F.count("o_orderpriority").alias("nn_priority"),
-        F.countDistinct("o_orderpriority").alias("nd_priority"),
-        F.min("o_orderpriority").alias("mn_priority"),
-        F.max("o_orderpriority").alias("mx_priority"),
-    )
-    cols = [
-        ("o_orderkey", "orderkey"),
-        ("o_custkey", "custkey"),
-        ("o_orderstatus", "status"),
-        ("o_totalprice", "totalprice"),
-        ("o_orderdate", "orderdate"),
-        ("o_orderpriority", "priority"),
+    # (column_name, distinct_expr, min_expr, max_expr); column_name is
+    # also the non-null count target
+    legs = [
+        (
+            "o_orderkey",
+            F.col("o_orderkey"),
+            F.min("o_orderkey").cast("string"),
+            F.max("o_orderkey").cast("string"),
+        ),
+        (
+            "o_custkey",
+            F.col("o_custkey"),
+            F.min("o_custkey").cast("string"),
+            F.max("o_custkey").cast("string"),
+        ),
+        (
+            "o_orderstatus",
+            F.col("o_orderstatus"),
+            F.min("o_orderstatus"),
+            F.max("o_orderstatus"),
+        ),
+        (
+            "o_totalprice",
+            (dec("o_totalprice") * 100).cast("bigint"),
+            F.min(dec("o_totalprice")).cast("string"),
+            F.max(dec("o_totalprice")).cast("string"),
+        ),
+        (
+            "o_orderdate",
+            F.col("o_orderdate"),
+            F.min(F.col("o_orderdate").cast("date")).cast("string"),
+            F.max(F.col("o_orderdate").cast("date")).cast("string"),
+        ),
+        (
+            "o_orderpriority",
+            F.col("o_orderpriority"),
+            F.min("o_orderpriority"),
+            F.max("o_orderpriority"),
+        ),
     ]
-    stack_expr = ", ".join(
-        f"'{name}', nn_{suffix}, nd_{suffix}, mn_{suffix}, mx_{suffix}"
-        for name, suffix in cols
-    )
-    return (
-        s.select(
-            "n",
-            F.expr(
-                f"stack({len(cols)}, {stack_expr}) AS (col, nn, nd, mn, mx)"
-            ),
+    parts = []
+    for name, nd_expr, mn_expr, mx_expr in legs:
+        parts.append(
+            o.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                (F.count("*") - F.count(name))
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.countDistinct(nd_expr)
+                .cast("bigint")
+                .alias("n_distinct"),
+                mn_expr.alias("min_value"),
+                mx_expr.alias("max_value"),
+            ).select(
+                F.lit(name).alias("col"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
         )
-        .select(
-            "col",
-            F.col("n").cast("bigint").alias("n_rows"),
-            (F.col("n") - F.col("nn")).cast("bigint").alias("n_nulls"),
-            F.col("nd").cast("bigint").alias("n_distinct"),
-            F.col("mn").alias("min_value"),
-            F.col("mx").alias("max_value"),
-        )
-        .orderBy("col")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")
 
 
 # ------------------------------------------------------------------
@@ -685,46 +696,58 @@ def emb_farthest_first_centers(spark: SparkSession, sf_dir: str):
     each step broadcasts the ≤{_FF_K} chosen vectors as literals and
     takes ONE TakeOrdered(1) over a scan-local min-distance column —
     k bounded passes over the corpus, the textbook distributed shape
-    for this algorithm (SCALE.md)."""
+    for this algorithm (SCALE.md). The projected corpus (vec_id +
+    64-double vector) is persisted across the greedy rounds (round-11
+    re-plan, VERDICT r10 item 3): without it each of the k sequential
+    TakeOrdered jobs re-reads and re-transforms the parquet source —
+    k-1 redundant scans. At 100 TB the same projection would be
+    persisted to MEMORY_AND_DISK or checkpointed once and reused by
+    every round."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
             "v"
         ),
     )
-    first = e.orderBy("vec_id").limit(1).collect()[0]  # bounded: limit 1
-    centers = [(1, int(first.vec_id), None, list(first.v))]
-    for step in range(2, _FF_K + 1):
-        chosen_ids = [c[1] for c in centers]
-        d_exprs = []
-        for _, _, _, vec in centers:
-            arr = F.array(*[F.lit(float(x)) for x in vec])
-            d_exprs.append(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        arr,
-                        lambda x, y: F.round(
-                            (x - y) * (x - y) * 1000
-                        ).cast("bigint"),
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
+    # persist: bounded — vec_id + 64-double vector per row, released in
+    # the finally below after the greedy rounds collect their centers
+    e = e.persist()
+    try:
+        first = e.orderBy("vec_id").limit(1).collect()[0]  # bounded: limit 1
+        centers = [(1, int(first.vec_id), None, list(first.v))]
+        for step in range(2, _FF_K + 1):
+            chosen_ids = [c[1] for c in centers]
+            d_exprs = []
+            for _, _, _, vec in centers:
+                arr = F.array(*[F.lit(float(x)) for x in vec])
+                d_exprs.append(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            arr,
+                            lambda x, y: F.round(
+                                (x - y) * (x - y) * 1000
+                            ).cast("bigint"),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    )
                 )
+            mind = d_exprs[0]
+            for dx in d_exprs[1:]:
+                mind = F.least(mind, dx)
+            cand = (
+                e.filter(~F.col("vec_id").isin(chosen_ids))
+                .select("vec_id", "v", mind.alias("min_d"))
+                .orderBy(F.col("min_d").desc(), F.col("vec_id"))
+                .limit(1)
+                .collect()[0]  # bounded: limit 1 per greedy round
             )
-        mind = d_exprs[0]
-        for dx in d_exprs[1:]:
-            mind = F.least(mind, dx)
-        cand = (
-            e.filter(~F.col("vec_id").isin(chosen_ids))
-            .select("vec_id", "v", mind.alias("min_d"))
-            .orderBy(F.col("min_d").desc(), F.col("vec_id"))
-            .limit(1)
-            .collect()[0]  # bounded: limit 1 per greedy round
-        )
-        centers.append(
-            (step, int(cand.vec_id), int(cand.min_d), list(cand.v))
-        )
+            centers.append(
+                (step, int(cand.vec_id), int(cand.min_d), list(cand.v))
+            )
+    finally:
+        e.unpersist()
     return spark.createDataFrame(
         [(s, cid, sep) for s, cid, sep, _ in centers],
         "step int, center_id bigint, sep_milli bigint",

@@ -146,7 +146,12 @@ def emb_knn_loo_accuracy(spark: SparkSession, sf_dir: str):
     queries_t = (
         nq.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
         .withColumn(
-            "blk", F.explode(F.array(*[F.lit(i) for i in range(nb)]))
+            # sequence(), not a literal F.array of nb columns: nb scales
+            # with corpus size (ceil(n_q*n/8e6)), and a literal array
+            # would embed O(nb) expressions in the plan — driver-side
+            # plan bloat/codegen blowup at large n (ADVICE r10)
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))),
         )
         .select(
             F.lit(1).alias("role"),

@@ -553,9 +553,13 @@ def graph_bfs_landmark_distances(spark: SparkSession, sf_dir: str):
         # reuse), localCheckpoint 3.85s; histograms identical (exact
         # integer distances). State blocks are node-grain x 4 rounds
         # (bounded); the ContextCleaner frees each round's blocks when
-        # the reassigned `d` drops its reference. At 100 TB use reliable
-        # checkpoint() at the same cadence for executor-loss tolerance
-        # (same note as pagerank_fixed_point's ckpt_every).
+        # the reassigned `d` drops its reference, and the gate/bench
+        # hygiene sweep (session.clear_caches, ADVICE r10) explicitly
+        # unpersists any still-registered checkpoint RDDs between
+        # queries — catalog clearCache alone does NOT cover these
+        # RDD-level blocks. At 100 TB use reliable checkpoint() at the
+        # same cadence for executor-loss tolerance (same note as
+        # pagerank_fixed_point's ckpt_every).
         d = (
             d.unionByName(expand)
             .groupBy("node")

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rad_database_parse_spark.catalog.io import TESTDATA_TABLES  # noqa: E402
 from rad_database_parse_spark.registry import all_queries  # noqa: E402
-from rad_database_parse_spark.session import get_session  # noqa: E402
+from rad_database_parse_spark.session import clear_caches, get_session  # noqa: E402
 
 
 def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -73,14 +73,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         # the driver's hash (VERDICT r9 item 3).
         s_int = np.issubdtype(sv.dtype, np.integer)
         d_int = np.issubdtype(dv.dtype, np.integer)
+        # Flag float-vs-int AND object-vs-int (ADVICE r10: DuckDB HUGEINT
+        # can materialize as object dtype too, which the old float-only
+        # condition let through to the value comparison — where python
+        # int == numpy int silently passes while the driver's hash of
+        # the materialized values still fails).
         if s_int != d_int and (
             np.issubdtype(sv.dtype, np.floating)
             or np.issubdtype(dv.dtype, np.floating)
+            or sv.dtype == object
+            or dv.dtype == object
         ):
             problems.append(
                 f"col {c}: dtype parity: spark={sv.dtype} duckdb={dv.dtype} "
-                "(int-vs-float split hash-fails on the driver even when "
-                "values are equal — CAST the oracle to BIGINT)"
+                "(int-vs-float/object split hash-fails on the driver even "
+                "when values are equal — CAST the oracle to BIGINT)"
             )
             continue
         if np.issubdtype(sv.dtype, np.floating) and np.issubdtype(dv.dtype, np.floating):
@@ -127,8 +134,10 @@ def main() -> int:
             # drop persisted intermediates so cached partitions from ops
             # that persist() mid-plan don't accumulate across the
             # single-session 569-query run (ADVICE r6; bench.py already
-            # does the same between timed runs)
-            spark.catalog.clearCache()
+            # does the same between timed runs). clear_caches also sweeps
+            # RDD-level localCheckpoint blocks, which clearCache misses
+            # (ADVICE r10).
+            clear_caches(spark)
         if qd.oracle is None:
             ok = len(spark_pdf) >= 0
             print(f"WEAK {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s, no oracle)")
