@@ -72,44 +72,39 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Janino generated-class cache (default 100 entries). A long
-        # session running many distinct plans (the bench battery, the
-        # 570-query gate, any multi-query job) evicts earlier fragments,
-        # and big-plan queries then RECOMPILE every execution — measured
-        # r10: docs_minhash_lsh (12-join plan) reads 5.1-5.4s in a fresh
-        # session but 6.9-7.5s after 21 bench predecessors with the
-        # default cache; at 1000 entries the same polluted-session run
-        # returns to 5.07-5.19s. Cost is bounded driver memory for cached
-        # class objects; on a cluster the same thrash would hit every
-        # executor-side codegen consumer, so the setting travels.
-        # SPARK_GRAFT_STOCK_CODEGEN=1 reverts to stock defaults (cache
-        # 100, no code-cache flag) — the A/B knob for the r11
-        # battery-lifecycle config comparison (VERDICT r10 item 2c);
-        # never set by the driver, so the shipped config is the default.
+        # Codegen caching is STOCK (Janino cache 100 entries, default
+        # 240 MB code cache) — REVERTED in round 11 after the
+        # driver-lifecycle A/B the r10 verdict demanded (item 2c).
+        # History: r10 root-caused a real recompile thrash (minhash's
+        # 12-join plan reads 5.1-5.4s fresh but 6.9-7.5s after ~21
+        # predecessors evict its fragments under the 100-entry cache)
+        # and shipped maxEntries=1000 + -XX:ReservedCodeCacheSize=512m.
+        # The r11 interleaved FULL-battery A/B through bench.py
+        # subprocesses (tools/ab_r11_config.py, BENCH_AB_r11_*.json)
+        # reversed that at battery grain: headline tied (30.7 vs 30.3s
+        # min-of-2), but the full 460-query battery ran 553s shipped vs
+        # 462s stock (~17% faster stock), the losses concentrated in
+        # LATE families (r7j-r8 up to 2x) — the signature of JIT/GC
+        # pressure from 1000 retained generated classes, while the
+        # minhash recompile the big cache was bought for costs only
+        # 0.27s/run under stock. SPARK_GRAFT_BIG_CODEGEN_CACHE=1
+        # re-enables the r10 config for future A/Bs.
     )
-    stock_codegen = os.environ.get("SPARK_GRAFT_STOCK_CODEGEN") == "1"
-    if not stock_codegen:
+    big_cache = os.environ.get("SPARK_GRAFT_BIG_CODEGEN_CACHE") == "1"
+    if big_cache:
         builder = builder.config("spark.sql.codegen.cache.maxEntries", "1000")
-    # The larger codegen cache pins more generated classes' JIT'd
-    # code; JDK17's default 240 MB ReservedCodeCacheSize can then
-    # fill over a many-hundred-plan session, disabling further JIT
-    # compilation (everything after runs interpreted). 512 MB keeps
-    # the battery fully compiled; applies at driver-JVM launch, a
-    # no-op when the JVM already exists (getActiveSession reuse).
-    # MERGED, not overwritten (ADVICE r10): externally configured
-    # driver JVM options (env / spark-defaults / extra_conf) are
-    # appended-to rather than clobbered, and an extra_conf that sets
-    # its own extraJavaOptions still gets the code-cache flag unless
-    # it carries an explicit ReservedCodeCacheSize of its own.
-    if stock_codegen:
+        # the 1000-entry cache pins enough JIT'd code to exhaust JDK17's
+        # default 240 MB ReservedCodeCacheSize mid-battery (JIT then
+        # disables); 512m keeps it compiled. MERGED with external driver
+        # JVM options, never clobbering them (ADVICE r10).
+        caller_opts, merged = _merge_driver_java_options(
+            extra_conf, os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", "")
+        )
+    else:
         merged = dict(extra_conf or {})
         caller_opts = merged.pop(
             _JVM_OPTS_KEY,
             os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", ""),
-        )
-    else:
-        caller_opts, merged = _merge_driver_java_options(
-            extra_conf, os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", "")
         )
     if caller_opts:
         builder = builder.config(_JVM_OPTS_KEY, caller_opts)
