@@ -108,20 +108,29 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str):
         .join(skb, "h", "left_semi")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    exact = tagged.agg(
-        F.countDistinct(
-            F.when(F.col("tag") == "view", F.col("user_id"))
-        ).alias("a_exact"),
-        F.countDistinct(
-            F.when(F.col("tag") == "purchase", F.col("user_id"))
-        ).alias("b_exact"),
-        F.countDistinct("user_id").alias("union_exact"),
+    # Exact ground truth in ONE user-keyed pass (re-planned r11, same
+    # lesson as orders_column_profile): three countDistinct over three
+    # different expressions in one aggregate would trigger Catalyst's
+    # RewriteDistinctAggregates x4 Expand, and the old intersection
+    # branch re-aggregated tagged separately. tagged is already distinct
+    # on (tag, user_id), so per-user membership flags make every exact
+    # count a plain sum: one exchange on user_id, zero row replication,
+    # and the inter branch folds into the same aggregate.
+    per_user = tagged.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("tag") == "view", 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("tag") == "purchase", 1).otherwise(0)
+        ).alias("in_b"),
     )
-    inter = (
-        tagged.groupBy("user_id")
-        .agg(F.countDistinct("tag").alias("nt"))
-        .filter(F.col("nt") == 2)
-        .agg(F.count("*").cast("bigint").alias("inter_exact"))
+    exact = per_user.agg(
+        F.sum("in_a").cast("bigint").alias("a_exact"),
+        F.sum("in_b").cast("bigint").alias("b_exact"),
+        F.count("*").cast("bigint").alias("union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b"))
+        .cast("bigint")
+        .alias("inter_exact"),
     )
     est_union = F.expr(
         f"CAST((CAST(ku - 1 AS DECIMAL(38,0)) * {_MAXH}) div hk AS BIGINT)"
@@ -129,7 +138,6 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str):
     return (
         hk.crossJoin(both_cnt)
         .crossJoin(exact)
-        .crossJoin(inter)
         .select(
             F.lit(_KMV_K).cast("bigint").alias("k"),
             F.col("a_exact").cast("bigint"),

@@ -548,3 +548,39 @@ def test_pagerank_degree_window_adds_no_exchange(spark, sf_dir):
     plan = physical_plan(deg)
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan
+
+
+def test_multi_distinct_replans_are_expand_free(spark, sf_dir):
+    # r11 Expand sweep (SCALE.md "Re-plans recorded in round 11"): these
+    # three queries were re-planned to avoid RewriteDistinctAggregates'
+    # row-replicating Expand (x7 / x4 / x3 on their inputs). If an edit
+    # reintroduces a multi-distinct aggregate, the Expand comes back and
+    # the scan volume multiplies at scale — fail loudly here.
+    from rad_database_parse_spark.plans import physical_plan
+    from rad_database_parse_spark.registry import all_queries
+
+    registry = all_queries()
+    for name in (
+        "orders_column_profile",
+        "sketch_kmv_set_ops",
+        "docs_normalization_collapse",
+    ):
+        plan = physical_plan(registry[name].fn(spark, sf_dir))
+        assert "Expand" not in plan, f"{name} regressed to an Expand plan"
+
+
+def test_column_profile_legs_prune_to_one_column_each(spark, sf_dir):
+    # each of the six union legs must scan exactly its own column — the
+    # whole point of the per-column split (one wide scan's IO, no x7)
+    import re
+
+    from rad_database_parse_spark.plans import physical_plan
+    from rad_database_parse_spark.registry import all_queries
+
+    plan = physical_plan(
+        all_queries()["orders_column_profile"].fn(spark, sf_dir)
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 6, plan
+    for s in schemas:
+        assert s.count(":") == 1, f"leg reads more than one column: {s}"
