@@ -4,10 +4,13 @@ Runs a representative spread of the registry (relational, window, events,
 ETL, LLM-pipeline ops) on local[$SPARK_GRAFT_CPUS] and prints TWO JSON
 lines: first the full result including the per-query map
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-then a compact summary (same fields, `slowest10` instead of `queries`) as
+then a compact summary (same fields, `slowest5` instead of `queries`) as
 the LAST line — the driver preserves only the final ~2000 bytes of stdout
 and parses the last line, so the headline `value` must live on a line that
-fits that tail.
+fits that tail. The summary also carries two machine calibrations (CPU
+xxhash chain + memory/shuffle-bound exchange), each re-measured
+post-battery, plus driver-JVM GC totals and code-cache usage — see the
+calibration comments in main().
 
 Each query is forced through the `noop` sink — full distributed execution,
 zero driver-side collection — so the timing reflects what a cluster would do,
