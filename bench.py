@@ -9,8 +9,12 @@ the LAST line — the driver preserves only the final ~2000 bytes of stdout
 and parses the last line, so the headline `value` must live on a line that
 fits that tail. The summary also carries two machine calibrations (CPU
 xxhash chain + memory/shuffle-bound exchange), each re-measured
-post-battery, plus driver-JVM GC totals and code-cache usage — see the
-calibration comments in main().
+post-battery, driver-JVM GC totals and code-cache usage (with the
+harness's own forced-GC time split out as `gc_forced_ms`), and `hq_cs` —
+the 28 headline per-query timings in centiseconds as a positional array
+in HEADLINE order, so a driver-side headline move is attributable to
+named queries from the BENCH file alone (VERDICT r11 item 1) — see the
+comments in main().
 
 Each query is forced through the `noop` sink — full distributed execution,
 zero driver-side collection — so the timing reflects what a cluster would do,
@@ -751,6 +755,28 @@ def main() -> int:
     ).mode("overwrite").save()
     clear_caches(spark)
 
+    def _gc_total_ms() -> int:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        return sum(
+            max(0, b.getCollectionTime()) for b in mf.getGarbageCollectorMXBeans()
+        )
+
+    # Forced-GC accounting (r12): the battery's between-run hygiene
+    # protocol calls System.gc() ~1100 times; those full collections land
+    # in the JVM's cumulative gc_ms but run OUTSIDE every timed window.
+    # r11's "GC is ~40% of battery wall" read compared total gc_ms to the
+    # sum of timed windows — double-counting the untimed hygiene gaps.
+    # This splits them: gc_forced_ms is the collection time attributable
+    # to explicit System.gc() calls (G1 full GC is synchronous, so a
+    # before/after delta around the call is exact); gc_ms − gc_forced_ms
+    # is the organic collection load concurrent with real work.
+    forced_acc = {"ms": 0}
+
+    def forced_gc() -> None:
+        before = _gc_total_ms()
+        spark._jvm.System.gc()
+        forced_acc["ms"] += _gc_total_ms() - before
+
     def run(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
@@ -766,7 +792,7 @@ def main() -> int:
                 # force a full JVM GC (outside the timed window) so no
                 # run inherits heap debt
                 clear_caches(spark)
-                spark._jvm.System.gc()
+                forced_gc()
             timings[name] = round(best, 3)
         return timings
 
@@ -781,7 +807,13 @@ def main() -> int:
     # The job is now an 8-deep xxhash64 chain over 2^30 rows (~2s on
     # this VM, <±3% run spread measured) so the CPU term dominates.
     # calib_sec values from rounds ≤7 are in DIFFERENT units — only
-    # compare headline_per_calib from r8 onward.
+    # compare headline_per_calib from r8 onward. UNIT ANOMALY in r11
+    # only (ADVICE r11): an r11 refactor accidentally timed the
+    # between-run System.gc() INSIDE the calibration window, inflating
+    # r11's calib_sec (and deflating its headline_per_calib) relative
+    # to every other round. Fixed here by capturing elapsed BEFORE the
+    # gc call — r12+ is back in r8-r10 units; treat r11's 2.27
+    # calib_sec / 14.0 hpc as not directly comparable.
     _chain8 = "xxhash64(" * 8 + "id" + ")" * 8
 
     def calib_cpu_once() -> float:
@@ -789,8 +821,9 @@ def main() -> int:
         spark.range(1 << 30).selectExpr(
             f"sum({_chain8} % 1000000) AS s"  # bounded: no ANSI long overflow
         ).write.format("noop").mode("overwrite").save()
-        spark._jvm.System.gc()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        forced_gc()  # heap hygiene between runs — NOT timed
+        return elapsed
 
     # SECOND calibration (VERDICT r10 item 2a): a fixed data-independent
     # memory/shuffle-bound job. The xxhash chain above is pure CPU and
@@ -817,8 +850,9 @@ def main() -> int:
             .mode("overwrite")
             .save()
         )
-        spark._jvm.System.gc()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        forced_gc()  # heap hygiene between runs — NOT timed
+        return elapsed
 
     def median_of(fn, n: int) -> float:
         runs = sorted(fn() for _ in range(n))
@@ -851,101 +885,64 @@ def main() -> int:
 
     timings = run(HEADLINE)
     total = round(sum(timings.values()), 3)
-    extended = run(EXTENDED)
-    extended_r3 = run(EXTENDED_R3)
-    extended_r5 = run(EXTENDED_R5)
-    extended_r5c = run(EXTENDED_R5C)
-    extended_r5d = run(EXTENDED_R5D)
-    extended_r6 = run(EXTENDED_R6)
-    extended_r6b = run(EXTENDED_R6B)
-    extended_r6c = run(EXTENDED_R6C)
-    extended_r6d = run(EXTENDED_R6D)
-    extended_r6e = run(EXTENDED_R6E)
-    extended_r6f = run(EXTENDED_R6F)
-    extended_r6g = run(EXTENDED_R6G)
-    extended_r6h = run(EXTENDED_R6H)
-    extended_r6i = run(EXTENDED_R6I)
-    extended_r6j = run(EXTENDED_R6J)
-    extended_r6k = run(EXTENDED_R6K)
-    extended_r6l = run(EXTENDED_R6L)
-    extended_r7 = run(EXTENDED_R7)
-    extended_r7b = run(EXTENDED_R7B)
-    extended_r7c = run(EXTENDED_R7C)
-    extended_r7d = run(EXTENDED_R7D)
-    extended_r7e = run(EXTENDED_R7E)
-    extended_r7f = run(EXTENDED_R7F)
-    extended_r7g = run(EXTENDED_R7G)
-    extended_r7h = run(EXTENDED_R7H)
-    extended_r7i = run(EXTENDED_R7I)
-    extended_r7j = run(EXTENDED_R7J)
-    extended_r7k = run(EXTENDED_R7K)
-    extended_r7l = run(EXTENDED_R7L)
-    extended_r7m = run(EXTENDED_R7M)
-    extended_r7n = run(EXTENDED_R7N)
-    extended_r7o = run(EXTENDED_R7O)
-    extended_r7p = run(EXTENDED_R7P)
-    extended_r7q = run(EXTENDED_R7Q)
-    extended_r7r = run(EXTENDED_R7R)
-    extended_r7s = run(EXTENDED_R7S)
-    extended_r7t = run(EXTENDED_R7T)
-    extended_r7u = run(EXTENDED_R7U)
-    extended_r7v = run(EXTENDED_R7V)
-    extended_r7w = run(EXTENDED_R7W)
-    extended_r7x = run(EXTENDED_R7X)
-    extended_r7y = run(EXTENDED_R7Y)
-    extended_r7z = run(EXTENDED_R7Z)
-    extended_r7aa = run(EXTENDED_R7AA)
-    extended_r7ab = run(EXTENDED_R7AB)
-    extended_r8 = run(EXTENDED_R8)
-    all_timings = {
-        **timings,
-        **extended,
-        **extended_r3,
-        **extended_r5,
-        **extended_r5c,
-        **extended_r5d,
-        **extended_r6,
-        **extended_r6b,
-        **extended_r6c,
-        **extended_r6d,
-        **extended_r6e,
-        **extended_r6f,
-        **extended_r6g,
-        **extended_r6h,
-        **extended_r6i,
-        **extended_r6j,
-        **extended_r6k,
-        **extended_r6l,
-        **extended_r7,
-        **extended_r7b,
-        **extended_r7c,
-        **extended_r7d,
-        **extended_r7e,
-        **extended_r7f,
-        **extended_r7g,
-        **extended_r7h,
-        **extended_r7i,
-        **extended_r7j,
-        **extended_r7k,
-        **extended_r7l,
-        **extended_r7m,
-        **extended_r7n,
-        **extended_r7o,
-        **extended_r7p,
-        **extended_r7q,
-        **extended_r7r,
-        **extended_r7s,
-        **extended_r7t,
-        **extended_r7u,
-        **extended_r7v,
-        **extended_r7w,
-        **extended_r7x,
-        **extended_r7y,
-        **extended_r7z,
-        **extended_r7aa,
-        **extended_r7ab,
-        **extended_r8,
-    }
+    # extended families, in registration order; summary carries one
+    # subtotal per family (1-decimal — the per-query map on the first
+    # output line keeps 3-decimal grain; the trim buys the final line
+    # ~90 bytes of tail-cap headroom for the hq map, VERDICT r11 item 1)
+    family_lists = [
+        ("value_extended", EXTENDED),
+        ("value_extended_r3", EXTENDED_R3),
+        ("value_extended_r5", EXTENDED_R5),
+        ("value_extended_r5c", EXTENDED_R5C),
+        ("value_extended_r5d", EXTENDED_R5D),
+        ("value_extended_r6", EXTENDED_R6),
+        ("value_extended_r6b", EXTENDED_R6B),
+        ("value_extended_r6c", EXTENDED_R6C),
+        ("value_extended_r6d", EXTENDED_R6D),
+        ("value_extended_r6e", EXTENDED_R6E),
+        ("value_extended_r6f", EXTENDED_R6F),
+        ("value_extended_r6g", EXTENDED_R6G),
+        ("value_extended_r6h", EXTENDED_R6H),
+        ("value_extended_r6i", EXTENDED_R6I),
+        ("value_extended_r6j", EXTENDED_R6J),
+        ("value_extended_r6k", EXTENDED_R6K),
+        ("value_extended_r6l", EXTENDED_R6L),
+        ("value_extended_r7", EXTENDED_R7),
+        ("value_extended_r7b", EXTENDED_R7B),
+        ("value_extended_r7c", EXTENDED_R7C),
+        ("value_extended_r7d", EXTENDED_R7D),
+        ("value_extended_r7e", EXTENDED_R7E),
+        ("value_extended_r7f", EXTENDED_R7F),
+        ("value_extended_r7g", EXTENDED_R7G),
+        ("value_extended_r7h", EXTENDED_R7H),
+        ("value_extended_r7i", EXTENDED_R7I),
+        ("value_extended_r7j", EXTENDED_R7J),
+        ("value_extended_r7k", EXTENDED_R7K),
+        ("value_extended_r7l", EXTENDED_R7L),
+        ("value_extended_r7m", EXTENDED_R7M),
+        ("value_extended_r7n", EXTENDED_R7N),
+        ("value_extended_r7o", EXTENDED_R7O),
+        ("value_extended_r7p", EXTENDED_R7P),
+        ("value_extended_r7q", EXTENDED_R7Q),
+        ("value_extended_r7r", EXTENDED_R7R),
+        ("value_extended_r7s", EXTENDED_R7S),
+        ("value_extended_r7t", EXTENDED_R7T),
+        ("value_extended_r7u", EXTENDED_R7U),
+        ("value_extended_r7v", EXTENDED_R7V),
+        ("value_extended_r7w", EXTENDED_R7W),
+        ("value_extended_r7x", EXTENDED_R7X),
+        ("value_extended_r7y", EXTENDED_R7Y),
+        ("value_extended_r7z", EXTENDED_R7Z),
+        ("value_extended_r7aa", EXTENDED_R7AA),
+        ("value_extended_r7ab", EXTENDED_R7AB),
+        ("value_extended_r8", EXTENDED_R8),
+    ]
+    all_timings = dict(timings)
+    family_totals: dict[str, float] = {}
+    for key, names in family_lists:
+        fam = run(names)
+        all_timings.update(fam)
+        family_totals[key] = round(sum(fam.values()), 1)
     # post-battery calibration re-measures + JVM stats — the
     # driver-visible discriminator for battery-end degradation
     calib_post = median_of(calib_cpu_once, 3)
@@ -956,52 +953,15 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "headline_n": len(HEADLINE),
-        "value_extended": round(sum(extended.values()), 3),
-        "value_extended_r3": round(sum(extended_r3.values()), 3),
-        "value_extended_r5": round(sum(extended_r5.values()), 3),
-        "value_extended_r5c": round(sum(extended_r5c.values()), 3),
-        "value_extended_r5d": round(sum(extended_r5d.values()), 3),
-        "value_extended_r6": round(sum(extended_r6.values()), 3),
-        "value_extended_r6b": round(sum(extended_r6b.values()), 3),
-        "value_extended_r6c": round(sum(extended_r6c.values()), 3),
-        "value_extended_r6d": round(sum(extended_r6d.values()), 3),
-        "value_extended_r6e": round(sum(extended_r6e.values()), 3),
-        "value_extended_r6f": round(sum(extended_r6f.values()), 3),
-        "value_extended_r6g": round(sum(extended_r6g.values()), 3),
-        "value_extended_r6h": round(sum(extended_r6h.values()), 3),
-        "value_extended_r6i": round(sum(extended_r6i.values()), 3),
-        "value_extended_r6j": round(sum(extended_r6j.values()), 3),
-        "value_extended_r6k": round(sum(extended_r6k.values()), 3),
-        "value_extended_r6l": round(sum(extended_r6l.values()), 3),
-        "value_extended_r7": round(sum(extended_r7.values()), 3),
-        "value_extended_r7b": round(sum(extended_r7b.values()), 3),
-        "value_extended_r7c": round(sum(extended_r7c.values()), 3),
-        "value_extended_r7d": round(sum(extended_r7d.values()), 3),
-        "value_extended_r7e": round(sum(extended_r7e.values()), 3),
-        "value_extended_r7f": round(sum(extended_r7f.values()), 3),
-        "value_extended_r7g": round(sum(extended_r7g.values()), 3),
-        "value_extended_r7h": round(sum(extended_r7h.values()), 3),
-        "value_extended_r7i": round(sum(extended_r7i.values()), 3),
-        "value_extended_r7j": round(sum(extended_r7j.values()), 3),
-        "value_extended_r7k": round(sum(extended_r7k.values()), 3),
-        "value_extended_r7l": round(sum(extended_r7l.values()), 3),
-        "value_extended_r7m": round(sum(extended_r7m.values()), 3),
-        "value_extended_r7n": round(sum(extended_r7n.values()), 3),
-        "value_extended_r7o": round(sum(extended_r7o.values()), 3),
-        "value_extended_r7p": round(sum(extended_r7p.values()), 3),
-        "value_extended_r7q": round(sum(extended_r7q.values()), 3),
-        "value_extended_r7r": round(sum(extended_r7r.values()), 3),
-        "value_extended_r7s": round(sum(extended_r7s.values()), 3),
-        "value_extended_r7t": round(sum(extended_r7t.values()), 3),
-        "value_extended_r7u": round(sum(extended_r7u.values()), 3),
-        "value_extended_r7v": round(sum(extended_r7v.values()), 3),
-        "value_extended_r7w": round(sum(extended_r7w.values()), 3),
-        "value_extended_r7x": round(sum(extended_r7x.values()), 3),
-        "value_extended_r7y": round(sum(extended_r7y.values()), 3),
-        "value_extended_r7z": round(sum(extended_r7z.values()), 3),
-        "value_extended_r7aa": round(sum(extended_r7aa.values()), 3),
-        "value_extended_r7ab": round(sum(extended_r7ab.values()), 3),
-        "value_extended_r8": round(sum(extended_r8.values()), 3),
+        **family_totals,
+        # per-query headline timings (VERDICT r11 item 1): an ORDERED
+        # integer array keyed to the committed HEADLINE list above —
+        # hq_cs[i] is the min-of-2 wall for HEADLINE[i] in CENTISECONDS.
+        # Emitted as a positional integer array (not name→sec) so all 28
+        # entries fit the driver's ~2000-byte stdout tail alongside the
+        # 45 family subtotals; join against HEADLINE in this file to
+        # attribute any headline_per_calib move to named queries.
+        "hq_cs": [int(round(timings[n] * 100)) for n in HEADLINE],
         "calib_sec": round(calib, 3),
         # the cross-VM-comparable headline (lower is better); see the
         # calibration comment — comparable from round 8 onward only
@@ -1016,6 +976,11 @@ def main() -> int:
         "calib_post": round(calib_post, 3),
         "calib_mem_post": round(calib_mem_post, 3),
         **stats_post,
+        # collection time attributable to the harness's own between-run
+        # System.gc() hygiene calls — OUTSIDE every timed window. Compare
+        # organic load as gc_ms − gc_forced_ms before reading gc_ms
+        # against battery wall (see forced_gc above).
+        "gc_forced_ms": int(forced_acc["ms"]),
         "sf": sf,
     }
     # Full per-query map FIRST (for humans / local archives), compact
@@ -1024,13 +989,19 @@ def main() -> int:
     # headline value must be small enough to survive that tail intact
     # (BENCH_r05's single 5KB line lost its head, including `value`).
     print(json.dumps({**summary, "queries": all_timings}))
-    # the driver preserves only the final ~2000 bytes: with ~42 family
-    # subtotals in the summary, a 10-entry slowest list pushes the last
-    # line past the cutoff — 5 entries keeps ~400 bytes of headroom
+    # the driver preserves only the final ~2000 bytes: with ~45 family
+    # subtotals + the 28-entry hq array in the summary, a 5-entry
+    # slowest list at 2-decimal grain keeps the final line under the
+    # cap (measured ~1.9 KB; an oversize line loses its HEAD, which is
+    # where `value` lives — BENCH_r05 regression)
     slowest = dict(
-        sorted(all_timings.items(), key=lambda kv: -kv[1])[:5]
+        (k, round(v, 2))
+        for k, v in sorted(all_timings.items(), key=lambda kv: -kv[1])[:5]
     )
-    print(json.dumps({**summary, "slowest5": slowest}))
+    last_line = json.dumps({**summary, "slowest5": slowest})
+    if len(last_line) > 1980:  # belt-and-braces: never ship a torn head
+        last_line = json.dumps({**summary, "slowest5": {}})
+    print(last_line)
     return 0
 
 

@@ -125,6 +125,7 @@ def pagerank_fixed_point(
     base: int = 150_000,
     ckpt_every: int = 0,
     n_edges_hint: int | None = None,
+    release_after_setup: tuple[DataFrame, ...] = (),
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list where every node has
     out-degree ≥ 1 (nodes with no out-edges are absent from the edge list's
@@ -218,6 +219,18 @@ def pagerank_fixed_point(
     ).distinct()
     if n_edges_hint is None:
         e.unpersist()  # setup-only cache; the iterate reads edges_deg
+    if release_after_setup:
+        # Caller-owned setup caches (e.g. the exact-count pair relation
+        # in registry/pipeline_ops.graph_pagerank_fixedpoint) must not
+        # outlive setup — library callers have no harness cache sweep to
+        # release them (ADVICE r11). Materializing edges_deg first makes
+        # the release safe: everything downstream (sources_zero,
+        # all_nodes, the iterate) reads edges_deg, never the caller's
+        # relation. The extra count job only arises on the exact-count
+        # branch, which is already eager by construction.
+        edges_deg.count()
+        for d in release_after_setup:
+            d.unpersist()
     ranks = all_nodes.select(
         "node", F.lit(scale).cast("bigint").alias("r")
     ).repartition(nparts, "node")

@@ -804,20 +804,20 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ao_ops  # noqa: F401
     from . import round7ap_ops  # noqa: F401
 
-    # Round-11 rotation: CORRECTNESS_r10.json landed fully green (50/50
-    # rows+schema+hash on _REPIN_R10 + _WINDOW_R9[46:] + _WINDOW_R10[:45])
-    # — no errors to re-pin. The 5 displaced _WINDOW_R10 tail queries
-    # (never driver-checked) lead, then _WINDOW_R11 (its own tail of 5
-    # displaces into r12 by the same overflow rule). R12..R13 queue
-    # behind; the already-green windows trail so any driver overflow
-    # re-confirms green queries rather than starving the backlog.
+    # Round-12 rotation: CORRECTNESS_r11.json landed fully green (50/50
+    # rows+schema+hash on _WINDOW_R10[45:] + _WINDOW_R11[:45]) — no
+    # errors to re-pin. The 5 displaced _WINDOW_R11 tail queries (never
+    # driver-checked) lead, then _WINDOW_R12 (its own tail of 5
+    # displaces into r13 by the same overflow rule). R13 queues behind;
+    # the already-green windows trail so any driver overflow re-confirms
+    # green queries rather than starving the backlog.
     seen: set[str] = set()
     window_order = [
         n
-        for n in _WINDOW_R10[45:]
-        + _WINDOW_R11
+        for n in _WINDOW_R11[45:]
         + _WINDOW_R12
         + _WINDOW_R13
+        + _WINDOW_R11
         + _WINDOW_R10
         + _WINDOW_R9
         + _WINDOW_R8

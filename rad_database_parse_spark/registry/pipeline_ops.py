@@ -868,12 +868,17 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str):
     # at 100 TB. Ranks are exact integers under any partitioning.
     n_edges_bound = 2 * li.count()
     par = spark.sparkContext.defaultParallelism
+    setup_caches: tuple = ()
     if -(-n_edges_bound // 1_000_000) > 4 * par:
         # persist: single cache backing both the count here and the edge
         # union above (the CacheManager matches `edges`' two branches to
-        # this plan); released by the gate/bench clearCache (class 1)
+        # this plan); released by pagerank_fixed_point itself once its
+        # edges_deg relation is materialized (ADVICE r11 — library
+        # callers must not leak a persisted relation per invocation by
+        # relying on the gate/bench cache sweep)
         pairs.persist()
         n_edges_hint = 2 * pairs.count()
+        setup_caches = (pairs,)
     else:
         n_edges_hint = n_edges_bound
     return pagerank_fixed_point(
@@ -882,6 +887,7 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str):
         scale=PR_SCALE,
         base=PR_BASE,
         n_edges_hint=n_edges_hint,
+        release_after_setup=setup_caches,
     )
 
 

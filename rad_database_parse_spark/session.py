@@ -116,7 +116,14 @@ def get_session(
 
 
 def clear_caches(spark: SparkSession) -> None:
-    """Gate/bench cache hygiene: drop ALL cached state between queries.
+    """HARNESS-ONLY cache sweep: drop ALL cached state between queries.
+
+    For bench.py / the correctness gate / tests, which own the whole
+    session. It is deliberately indiscriminate — it unpersists EVERY
+    RDD in the context's persistent-RDD map, including caches owned by
+    unrelated caller code on a shared ``getOrCreate`` session — so do
+    NOT call it from library paths; registry ops release their own
+    persists instead (ADVICE r11).
 
     ``spark.catalog.clearCache()`` only evicts CacheManager entries
     (DataFrame ``persist``/``cache``). ``localCheckpoint`` blocks are
@@ -127,6 +134,8 @@ def clear_caches(spark: SparkSession) -> None:
     session. This sweeps both: the catalog cache, then every RDD still
     registered in the context's persistent-RDD map."""
     spark.catalog.clearCache()
-    # JavaSparkContext.getPersistentRDDs(): Map<Integer, JavaRDD<?>>
+    # JavaSparkContext.getPersistentRDDs(): Map<Integer, JavaRDD<?>>.
+    # unpersist(True) = blocking, so block release can't bleed into the
+    # next timed bench window (ADVICE r11).
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        jrdd.unpersist()
+        jrdd.unpersist(True)

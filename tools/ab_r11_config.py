@@ -43,6 +43,11 @@ def run_once(stock: bool, idx: int) -> dict:
         text=True,
         cwd=REPO,
     )
+    # fail loudly on a mid-battery crash — a nonzero-rc bench must not
+    # surface as an opaque IndexError or record a partial arm (ADVICE r11)
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-4000:])
+        raise RuntimeError(f"bench.py rc={r.returncode} on arm {'stock' if stock else 'shipped'}#{idx}")
     lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
     full = json.loads(lines[0])  # per-query map
     summary = json.loads(lines[-1])
