@@ -15,6 +15,7 @@ chosen so the same code scales to a multi-executor cluster:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -22,6 +23,36 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 _JVM_OPTS_KEY = "spark.driver.extraJavaOptions"
 _CODE_CACHE_FLAG = "-XX:ReservedCodeCacheSize=512m"
+_GC_FLAG = "-XX:+UseParallelGC"
+
+
+def _merge_gc_flag(opts: str) -> str:
+    """Append the throughput-collector flag unless the caller already
+    names a collector or SPARK_GRAFT_STOCK_GC=1 asks for JVM defaults.
+
+    Shipped round 12 from the four-arm interleaved full-battery GC A/B
+    (tools/ab_r12_gc.py, BENCH_AB_r12_*.json; decision rule
+    pre-registered in that file): vs stock G1, ParallelGC cut
+    battery-concurrent ("organic") GC 21.5→5.3s (-75-80%, consistent in
+    all four parallel-arm runs) and won battery min-of-2 342.0s vs
+    429.2s (-20%) with headline not worse (19.2 vs 22.4 min-of-2);
+    normalized by the CPU calibration it was best-or-tied in BOTH
+    interleaved cycles (199/224 vs stock 250/270). Honest caveat,
+    recorded in SCALE.md: the session VM drifted ±30% (calib 1.52-2.09)
+    across arms and raw battery split 1-1 by cycle — the ship rests on
+    the pre-registered min-of-2 rule, the every-run normalized
+    consistency, and the mechanism (a latency-irrelevant batch engine
+    doesn't need G1's pause guarantees; G1's write barriers +
+    remembered-set upkeep tax Tungsten's allocation-heavy operators).
+    This is the classic throughput-collector recommendation for batch
+    Spark; on a real cluster apply the same flag to
+    spark.executor.extraJavaOptions. SPARK_GRAFT_STOCK_GC=1 restores
+    stock for future A/Bs."""
+    if os.environ.get("SPARK_GRAFT_STOCK_GC") == "1":
+        return opts
+    if re.search(r"-XX:[+-]Use\w*GC", opts):
+        return opts  # never clobber an explicit collector choice
+    return f"{opts} {_GC_FLAG}".strip()
 
 
 def _merge_driver_java_options(
@@ -106,6 +137,7 @@ def get_session(
             _JVM_OPTS_KEY,
             os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", ""),
         )
+    caller_opts = _merge_gc_flag(caller_opts)
     if caller_opts:
         builder = builder.config(_JVM_OPTS_KEY, caller_opts)
     for k, v in merged.items():

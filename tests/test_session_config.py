@@ -1,4 +1,4 @@
-"""Session-factory hygiene (ADVICE r10).
+"""Session-factory hygiene (ADVICE r10, GC default r12).
 
 1. ``_merge_driver_java_options``: the ReservedCodeCacheSize fix must
    never clobber externally configured driver JVM options, and an
@@ -8,6 +8,9 @@
 2. ``clear_caches``: catalog ``clearCache()`` does not release
    RDD-level persists (``localCheckpoint`` blocks live outside the
    CacheManager); the gate/bench hygiene sweep must release both.
+3. ``_merge_gc_flag``: the r12 ParallelGC default must never clobber
+   an explicit collector choice and must honor the
+   SPARK_GRAFT_STOCK_GC=1 revert knob (tools/ab_r12_gc.py).
 """
 
 from __future__ import annotations
@@ -16,9 +19,32 @@ from pyspark import StorageLevel
 
 from rad_database_parse_spark.session import (
     _CODE_CACHE_FLAG,
+    _GC_FLAG,
     _merge_driver_java_options,
+    _merge_gc_flag,
     clear_caches,
 )
+
+
+def test_gc_flag_appended_by_default(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_STOCK_GC", raising=False)
+    assert _merge_gc_flag("") == _GC_FLAG
+    assert _merge_gc_flag("-Xss4m") == f"-Xss4m {_GC_FLAG}"
+
+
+def test_gc_flag_never_clobbers_explicit_collector(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_STOCK_GC", raising=False)
+    # + and - forms, any collector name
+    assert _merge_gc_flag("-XX:+UseZGC") == "-XX:+UseZGC"
+    assert _merge_gc_flag("-XX:+UseG1GC -Xss4m") == "-XX:+UseG1GC -Xss4m"
+    assert _merge_gc_flag("-XX:-UseG1GC") == "-XX:-UseG1GC"
+    assert _merge_gc_flag(_GC_FLAG) == _GC_FLAG
+
+
+def test_gc_flag_stock_knob_reverts(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STOCK_GC", "1")
+    assert _merge_gc_flag("") == ""
+    assert _merge_gc_flag("-Xss4m") == "-Xss4m"
 
 
 def test_merge_defaults_to_flag_only():

@@ -23,13 +23,23 @@ needed to test, one default change to ship a winner):
                -XX:MaxGCPauseMillis=400 — keep G1 but trade pause
                target for throughput and halve region-count overhead
 
-Decision rule: ship the best arm's config as the session default only
-if its min-of-2 battery total beats stock's by >5% AND its headline is
-not worse by >5%; otherwise record the rejection in SCALE.md. gc_ms /
-calib quartet from each arm's summary discriminate "GC actually fell"
-from VM drift.
+Decision rule (pre-registered): ship the best arm's config as the
+session default only if its min-of-2 battery total beats stock's by >5%
+AND its headline is not worse by >5%; otherwise record the rejection in
+SCALE.md. gc_ms / calib quartet from each arm's summary discriminate
+"GC actually fell" from VM drift.
 
-Results land in BENCH_AB_r12_{arm}_{idx}.json.
+OUTCOME (BENCH_AB_r12_{arm}_{idx}.json; full analysis in SCALE.md):
+parallelgc won the rule — battery min-of-2 342.0s vs stock 429.2s
+(-20%), headline 19.2 vs 22.4, organic (battery-concurrent) GC
+21.5→5.3s, normalized best-or-tied in both interleaved cycles — and
+-XX:+UseParallelGC (at the UNCHANGED 8g heap: heap16 and g1tune read
+as noise) was shipped as the session default (session._merge_gc_flag).
+The session VM drifted ±30% (calib 1.52-2.09) across arms, so the raw
+battery numbers split 1-1 by cycle; the ship rests on the
+pre-registered rule + normalized consistency + mechanism. After the
+ship, the "stock" arm pins SPARK_GRAFT_STOCK_GC=1 so re-runs keep
+their original meaning (stock = pre-r12 G1 default).
 """
 
 from __future__ import annotations
@@ -42,14 +52,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ARMS: dict[str, dict[str, str]] = {
-    "stock": {},
-    "heap16": {"SPARK_GRAFT_DRIVER_MEM": "16g"},
+    "stock": {"SPARK_GRAFT_STOCK_GC": "1"},
+    "heap16": {"SPARK_GRAFT_DRIVER_MEM": "16g", "SPARK_GRAFT_STOCK_GC": "1"},
     "parallelgc": {
         "SPARK_GRAFT_DRIVER_MEM": "16g",
         "SPARK_DRIVER_EXTRA_JAVA_OPTIONS": "-XX:+UseParallelGC",
     },
     "g1tune": {
         "SPARK_GRAFT_DRIVER_MEM": "16g",
+        "SPARK_GRAFT_STOCK_GC": "1",
         "SPARK_DRIVER_EXTRA_JAVA_OPTIONS": (
             "-XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=400"
         ),
