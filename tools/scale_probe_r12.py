@@ -62,10 +62,14 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     def run_once(name: str, sf_dir: str) -> float:
+        # noop sink, exactly like bench.py: full distributed execution,
+        # zero driver-side collection (a .collect() here hit
+        # maxResultSize on docs_minhash_lsh's sf1 pair output and would
+        # time driver materialization, not the operator).
         clear_caches(spark)
         spark._jvm.System.gc()
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     calib_pre = calib()
