@@ -24,6 +24,26 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _JVM_OPTS_KEY = "spark.driver.extraJavaOptions"
 _CODE_CACHE_FLAG = "-XX:ReservedCodeCacheSize=512m"
 _GC_FLAG = "-XX:+UseParallelGC"
+# A/B hook (round 12 optimization): semicolon-separated `key=value` pairs
+# applied LAST, so an interleaved bench arm can flip any SQL/core conf
+# through the environment without a code change, e.g.
+#   SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false"
+# Caller `extra_conf` still wins over the env (applied after it).
+_CONF_ENV = "SPARK_GRAFT_CONF"
+
+
+def _env_conf() -> dict[str, str]:
+    raw = os.environ.get(_CONF_ENV, "")
+    out: dict[str, str] = {}
+    for item in raw.split(";"):
+        item = item.strip()
+        if not item:
+            continue
+        if "=" not in item:
+            raise ValueError(f"{_CONF_ENV} entry without '=': {item!r}")
+        k, v = item.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
 
 
 def _merge_gc_flag(opts: str) -> str:
@@ -140,6 +160,9 @@ def get_session(
     caller_opts = _merge_gc_flag(caller_opts)
     if caller_opts:
         builder = builder.config(_JVM_OPTS_KEY, caller_opts)
+    for k, v in _env_conf().items():
+        if k != _JVM_OPTS_KEY:  # JVM options have their own merge path
+            builder = builder.config(k, v)
     for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

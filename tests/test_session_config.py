@@ -17,13 +17,35 @@ from __future__ import annotations
 
 from pyspark import StorageLevel
 
+import pytest
+
 from rad_database_parse_spark.session import (
     _CODE_CACHE_FLAG,
     _GC_FLAG,
+    _env_conf,
     _merge_driver_java_options,
     _merge_gc_flag,
     clear_caches,
 )
+
+
+def test_env_conf_parses_pairs(monkeypatch):
+    monkeypatch.setenv(
+        "SPARK_GRAFT_CONF",
+        "spark.sql.join.preferSortMergeJoin=false; spark.io.compression.codec=zstd ;",
+    )
+    assert _env_conf() == {
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.io.compression.codec": "zstd",
+    }
+
+
+def test_env_conf_empty_and_malformed(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_CONF", raising=False)
+    assert _env_conf() == {}
+    monkeypatch.setenv("SPARK_GRAFT_CONF", "no-equals-sign")
+    with pytest.raises(ValueError):
+        _env_conf()
 
 
 def test_gc_flag_appended_by_default(monkeypatch):
