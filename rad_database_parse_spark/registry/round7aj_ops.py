@@ -450,7 +450,21 @@ def orders_cube_view_selection_greedy(spark: SparkSession, sf_dir: str):
     count. Spark and DuckDB GROUPING() share the 1-means-aggregated
     convention, so mask = 7−gid is engine-identical. At 100 TB the
     CUBE pass is the only fact-scale stage — the planner itself is
-    constant-time."""
+    constant-time.
+
+    Re-planned round 12: the greedy rounds now run DRIVER-SIDE over
+    the collected 8-row size table in exact Python ints (the
+    customer_coverage_greedy_brands idiom). The previous distributed
+    lattice unrolled pick_k → gain_k → cost_k → m_{k-1} → pick_{k-1}
+    lineage whose fan-out re-embedded the CUBE aggregate ~2^k times —
+    and the r12 plan audit measured the damage: the `sizes.persist()`
+    failed CacheManager substitution for most references (2
+    InMemoryTableScans vs 132 raw parquet scans in the executed plan;
+    Catalyst had pushed mask predicates below the cube's Expand in
+    the un-substituted branches), so the fact table was scanned 66×.
+    Driver-side, the plan is ONE CUBE pass + an 8-row collect; the
+    greedy is integer arithmetic the oracle replicates term for
+    term."""
     o = t(spark, sf_dir, "orders")
     dims = o.select(
         "o_orderpriority",
@@ -463,69 +477,43 @@ def orders_cube_view_selection_greedy(spark: SparkSession, sf_dir: str):
             " + GROUPING(mo)"
         ).alias("gid")
     )
-    sizes = (
-        cube_rows.groupBy(
-            F.expr("CAST(7 - gid AS BIGINT)").alias("mask")
-        )
-        .agg(F.count("*").cast("bigint").alias("sz"))
-        .persist()
-    )
-    m = sizes.select("mask").filter(F.col("mask") == 7)
-    picks = []
+    sizes_df = cube_rows.groupBy(
+        F.expr("CAST(7 - gid AS BIGINT)").alias("mask")
+    ).agg(F.count("*").cast("bigint").alias("sz"))
+    # bounded: the CUBE lattice over 3 dims is exactly 2^3 = 8 rows at
+    # any corpus size — the one fact-scale stage is the CUBE aggregate
+    # feeding this collect; the greedy itself is metadata arithmetic
+    sizes = {r["mask"]: r["sz"] for r in sizes_df.collect()}
+    materialized = [7]
+    picks: list[tuple[int, str, int, int]] = []
     for k in range(1, _HRU_PICKS + 1):
-        mat = sizes.join(m, "mask").select(
-            F.col("mask").alias("mmask"), F.col("sz").alias("msz")
-        )
-        cost = (
-            sizes.select(F.col("mask").alias("qmask"))
-            .join(
-                F.broadcast(mat),
-                F.expr("(qmask & mmask) = qmask"),
+        # cost of answering q = size of its smallest materialized
+        # ancestor (q ⊆ m as bitmask subset; m0={7} covers every q)
+        cost = {
+            q: min(sizes[m] for m in materialized if (q & m) == q)
+            for q in sizes
+        }
+        best: tuple[tuple[int, int], int, int] | None = None
+        for cand, csz in sizes.items():
+            if cand in materialized:
+                continue
+            benefit = sum(
+                cost[q] - csz
+                for q in sizes
+                if (q & cand) == q and csz < cost[q]
             )
-            .groupBy("qmask")
-            .agg(F.min("msz").alias("c"))
-        )
-        cand = sizes.join(m, "mask", "left_anti").select(
-            F.col("mask").alias("cmask"), F.col("sz").alias("csz")
-        )
-        gain = (
-            cand.crossJoin(F.broadcast(cost))
-            .select(
-                "cmask",
-                "csz",
-                F.expr(
-                    "GREATEST(c - (CASE WHEN (qmask & cmask) = qmask"
-                    " AND csz < c THEN csz ELSE c END), 0)"
-                ).alias("red"),
-            )
-            .groupBy("cmask", "csz")
-            .agg(F.sum("red").cast("bigint").alias("benefit"))
-        )
-        pick = gain.orderBy(F.col("benefit").desc(), "cmask").limit(1)
-        picks.append(
-            pick.select(
-                F.lit(k).cast("bigint").alias("pick_order"),
-                "cmask",
-                "benefit",
-            )
-        )
-        m = m.union(pick.select(F.col("cmask").alias("mask")))
-    out = picks[0]
-    for pk in picks[1:]:
-        out = out.union(pk)
-    vnames = spark.createDataFrame(
-        [(m_, n_) for m_, n_ in _HRU_NAMES.items()],
-        "mask BIGINT, view_name STRING",
-    )
-    sz2 = sizes.select(
-        F.col("mask").alias("smask"), F.col("sz").alias("view_rows")
-    )
-    return (
-        out.join(F.broadcast(vnames), out.cmask == vnames.mask)
-        .join(F.broadcast(sz2), out.cmask == F.col("smask"))
-        .select("pick_order", "view_name", "benefit", "view_rows")
-        .orderBy("pick_order")
-    )
+            key = (benefit, -cand)  # ORDER BY benefit DESC, cmask ASC
+            if best is None or key > best[0]:
+                best = (key, cand, benefit)
+        assert best is not None
+        _, cmask, benefit = best
+        picks.append((k, _HRU_NAMES[cmask], benefit, sizes[cmask]))
+        materialized.append(cmask)
+    return spark.createDataFrame(
+        picks,
+        "pick_order BIGINT, view_name STRING, benefit BIGINT,"
+        " view_rows BIGINT",
+    ).orderBy("pick_order")
 
 
 # ------------------------------------------------------------------
