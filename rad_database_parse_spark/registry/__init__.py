@@ -722,6 +722,33 @@ _WINDOW_R13: list[str] = [
     "pdf_real_lattice_goldens",
 ]
 
+# Round-13 refresh slots: the leading never-checked backlog
+# (_WINDOW_R12[45:] + _WINDOW_R13) fills 32 of the driver's 50
+# correctness slots; these 18 queries — the ones whose latest driver
+# check is OLDEST (all last checked in round 1, 12 rounds ago; computed
+# from every CORRECTNESS_r*.json) — take the remaining slots so the
+# round re-confirms the stalest greens instead of the freshest.
+_REFRESH_R13: list[str] = [
+    "math_functions",
+    "conditional_functions",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "agg_count_distinct",
+    "agg_rollup_region_nation",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "window_running_total",
+    "window_topk_per_customer",
+    "window_lag_order_gap",
+    "top1_customer_per_nation",
+    "semi_join_urgent_customers",
+    "anti_join_unordered_parts",
+    "dedup_exact_projection",
+    "union_dedup_slices",
+    "set_intersect_customers",
+]
+
 # Fallback ordering for everything already driver-green (r1+r2 families).
 _FAMILY_ORDER = [
     "llm_ops",
@@ -804,19 +831,23 @@ def all_queries() -> dict[str, QueryDef]:
     from . import round7ao_ops  # noqa: F401
     from . import round7ap_ops  # noqa: F401
 
-    # Round-12 rotation: CORRECTNESS_r11.json landed fully green (50/50
-    # rows+schema+hash on _WINDOW_R10[45:] + _WINDOW_R11[:45]) — no
-    # errors to re-pin. The 5 displaced _WINDOW_R11 tail queries (never
-    # driver-checked) lead, then _WINDOW_R12 (its own tail of 5
-    # displaces into r13 by the same overflow rule). R13 queues behind;
-    # the already-green windows trail so any driver overflow re-confirms
-    # green queries rather than starving the backlog.
+    # Round-13 rotation (VERDICT r12 item 6 — drain the backlog):
+    # CORRECTNESS_r12.json landed fully green (50/50 rows+schema+hash on
+    # _WINDOW_R11[45:] + _WINDOW_R12[:45]), so the window flips to the
+    # ONLY queries a driver round has never checked: the displaced
+    # _WINDOW_R12 tail (5) plus _WINDOW_R13 (27, of which 26 are
+    # never-checked; pdf_real_lattice_goldens re-confirms its r08 row).
+    # That fills 32 of the 50 slots; _REFRESH_R13 (the 18 stalest greens,
+    # all last checked in round 1) fills the rest, so a green
+    # CORRECTNESS_r13 makes the cumulative driver coverage 570/570.
+    # Already-green windows trail for the overflow rule as before.
     seen: set[str] = set()
     window_order = [
         n
-        for n in _WINDOW_R11[45:]
-        + _WINDOW_R12
+        for n in _WINDOW_R12[45:]
         + _WINDOW_R13
+        + _REFRESH_R13
+        + _WINDOW_R12
         + _WINDOW_R11
         + _WINDOW_R10
         + _WINDOW_R9

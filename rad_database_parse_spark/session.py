@@ -29,6 +29,10 @@ _GC_FLAG = "-XX:+UseParallelGC"
 # through the environment without a code change, e.g.
 #   SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false"
 # Caller `extra_conf` still wins over the env (applied after it).
+# LIFECYCLE (ADVICE r12): the hook is read only when a session is BUILT —
+# get_session returns an already-active session untouched, so an
+# in-process arm flip is a silent no-op. A/B tools must run each arm in
+# a fresh subprocess (tools/ab_r12_conf.py does).
 _CONF_ENV = "SPARK_GRAFT_CONF"
 
 
@@ -42,7 +46,16 @@ def _env_conf() -> dict[str, str]:
         if "=" not in item:
             raise ValueError(f"{_CONF_ENV} entry without '=': {item!r}")
         k, v = item.split("=", 1)
-        out[k.strip()] = v.strip()
+        k = k.strip()
+        if k == _JVM_OPTS_KEY:
+            # Silently dropping JVM flags would make an A/B arm measure
+            # stock with no signal (ADVICE r12); JVM options have their
+            # own merge path via SPARK_DRIVER_EXTRA_JAVA_OPTIONS.
+            raise ValueError(
+                f"{_CONF_ENV} cannot set {_JVM_OPTS_KEY}; use the"
+                " SPARK_DRIVER_EXTRA_JAVA_OPTIONS env var instead"
+            )
+        out[k] = v.strip()
     return out
 
 
@@ -160,9 +173,8 @@ def get_session(
     caller_opts = _merge_gc_flag(caller_opts)
     if caller_opts:
         builder = builder.config(_JVM_OPTS_KEY, caller_opts)
-    for k, v in _env_conf().items():
-        if k != _JVM_OPTS_KEY:  # JVM options have their own merge path
-            builder = builder.config(k, v)
+    for k, v in _env_conf().items():  # _env_conf rejects _JVM_OPTS_KEY
+        builder = builder.config(k, v)
     for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -48,6 +48,17 @@ def test_env_conf_empty_and_malformed(monkeypatch):
         _env_conf()
 
 
+def test_env_conf_rejects_jvm_options(monkeypatch):
+    # silently dropping a JVM-flag arm would make an A/B measure stock
+    # with no signal (ADVICE r12) — it must fail loudly, pointing at
+    # SPARK_DRIVER_EXTRA_JAVA_OPTIONS
+    monkeypatch.setenv(
+        "SPARK_GRAFT_CONF", "spark.driver.extraJavaOptions=-XX:+UseZGC"
+    )
+    with pytest.raises(ValueError, match="SPARK_DRIVER_EXTRA_JAVA_OPTIONS"):
+        _env_conf()
+
+
 def test_gc_flag_appended_by_default(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_STOCK_GC", raising=False)
     assert _merge_gc_flag("") == _GC_FLAG

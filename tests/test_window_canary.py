@@ -1,15 +1,16 @@
-"""Driver-window canary: CORRECTNESS_r11.json landed fully green — 50/50
-rows+schema+hash on the round-11 window (_WINDOW_R10 tail +
-_WINDOW_R11[:45]) — so the round-12 rotation has no errors to re-pin. It
-leads with the 5 displaced _WINDOW_R11 tail queries (never
-driver-checked), then _WINDOW_R12 (whose own 5-query tail displaces into
-r13 by the same overflow rule). An import reorder or a family
-re-registration must not be able to silently re-run an already-green
-window (VERDICT r2 item 7). New registrations queue in _WINDOW_R13 (the
-live window) until it closes at 50.
+"""Driver-window canary: CORRECTNESS_r12.json landed fully green — 50/50
+rows+schema+hash on the round-12 window (_WINDOW_R11 tail +
+_WINDOW_R12[:45]) — so the round-13 rotation drains the never-checked
+backlog (VERDICT r12 item 6): the displaced _WINDOW_R12 tail (5) and
+_WINDOW_R13 (27) lead, and _REFRESH_R13 (the 18 stalest greens, all
+last driver-checked in round 1) fills the window to exactly 50. A green
+CORRECTNESS_r13 therefore completes 570/570 cumulative driver coverage.
+An import reorder or a family re-registration must not be able to
+silently re-run an already-green window (VERDICT r2 item 7).
 """
 
 from rad_database_parse_spark.registry import (
+    _REFRESH_R13,
     _REPIN_R8,
     _REPIN_R10,
     _WINDOW_R3,
@@ -31,9 +32,10 @@ def _expected_order():
     seen = set()
     return [
         n
-        for n in _WINDOW_R11[45:]
-        + _WINDOW_R12
+        for n in _WINDOW_R12[45:]
         + _WINDOW_R13
+        + _REFRESH_R13
+        + _WINDOW_R12
         + _WINDOW_R11
         + _WINDOW_R10
         + _WINDOW_R9
@@ -47,14 +49,15 @@ def _expected_order():
     ]
 
 
-def test_r12_window_leads():
+def test_r13_window_leads():
     names = list(all_queries())
-    # positions 1-5: the _WINDOW_R11 tail displaced by the r11 rotation
-    # (their first-ever driver rows); positions 6-50: the first 45
-    # _WINDOW_R12 entries. Together they are exactly the driver's
-    # 50-query correctness window for round 12.
-    assert names[:5] == _WINDOW_R11[45:]
-    assert names[5:50] == _WINDOW_R12[:45]
+    # positions 1-5: the _WINDOW_R12 tail displaced by the r12 rotation
+    # (their first-ever driver rows); positions 6-32: all of _WINDOW_R13;
+    # positions 33-50: the 18 stalest greens. Together they are exactly
+    # the driver's 50-query correctness window for round 13.
+    assert names[:5] == _WINDOW_R12[45:]
+    assert names[5:32] == _WINDOW_R13
+    assert names[32:50] == _REFRESH_R13
     # the closed windows are pinned full at exactly 50
     assert len(_WINDOW_R6) == 50
     assert len(_WINDOW_R7) == 50
@@ -63,10 +66,8 @@ def test_r12_window_leads():
     assert len(_WINDOW_R10) == 50
     assert len(_WINDOW_R11) == 50
     assert len(_WINDOW_R12) == 50
-    # the live window must not silently grow past the driver's 50-query
-    # gate (ADVICE r6): overflow into a future _WINDOW_R14 is an explicit
-    # decision, not an accident
-    assert len(_WINDOW_R13) <= 50
+    # the backlog-draining window must land at exactly the driver's 50
+    assert 5 + len(_WINDOW_R13) + len(_REFRESH_R13) == 50
 
 
 def test_full_pinned_order_holds():
@@ -81,14 +82,15 @@ def test_window_is_immune_to_direct_module_imports():
     import rad_database_parse_spark.registry.core_relational  # noqa: F401
     import rad_database_parse_spark.registry.llm_ops  # noqa: F401
 
-    assert list(all_queries())[:5] == _WINDOW_R11[45:]
-    assert list(all_queries())[5:50] == _WINDOW_R12[:45]
+    assert list(all_queries())[:5] == _WINDOW_R12[45:]
+    assert list(all_queries())[5:32] == _WINDOW_R13
 
 
 def test_every_window_name_unique_and_registered():
     for window in (
         _REPIN_R8,
         _REPIN_R10,
+        _REFRESH_R13,
         _WINDOW_R3,
         _WINDOW_R4,
         _WINDOW_R5,
@@ -107,6 +109,7 @@ def test_every_window_name_unique_and_registered():
         set(
             _REPIN_R8
             + _REPIN_R10
+            + _REFRESH_R13
             + _WINDOW_R3
             + _WINDOW_R4
             + _WINDOW_R5
@@ -123,14 +126,21 @@ def test_every_window_name_unique_and_registered():
     )
 
 
-def test_r12_tail_and_r13_queue_directly_after_window():
-    # the displaced _WINDOW_R12 tail (5 entries) then _WINDOW_R13 must
-    # sit at positions 51+ so the rotation provably advances one full
-    # window per driver round
+def test_r13_window_completes_cumulative_coverage():
+    # the union of every CORRECTNESS file's keys plus the first 50 of
+    # this rotation must cover the whole registry — the property VERDICT
+    # r12 item 6 asks this round to close. Uses the committed artifacts,
+    # so the test is self-verifying against the real driver history.
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    if not files:  # fresh clone without artifacts: nothing to assert
+        return
+    checked: set[str] = set()
+    for f in files:
+        checked.update(json.load(open(f)))
     names = list(all_queries())
-    for i, q in enumerate(_WINDOW_R12[45:]):
-        assert names[50 + i] == q
-    seen = set(_WINDOW_R11) | set(_WINDOW_R12)
-    r13_dedup = [q for q in _WINDOW_R13 if q not in seen]
-    for i, q in enumerate(r13_dedup):
-        assert names[55 + i] == q
+    assert checked.union(names[:50]) >= set(names)

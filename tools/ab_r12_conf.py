@@ -105,7 +105,8 @@ def main() -> int:
         print(
             f"{fam}: "
             + " ".join(f"{a}={cells[a]}" for a in ARMS)
-            + (f"  <-- {best}" if cells[best] < cells["stock"] * 0.9 else "")
+            # marker threshold matches the 5% ship rule (ADVICE r12)
+            + (f"  <-- {best}" if cells[best] < cells["stock"] * 0.95 else "")
         )
     print("\nbattery totals (min of 2):")
     for a in ARMS:
