@@ -939,7 +939,17 @@ def main() -> int:
     ]
     all_timings = dict(timings)
     family_totals: dict[str, float] = {}
+    # Per-family start timestamps (r13, VERDICT r12 item 7): the r12
+    # artifacts show a battery whose r6f+r6g families ran uniformly 3-7×
+    # slower — every query in both families, no single mover — while the
+    # pre/post calibration brackets stayed flat, i.e. a transient
+    # whole-VM stall mid-battery that the brackets cannot see. Wall-clock
+    # family start times (first line only; the driver tail never sees
+    # them) let such a stall be localized in time instead of argued from
+    # calibration.
+    family_t0: dict[str, float] = {}
     for key, names in family_lists:
+        family_t0[key] = round(time.time(), 1)
         fam = run(names)
         all_timings.update(fam)
         family_totals[key] = round(sum(fam.values()), 1)
@@ -983,24 +993,48 @@ def main() -> int:
         "gc_forced_ms": int(forced_acc["ms"]),
         "sf": sf,
     }
-    # Full per-query map FIRST (for humans / local archives), compact
-    # summary LAST: the driver preserves only the final ~2000 bytes of
-    # stdout and JSON-parses the last line, so the line carrying the
-    # headline value must be small enough to survive that tail intact
-    # (BENCH_r05's single 5KB line lost its head, including `value`).
-    print(json.dumps({**summary, "queries": all_timings}))
-    # the driver preserves only the final ~2000 bytes: with ~45 family
-    # subtotals + the 28-entry hq array in the summary, a 5-entry
-    # slowest list at 2-decimal grain keeps the final line under the
-    # cap (measured ~1.9 KB; an oversize line loses its HEAD, which is
-    # where `value` lives — BENCH_r05 regression)
+    # Full per-query map + family subtotals + slowest-5 FIRST (for
+    # humans / local archives — this line may exceed the driver's
+    # stdout tail), compact driver-parseable summary LAST: the driver
+    # preserves only the final ~2000 bytes of stdout and JSON-parses
+    # the last line, so the line carrying the headline value must be
+    # small enough to survive that tail intact (BENCH_r05's single 5KB
+    # line lost its head, including `value`).
     slowest = dict(
         (k, round(v, 2))
         for k, v in sorted(all_timings.items(), key=lambda kv: -kv[1])[:5]
     )
-    last_line = json.dumps({**summary, "slowest5": slowest})
+    print(
+        json.dumps(
+            {
+                **summary,
+                "queries": all_timings,
+                "slowest5": slowest,
+                "family_t0": family_t0,
+            }
+        )
+    )
+    # FINAL line (r13, VERDICT r12 item 1 — measurement-attribution fix,
+    # declared in OPTIMIZATION_r13.md): r12's final line carried only the
+    # positional hq_cs centisecond array, which the driver cannot join to
+    # names, so PERF_r12.per_query came back EMPTY and no per-query
+    # round-over-round or 8-vs-32-core comparison was possible. The named
+    # 28-entry headline map now lives HERE under the contract's `queries`
+    # key (seconds, same 3-decimal grain as the first line); the 45
+    # value_extended_* family subtotals move UP to the first line because
+    # names + subtotals cannot both fit under the ~2000-byte tail cap and
+    # names are what the driver attributes with. Timing methodology is
+    # UNCHANGED (same queries, same min-of-2 noop-sink windows); totals
+    # stay keyed identically (metric/value/unit/headline_n/...), and
+    # hq_cs is kept so r12's positional record stays comparable.
+    last_summary = {
+        k: v for k, v in summary.items() if not k.startswith("value_extended")
+    }
+    last_line = json.dumps(
+        {**last_summary, "queries": {n: timings[n] for n in HEADLINE}}
+    )
     if len(last_line) > 1980:  # belt-and-braces: never ship a torn head
-        last_line = json.dumps({**summary, "slowest5": {}})
+        last_line = json.dumps(last_summary)
     print(last_line)
     return 0
 

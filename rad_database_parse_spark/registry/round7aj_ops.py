@@ -464,7 +464,14 @@ def orders_cube_view_selection_greedy(spark: SparkSession, sf_dir: str):
     the un-substituted branches), so the fact table was scanned 66×.
     Driver-side, the plan is ONE CUBE pass + an 8-row collect; the
     greedy is integer arithmetic the oracle replicates term for
-    term."""
+    term.
+
+    EAGER BUILDER (ADVICE r12): like customer_coverage_greedy_brands,
+    constructing this op's DataFrame runs the fact-scale CUBE job at
+    build time (the collect feeds the driver-side greedy), so plan-only
+    sweeps (e.g. tools/plan_audit_r12.py) pay the full pass per build.
+    bench.py times the builder inside the query window, so the bench
+    timing is honest."""
     o = t(spark, sf_dir, "orders")
     dims = o.select(
         "o_orderpriority",
@@ -484,6 +491,16 @@ def orders_cube_view_selection_greedy(spark: SparkSession, sf_dir: str):
     # any corpus size — the one fact-scale stage is the CUBE aggregate
     # feeding this collect; the greedy itself is metadata arithmetic
     sizes = {r["mask"]: r["sz"] for r in sizes_df.collect()}
+    _schema = (
+        "pick_order BIGINT, view_name STRING, benefit BIGINT,"
+        " view_rows BIGINT"
+    )
+    if 7 not in sizes:
+        # Degenerate empty-orders corpus (ADVICE r12): the CUBE over zero
+        # rows yields no lattice masks at all, so the greedy has no base
+        # view to cost against — degrade to the empty result the old
+        # distributed plan produced instead of a KeyError.
+        return spark.createDataFrame([], _schema)
     materialized = [7]
     picks: list[tuple[int, str, int, int]] = []
     for k in range(1, _HRU_PICKS + 1):
@@ -509,11 +526,7 @@ def orders_cube_view_selection_greedy(spark: SparkSession, sf_dir: str):
         _, cmask, benefit = best
         picks.append((k, _HRU_NAMES[cmask], benefit, sizes[cmask]))
         materialized.append(cmask)
-    return spark.createDataFrame(
-        picks,
-        "pick_order BIGINT, view_name STRING, benefit BIGINT,"
-        " view_rows BIGINT",
-    ).orderBy("pick_order")
+    return spark.createDataFrame(picks, _schema).orderBy("pick_order")
 
 
 # ------------------------------------------------------------------

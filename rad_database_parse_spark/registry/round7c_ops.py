@@ -605,6 +605,16 @@ def graph_ppr_seed_part(spark: SparkSession, sf_dir: str):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ed.count()  # materialize once; all 3 iterations + nodes/seed reuse it
+    # Setup-cache release (VERDICT r12 item 4, the pagerank
+    # release_after_setup idiom): the shared co-purchase caches serve
+    # SETUP only here — und.count() materialized the edge cache, ed is
+    # now materialized from it, and everything downstream (nodes, seed,
+    # all 3 iterations) reads ed — so the edge cache must not outlive
+    # setup for library callers that have no harness cache sweep. _r2's
+    # persist mark never materialized in this query (no consumer), so
+    # unpersisting it only drops the CacheManager entry.
+    _edges.unpersist()
+    _r2.unpersist()
     nodes = ed.select(F.col("u").alias("node")).distinct()
     sd = ed.agg(F.min("u").alias("seed"))
     restart = F.when(F.col("node") == F.col("seed"), F.lit(150000)).otherwise(
